@@ -1,0 +1,95 @@
+"""Standalone driver-harness simulation (see .claude/skills/verify/SKILL.md).
+
+Loads /root/repo/__spark_entry__.py by path exactly like the driver, runs the
+entry() smoke check, then every queries()[name] at sf0.01 against its
+oracle_sql()[name] via DuckDB. Exits non-zero on any mismatch.
+
+Not a pytest file — run directly: ``python tests/driver_sim.py``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import importlib.util
+import sys
+
+ENTRY = "/root/repo/__spark_entry__.py"
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(v):
+    if v is None:
+        return "␀"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spec = importlib.util.spec_from_file_location("__spark_entry__", ENTRY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = mod.entry(spark)
+    n = len(df.collect())
+    print(f"SMOKE entry: rows={n} schema={[f.name for f in df.schema.fields]}")
+    ok = n > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    for name, fn in sorted(qs.items()):
+        sdf = fn(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in osql:
+            print(f"{name}: rows-only check rows={len(srows)}")
+            continue
+        res = con.execute(osql[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        so = sorted(range(len(scols)), key=lambda i: scols[i])
+        do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        s = sorted(tuple(canon(r[i]) for i in so) for r in srows)
+        d = sorted(tuple(canon(r[i]) for i in do) for r in drows)
+        match = (
+            sorted(scols) == sorted(dcols) and len(srows) == len(drows) and s == d
+        )
+        ok &= match
+        print(
+            f"{name}: rows {len(srows)}=={len(drows)} "
+            f"cols {sorted(scols) == sorted(dcols)} MATCH: {match}"
+        )
+        if not match and s != d:
+            for a, b in list(zip(s, d))[:3]:
+                if a != b:
+                    print("  spark:", a)
+                    print("  duck :", b)
+    print("RESULT:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

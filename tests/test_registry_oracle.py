@@ -1,0 +1,32 @@
+"""Run EVERY registered query against its DuckDB oracle at sf0.01 — the local
+twin of the driver's correctness gate. Adding a query to the registry
+automatically adds it here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from g_data_pipeline_spark.queries import REGISTRY
+from tests.conftest import SF_DIR_ORACLE
+from tests.oracle_utils import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, duck, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR_ORACLE)
+    if spec.oracle is None:
+        # rows-only check (non-SQL-expressible op)
+        assert df.count() >= 0
+        return
+    assert_matches_oracle(df, duck, spec.oracle, name=name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    names = set(e.queries())
+    assert set(e.oracle_sql()) <= names
