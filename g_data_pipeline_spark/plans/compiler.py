@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from g_data_pipeline_spark.functions.deterministic import davg, dsum
 from g_data_pipeline_spark.ir import (
     DESCRIBE_ROW_CAP,
     VISUALIZE_ROW_CAP,
@@ -98,14 +99,18 @@ def _filter_condition(df: DataFrame, op: ColumnOperation) -> Column | None:
     return col != lit  # "!=" / "<>"
 
 
-def _apply_operation(df: DataFrame, op: ColumnOperation) -> DataFrame:
+def _apply_operation(
+    df: DataFrame, op: ColumnOperation, deterministic_floats: bool = False
+) -> DataFrame:
     if op.type == "filter":
         cond = _filter_condition(df, op)
         return df if cond is None else df.filter(cond)
     if op.type == "mean":
-        return df.select(F.mean(op.column).alias(f"mean_{op.column}"))
+        agg = davg(op.column) if deterministic_floats else F.mean(op.column)
+        return df.select(agg.alias(f"mean_{op.column}"))
     if op.type == "sum":
-        return df.select(F.sum(op.column).alias(f"sum_{op.column}"))
+        agg = dsum(op.column) if deterministic_floats else F.sum(op.column)
+        return df.select(agg.alias(f"sum_{op.column}"))
     if op.type == "count":
         # SQL COUNT(col): non-null only (SURVEY.md §4.3.2).
         return df.select(F.count(op.column).alias(f"count_{op.column}"))
@@ -122,11 +127,17 @@ def _apply_operation(df: DataFrame, op: ColumnOperation) -> DataFrame:
     raise ValueError(f"unknown operation type {op.type!r}")
 
 
-def compile_query(df: DataFrame, query: StructuredQuery) -> DataFrame:
+def compile_query(
+    df: DataFrame, query: StructuredQuery, deterministic_floats: bool = False
+) -> DataFrame:
     """Compile the IR against ``df`` into one unevaluated DataFrame.
 
     Mirrors ``apply_operations`` (``query_translator.rs:309-465``) but lazily:
     no action is triggered here, so Catalyst optimizes the whole chain.
+
+    ``deterministic_floats`` switches mean/sum to the decimal-accumulator
+    numeric-fidelity mode (see functions.deterministic) — used by the
+    oracle-gated query surface; default is the fast double path.
     """
     query.validate()
     result = df
@@ -140,7 +151,7 @@ def compile_query(df: DataFrame, query: StructuredQuery) -> DataFrame:
     if query.intent == QueryIntent.AGGREGATE:
         for op in query.operations:
             if op.type in ("mean", "sum", "count", "group_by_count"):
-                result = _apply_operation(result, op)
+                result = _apply_operation(result, op, deterministic_floats)
         return result
 
     # Non-aggregate intents: projection applies when columns were requested

@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from g_data_pipeline_spark.catalog import load_table
@@ -53,28 +53,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
     return deco
 
 
-# --------------------------------------------------------------------------
-# Deterministic aggregate helpers (see module docstring).
-# --------------------------------------------------------------------------
-
-def dsum(expr: Column | str, scale: int = 6) -> Column:
-    """Order-independent SUM over doubles via an exact decimal accumulator."""
-    col = F.col(expr) if isinstance(expr, str) else expr
-    return F.sum(col.cast(f"decimal(25,{scale})")).cast("double")
-
-
-def davg(expr: Column | str, scale: int = 6) -> Column:
-    """Order-independent AVG: exact decimal sum, one double division."""
-    col = F.col(expr) if isinstance(expr, str) else expr
-    return dsum(col, scale) / F.count(col)
-
-
-def sql_dsum(expr: str, scale: int = 6) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,{scale}))) AS DOUBLE)"
-
-
-def sql_davg(expr: str, scale: int = 6) -> str:
-    return f"{sql_dsum(expr, scale)} / COUNT({expr})"
+# Deterministic aggregate helpers live in functions.deterministic (see its
+# docstring for the exactness argument).
+from g_data_pipeline_spark.functions.deterministic import (  # noqa: E402
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
 
 
 # --------------------------------------------------------------------------
@@ -84,6 +70,156 @@ def sql_davg(expr: str, scale: int = 6) -> str:
 # a single grouped aggregation with map-side partial combine — one shuffle on
 # (l_returnflag, l_linestatus), which at 100 TB is the minimal-shuffle plan.
 # --------------------------------------------------------------------------
+
+# --------------------------------------------------------------------------
+# R1-R11: the reference's executable query surface (SURVEY.md §2.2), each
+# exercised end-to-end THROUGH the IR compiler (ir.StructuredQuery ->
+# plans.compile_query -> one lazy DataFrame), not hand-written DataFrame code
+# — so the oracle gate covers the compiler itself.
+# --------------------------------------------------------------------------
+
+def _ir_query(table: str, ir: dict) -> SparkQuery:
+    from g_data_pipeline_spark.ir import StructuredQuery
+    from g_data_pipeline_spark.plans import compile_query
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        return compile_query(df, StructuredQuery.from_json(ir), deterministic_floats=True)
+
+    return fn
+
+
+register(
+    "r1_projection",
+    oracle="SELECT c_name, c_acctbal, c_mktsegment FROM customer",
+)(_ir_query("customer", {
+    "intent": "filter",
+    "columns": ["c_name", "c_acctbal", "c_mktsegment"],
+    "operations": [],
+}))
+
+register(
+    "r2_filter_eq",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)(_ir_query("lineitem", {
+    "intent": "filter",
+    "columns": ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+    "operations": [{"type": "filter", "column": "l_returnflag", "operator": "=", "value": "R"}],
+}))
+
+register(
+    "r3_filter_ordering_and_r5_conjunction",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount <= 0.05 AND l_quantity < 49
+    """,
+)(_ir_query("lineitem", {
+    "intent": "filter",
+    "columns": ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
+    "operations": [
+        {"type": "filter", "column": "l_quantity", "operator": ">", "value": "30"},
+        {"type": "filter", "column": "l_discount", "operator": "<=", "value": "0.05"},
+        {"type": "filter", "column": "l_quantity", "operator": "<", "value": "49"},
+    ],
+}))
+
+register(
+    "r4_filter_ne",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+)(_ir_query("orders", {
+    "intent": "filter",
+    "columns": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    "operations": [{"type": "filter", "column": "o_orderstatus", "operator": "!=", "value": "F"}],
+}))
+
+register(
+    "r6_agg_mean",
+    oracle=f"SELECT {sql_davg('l_extendedprice')} AS mean_l_extendedprice FROM lineitem",
+)(_ir_query("lineitem", {
+    "intent": "aggregate",
+    "columns": [],
+    "operations": [{"type": "mean", "column": "l_extendedprice"}],
+}))
+
+register(
+    "r7_agg_sum",
+    oracle=f"SELECT {sql_dsum('l_quantity')} AS sum_l_quantity FROM lineitem",
+)(_ir_query("lineitem", {
+    "intent": "aggregate",
+    "columns": [],
+    "operations": [{"type": "sum", "column": "l_quantity"}],
+}))
+
+register(
+    "r8_agg_count",
+    oracle="SELECT COUNT(o_custkey) AS count_o_custkey FROM orders",
+)(_ir_query("orders", {
+    "intent": "aggregate",
+    "columns": [],
+    "operations": [{"type": "count", "column": "o_custkey"}],
+}))
+
+register(
+    "r8b_filtered_count",
+    oracle="""
+    SELECT COUNT(l_orderkey) AS count_l_orderkey
+    FROM lineitem WHERE l_quantity >= 25
+    """,
+)(_ir_query("lineitem", {
+    "intent": "aggregate",
+    "columns": [],
+    "operations": [
+        {"type": "filter", "column": "l_quantity", "operator": ">=", "value": "25"},
+        {"type": "count", "column": "l_orderkey"},
+    ],
+}))
+
+register(
+    "r9_group_by_count",
+    oracle="""
+    SELECT o_orderpriority, COUNT(o_orderpriority) AS count_o_orderpriority
+    FROM orders GROUP BY o_orderpriority
+    """,
+)(_ir_query("orders", {
+    "intent": "aggregate",
+    "columns": [],
+    "operations": [{"type": "group_by_count", "column": "o_orderpriority"}],
+}))
+
+# Sort + Describe cap (R10+R11). The sort key is the unique primary key so
+# the capped row SET is deterministic (the reference's sort is unstable —
+# SURVEY.md §4.3.7 — so ties at the cap boundary would be nondeterministic).
+register(
+    "r10_sort_r11_describe_cap",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_orderkey DESC LIMIT 10
+    """,
+)(_ir_query("orders", {
+    "intent": "describe",
+    "columns": ["o_orderkey", "o_totalprice", "o_orderdate"],
+    "operations": [{"type": "sort", "column": "o_orderkey", "ascending": False}],
+}))
+
+register(
+    "r11_visualize_cap",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+)(_ir_query("customer", {
+    "intent": "visualize",
+    "columns": ["c_custkey", "c_name", "c_acctbal"],
+    "operations": [{"type": "sort", "column": "c_custkey", "ascending": True}],
+}))
+
 
 @register(
     "q1_pricing_summary",
