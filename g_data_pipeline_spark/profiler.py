@@ -1,0 +1,293 @@
+"""Per-column statistical profiling — the reference's flagship computation
+(``generate_insights``, ``/root/reference/src/services/processor.rs:264-456``;
+SURVEY.md §2.3 P1-P13) re-expressed as Spark aggregations.
+
+Plan shape (the scale story)
+----------------------------
+The reference computes one Polars pass per statistic. Here the entire numeric
+profile — null counts, distinct counts, min/max/mean/stddev, exact
+percentiles, and every pairwise Pearson correlation — is ONE ``df.agg(...)``
+with a flat expression list: a single scan + single (tiny) shuffle of partial
+aggregate buffers, regardless of column count. Top-k frequent values add one
+``groupBy(col)`` per categorical column (each its own shuffle on that column,
+unavoidable for exact counts).
+
+100 TB notes, encoded as options rather than folklore:
+
+- ``distinct_method="approx"`` switches exact ``countDistinct`` (an Expand —
+  duplicates the input N_cols times pre-shuffle) to HLL
+  ``approx_count_distinct`` (constant-size sketch, no Expand).
+- ``percentile_method="approx"`` switches exact ``F.percentile`` (holds all
+  column values per group in memory on the reducer) to the GK-sketch
+  ``percentile_approx``. Exact mode matches the reference and the DuckDB
+  oracle (linear interpolation, SURVEY.md §4.3.5); approx is the scale
+  escape hatch documented in SURVEY.md §7.
+- ``deterministic=True`` computes mean/stddev/corr from exact decimal
+  accumulators (see functions.deterministic) so results are bit-reproducible
+  across partitionings and engines; default uses Spark's numerically-stable
+  built-ins (Welford-style), whose last bits depend on merge order.
+
+Semantics pinned against the reference (SURVEY.md §4.3):
+
+- std dev is SAMPLE (ddof=1) — ``stddev_samp`` (processor.rs:355).
+- unique counts use SQL semantics (nulls excluded) — the reference's Polars
+  ``n_unique`` counts null as a value; we expose ``null_count`` separately
+  (documented divergence, §4.3.3).
+- correlation is standard pairwise-complete Pearson (``F.corr``) — the
+  reference mixes full-column means into pairwise-complete covariance
+  (processor.rs:458-520), a bug we do not reproduce (§4.3.1).
+- top-10 frequent values: categorical columns only, count-desc with value
+  as the deterministic tiebreaker (the reference's ordering on ties is
+  unspecified, §2.3 P10).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from g_data_pipeline_spark.functions.deterministic import davg, dsum
+
+NUMERIC_STATS = ("min", "max", "mean", "median", "std_dev", "percentile_25", "percentile_75")
+
+
+@dataclass
+class ColumnClasses:
+    """P2 column classification (processor.rs:270-296): numeric / date /
+    categorical (everything else, including booleans and free text)."""
+
+    numeric: list[str] = field(default_factory=list)
+    date: list[str] = field(default_factory=list)
+    categorical: list[str] = field(default_factory=list)
+
+
+def classify_columns(df: DataFrame) -> ColumnClasses:
+    out = ColumnClasses()
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, T.NumericType):
+            out.numeric.append(f_.name)
+        elif isinstance(f_.dataType, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            out.date.append(f_.name)
+        else:
+            out.categorical.append(f_.name)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Expression builders — shared by profile() and the oracle-gated queries.
+# --------------------------------------------------------------------------
+
+def null_count_expr(col: str) -> Column:
+    """P3: nulls = COUNT(*) - COUNT(col)."""
+    return (F.count(F.lit(1)) - F.count(col)).alias(f"null_count_{col}")
+
+
+def distinct_count_expr(col: str, method: str = "exact") -> Column:
+    """P4 with SQL null semantics (SURVEY.md §4.3.3)."""
+    agg = F.countDistinct(col) if method == "exact" else F.approx_count_distinct(col)
+    return agg.alias(f"unique_count_{col}")
+
+
+def numeric_stat_exprs(
+    col: str,
+    deterministic: bool = False,
+    percentile_method: str = "exact",
+) -> dict[str, Column]:
+    """P5-P9 for one numeric column; keys are stat names."""
+    c = F.col(col).cast("double")
+    if percentile_method == "exact":
+        med = F.percentile(c, F.lit(0.5))
+        p25 = F.percentile(c, F.lit(0.25))
+        p75 = F.percentile(c, F.lit(0.75))
+    else:
+        med = F.percentile_approx(c, F.lit(0.5))
+        p25 = F.percentile_approx(c, F.lit(0.25))
+        p75 = F.percentile_approx(c, F.lit(0.75))
+    if deterministic:
+        # Exact decimal sums -> identical doubles on any engine/partitioning.
+        # sum(x^2) uses scale=4: squares of <=2dp inputs are exactly 4dp, so
+        # the cast is lossless while staying far from rounding boundaries.
+        n = F.count(c)
+        s1 = dsum(c)
+        s2 = dsum(c * c, scale=4)
+        mean = s1 / n
+        # sample variance = (S2 - S1^2/n) / (n-1); deterministic, matches the
+        # same formula on the oracle side. (Library default path uses the
+        # numerically-stabler built-in instead.)
+        var = (s2 - (s1 * s1) / n) / (n - F.lit(1))
+        std = F.sqrt(var)
+    else:
+        mean = F.avg(c)
+        std = F.stddev_samp(c)
+    return {
+        "min": F.min(c),
+        "max": F.max(c),
+        "mean": mean,
+        "median": med,
+        "std_dev": std,
+        "percentile_25": p25,
+        "percentile_75": p75,
+    }
+
+
+def corr_expr(c1: str, c2: str, deterministic: bool = False) -> Column:
+    """P11/P12: standard pairwise-complete Pearson (reference bug not
+    reproduced — SURVEY.md §4.3.1)."""
+    if not deterministic:
+        return F.corr(c1, c2)
+    x = F.col(c1).cast("double")
+    y = F.col(c2).cast("double")
+    both = F.when(x.isNotNull() & y.isNotNull(), F.lit(1))
+    n = F.count(both)
+    # Pairwise-complete decimal sums; products of <=2dp inputs are <=4dp.
+    sx = dsum(F.when(both.isNotNull(), x))
+    sy = dsum(F.when(both.isNotNull(), y))
+    sxx = dsum(F.when(both.isNotNull(), x * x), scale=4)
+    syy = dsum(F.when(both.isNotNull(), y * y), scale=4)
+    sxy = dsum(F.when(both.isNotNull(), x * y), scale=4)
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    return F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+
+
+def sql_numeric_stats(col: str, deterministic: bool = True) -> dict[str, str]:
+    """DuckDB twins of :func:`numeric_stat_exprs` (deterministic mode)."""
+    from g_data_pipeline_spark.functions.deterministic import sql_dsum
+
+    n = f"COUNT({col})"
+    s1 = sql_dsum(col)
+    s2 = sql_dsum(f"{col}*{col}", scale=4)
+    return {
+        "min": f"MIN({col})",
+        "max": f"MAX({col})",
+        "mean": f"{s1} / {n}",
+        "median": f"QUANTILE_CONT({col}, 0.5)",
+        "std_dev": f"SQRT(({s2} - ({s1})*({s1})/{n}) / ({n} - 1))",
+        "percentile_25": f"QUANTILE_CONT({col}, 0.25)",
+        "percentile_75": f"QUANTILE_CONT({col}, 0.75)",
+    }
+
+
+def sql_corr(c1: str, c2: str) -> str:
+    """DuckDB twin of deterministic :func:`corr_expr` (no-null case)."""
+    from g_data_pipeline_spark.functions.deterministic import sql_dsum
+
+    n = "COUNT(*)"
+    sx, sy = sql_dsum(c1), sql_dsum(c2)
+    sxx = sql_dsum(f"{c1}*{c1}", scale=4)
+    syy = sql_dsum(f"{c2}*{c2}", scale=4)
+    sxy = sql_dsum(f"{c1}*{c2}", scale=4)
+    return (
+        f"(({sxy}) - ({sx})*({sy})/{n}) / "
+        f"SQRT((({sxx}) - ({sx})*({sx})/{n}) * (({syy}) - ({sy})*({sy})/{n}))"
+    )
+
+
+# --------------------------------------------------------------------------
+# The profiler.
+# --------------------------------------------------------------------------
+
+def top_values(df: DataFrame, col: str, k: int = 10) -> dict[str, int]:
+    """P10: top-k frequent values for one categorical column (count-desc,
+    value-asc tiebreak; nulls excluded from the value map)."""
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(col).asc())
+        .limit(k)
+        .collect()
+    )
+    return {str(r[col]): r["cnt"] for r in rows}
+
+
+def profile(
+    df: DataFrame,
+    top_k: int = 10,
+    deterministic: bool = False,
+    distinct_method: str = "exact",
+    percentile_method: str = "exact",
+    include_correlations: bool = True,
+    include_top_values: bool = True,
+) -> dict[str, Any]:
+    """Full P1-P13 profile as a JSON-shaped dict (numbers stay numeric;
+    string formatting belongs at the API edge — SURVEY.md §4.3.6)."""
+    classes = classify_columns(df)
+    cols = df.columns
+
+    exprs: list[Column] = [F.count(F.lit(1)).alias("__row_count")]
+    for c in cols:
+        exprs.append(null_count_expr(c))
+        exprs.append(distinct_count_expr(c, distinct_method))
+    for c in classes.numeric:
+        for stat, e in numeric_stat_exprs(c, deterministic, percentile_method).items():
+            exprs.append(e.alias(f"{stat}_{c}"))
+    pairs = []
+    if include_correlations and len(classes.numeric) >= 2:
+        for i, c1 in enumerate(classes.numeric):
+            for c2 in classes.numeric[i + 1:]:
+                pairs.append((c1, c2))
+                exprs.append(corr_expr(c1, c2, deterministic).alias(f"__corr_{c1}-{c2}"))
+
+    row = df.agg(*exprs).collect()[0].asDict()
+
+    dtype_by_col = {f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}
+    column_statistics = []
+    for c in cols:
+        stats: dict[str, Any] = {
+            "name": c,
+            "data_type": dtype_by_col[c],
+            "null_count": row[f"null_count_{c}"],
+            "unique_count": row[f"unique_count_{c}"],
+        }
+        if c in set(classes.numeric):
+            for stat in NUMERIC_STATS:
+                stats[stat] = row[f"{stat}_{c}"]
+        if include_top_values and c in set(classes.categorical):
+            stats["top_values"] = top_values(df, c, top_k)
+        column_statistics.append(stats)
+
+    result: dict[str, Any] = {
+        "data_summary": {
+            "row_count": row["__row_count"],
+            "column_count": len(cols),
+            "numeric_columns": classes.numeric,
+            "date_columns": classes.date,
+            "categorical_columns": classes.categorical,
+            "summary_text": (
+                f"Dataset contains {row['__row_count']} rows and {len(cols)} columns "
+                f"({len(classes.numeric)} numeric, {len(classes.date)} date, "
+                f"{len(classes.categorical)} categorical)."
+            ),
+        },
+        "column_statistics": column_statistics,
+    }
+    if pairs:
+        result["correlations"] = {
+            f"{c1}-{c2}": row[f"__corr_{c1}-{c2}"] for c1, c2 in pairs
+        }
+    return result
+
+
+def format_insights(insights: dict[str, Any]) -> dict[str, Any]:
+    """Presentation-layer twin of the reference's stringified stats
+    (``{:.2}`` formatting baked into its JSON — models/response.rs:23-80).
+    Kept separate so the engine stays numeric internally."""
+    import copy
+
+    out = copy.deepcopy(insights)
+    for stats in out["column_statistics"]:
+        for k in NUMERIC_STATS:
+            if k in stats and stats[k] is not None:
+                stats[k] = f"{stats[k]:.2f}"
+    if "correlations" in out:
+        out["correlations"] = {
+            k: None if v is None else round(v, 4)
+            for k, v in out["correlations"].items()
+        }
+    return out

@@ -64,6 +64,114 @@ from g_data_pipeline_spark.functions.deterministic import (  # noqa: E402
 
 
 # --------------------------------------------------------------------------
+# P1-P13: profiler statistics (SURVEY.md §2.3), oracle-gated through the
+# profiler's own expression builders so the gate covers the profile path.
+# --------------------------------------------------------------------------
+
+def _profile_stats_query(table: str, cols: list[str]) -> tuple[SparkQuery, str]:
+    from g_data_pipeline_spark.profiler import numeric_stat_exprs, sql_numeric_stats
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        exprs = []
+        for c in cols:
+            for stat, e in numeric_stat_exprs(c, deterministic=True).items():
+                exprs.append(e.alias(f"{stat}_{c}"))
+        return df.agg(*exprs)
+
+    select = ", ".join(
+        f"{sql} AS {stat}_{c}"
+        for c in cols
+        for stat, sql in sql_numeric_stats(c).items()
+    )
+    return fn, f"SELECT {select} FROM {table}"
+
+
+_p_fn, _p_sql = _profile_stats_query(
+    "lineitem", ["l_quantity", "l_extendedprice", "l_discount"]
+)
+register("p_numeric_stats", oracle=_p_sql)(_p_fn)
+
+
+def _profile_counts_query(table: str) -> tuple[SparkQuery, str]:
+    from g_data_pipeline_spark.catalog import load_table as _lt
+    from g_data_pipeline_spark.profiler import distinct_count_expr, null_count_expr
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _lt(spark, sf_dir, table)
+        exprs = [F.count(F.lit(1)).alias("row_count")]
+        for c in df.columns:
+            exprs.append(null_count_expr(c))
+            exprs.append(distinct_count_expr(c))
+        return df.agg(*exprs)
+
+    return fn, table
+
+
+def _counts_sql(table: str, cols: list[str]) -> str:
+    parts = ["COUNT(*) AS row_count"]
+    for c in cols:
+        parts.append(f"COUNT(*) - COUNT({c}) AS null_count_{c}")
+        parts.append(f"COUNT(DISTINCT {c}) AS unique_count_{c}")
+    return f"SELECT {', '.join(parts)} FROM {table}"
+
+
+_c_fn, _ = _profile_counts_query("customer")
+register(
+    "p_null_unique_counts",
+    oracle=_counts_sql(
+        "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    ),
+)(_c_fn)
+
+
+def _corr_matrix_query(table: str, cols: list[str]) -> tuple[SparkQuery, str]:
+    from g_data_pipeline_spark.profiler import corr_expr, sql_corr
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        exprs = []
+        for i, c1 in enumerate(cols):
+            for c2 in cols[i + 1:]:
+                exprs.append(corr_expr(c1, c2, deterministic=True).alias(f"corr_{c1}_{c2}"))
+        return df.agg(*exprs)
+
+    select = ", ".join(
+        f"{sql_corr(c1, c2)} AS corr_{c1}_{c2}"
+        for i, c1 in enumerate(cols)
+        for c2 in cols[i + 1:]
+    )
+    return fn, f"SELECT {select} FROM {table}"
+
+
+_corr_fn, _corr_sql_q = _corr_matrix_query(
+    "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+)
+register("p_correlation_matrix", oracle=_corr_sql_q)(_corr_fn)
+
+
+@register(
+    "p_top_values",
+    oracle="""
+    SELECT c_mktsegment AS value, COUNT(*) AS cnt
+    FROM customer WHERE c_mktsegment IS NOT NULL
+    GROUP BY c_mktsegment
+    ORDER BY cnt DESC, value ASC LIMIT 10
+    """,
+)
+def p_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 top-k frequent values (count-desc, value-asc tiebreak)."""
+    df = load_table(spark, sf_dir, "customer")
+    return (
+        df.filter(F.col("c_mktsegment").isNotNull())
+        .groupBy(F.col("c_mktsegment").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("value").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
 # Flagship: pricing-summary rollup (TPC-H Q1 shape).
 # Exercises the reference's whole aggregate surface in one plan: R3 ordering
 # filter + R9 group-by + R6 mean + R7 sum + R8 count (SURVEY.md §2.2), but as
