@@ -1,0 +1,87 @@
+"""NL-query translation (control plane — SURVEY.md §2.5 N1-N3).
+
+Two translators produce the same StructuredQuery IR:
+
+- :func:`rule_based_translate` — the reference's keyword matcher
+  (``query_translator.rs:156-213``): "average"/"mean" -> Mean, "sum" -> Sum,
+  "count" -> Count, anything else -> Describe. The reference always targets
+  the FIRST column of the dataset; we first look for a column actually named
+  in the query text and fall back to the first *numeric* column (documented
+  improvement — targeting a string column with mean() is never right).
+- :func:`parse_llm_response` — parses an LLM's JSON into the IR and validates
+  it against the dataset schema. The reference's version is a stub that
+  discards the LLM output and hard-codes Describe
+  (``query_translator.rs:145-153``); this is the real implementation. The
+  LLM call itself stays outside the engine (driver-side, non-deterministic,
+  no correctness weight).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+from g_data_pipeline_spark.ir import ColumnOperation, QueryIntent, StructuredQuery
+
+_AGG_KEYWORDS = (
+    ("mean", ("average", "mean", "avg")),
+    ("sum", ("sum", "total")),
+    ("count", ("count", "how many", "number of")),
+)
+
+
+def _find_named_column(text: str, columns: list[str]) -> str | None:
+    lowered = text.lower()
+    # Longest column names first so "order total price" prefers o_totalprice.
+    for col in sorted(columns, key=len, reverse=True):
+        pattern = re.escape(col.lower().replace("_", " "))
+        if col.lower() in lowered or re.search(pattern, lowered):
+            return col
+    return None
+
+
+def rule_based_translate(
+    query_text: str,
+    columns: list[str],
+    numeric_columns: list[str] | None = None,
+) -> StructuredQuery:
+    """N2: keyword rules over the lowercased query (query_translator.rs:161)."""
+    lowered = query_text.lower()
+    named = _find_named_column(query_text, columns)
+    for op_type, keywords in _AGG_KEYWORDS:
+        if any(k in lowered for k in keywords):
+            if op_type in ("mean", "sum"):
+                target = named or (numeric_columns[0] if numeric_columns else None)
+            else:
+                target = named or (columns[0] if columns else None)
+            if target is None:
+                break
+            # "count by X" / "per X" -> group-by-count
+            if op_type == "count" and re.search(r"\b(by|per|each)\b", lowered):
+                ops = [ColumnOperation(type="group_by_count", column=target)]
+            else:
+                ops = [ColumnOperation(type=op_type, column=target)]
+            return StructuredQuery(intent=QueryIntent.AGGREGATE, operations=ops)
+    if any(k in lowered for k in ("chart", "plot", "visualiz", "graph")):
+        return StructuredQuery(intent=QueryIntent.VISUALIZE, columns=[])
+    return StructuredQuery(intent=QueryIntent.DESCRIBE, columns=[])
+
+
+def parse_llm_response(payload: str, columns: list[str]) -> StructuredQuery:
+    """N3, implemented for real: LLM JSON -> validated IR.
+
+    Tolerates markdown fences and surrounding prose; raises ValueError on
+    anything that doesn't validate against the dataset columns."""
+    text = payload.strip()
+    fence = re.search(r"```(?:json)?\s*(.*?)```", text, re.DOTALL)
+    if fence:
+        text = fence.group(1).strip()
+    start = text.find("{")
+    end = text.rfind("}")
+    if start == -1 or end == -1:
+        raise ValueError("no JSON object in LLM response")
+    obj: dict[str, Any] = json.loads(text[start : end + 1])
+    sq = StructuredQuery.from_json(obj)
+    sq.validate(available_columns=columns)
+    return sq

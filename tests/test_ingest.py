@@ -1,0 +1,86 @@
+"""Ingest tests: date/number coercion (the README-promised feature the
+reference never built — SURVEY.md §1.2), name normalization, CSV->Parquet
+landing, metadata without rescans."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import types as T
+
+from g_data_pipeline_spark.sources import (
+    coerce_types,
+    dataset_metadata,
+    land_csv,
+    read_csv,
+)
+from g_data_pipeline_spark.sources.ingest import (
+    normalize_column_names,
+    plan_coercions,
+)
+
+FIXTURE = str(Path(__file__).parent / "fixtures" / "people.csv")
+
+
+@pytest.fixture(scope="module")
+def people_raw(spark):
+    # Force everything to string so coercion decisions are exercised even
+    # where Spark's inferSchema would already win.
+    df = read_csv(spark, FIXTURE)
+    return df.selectExpr(*[f"CAST(`{c}` AS STRING) AS `{c}`" for c in df.columns])
+
+
+def test_plan_coercions_single_pass(spark, people_raw):
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    decisions = plan_coercions(people_raw)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after - before <= 2  # one agg job (+1 for possible AQE subjob)
+    by_col = {d.column: d for d in decisions}
+    assert by_col["registration_date"].kind == "date"
+    assert by_col["age"].kind == "number"
+    assert by_col[" income as at joining scheme "].kind == "number"
+    # mixed ISO + US datetime formats: neither single format clears 95%
+    assert "last_login" not in by_col
+
+
+def test_coerce_types_applies_and_nulls_blanks(spark, people_raw):
+    out, decisions = coerce_types(people_raw)
+    schema = {f.name: f.dataType for f in out.schema.fields}
+    assert isinstance(schema["registration_date"], T.DateType)
+    assert isinstance(schema["age"], T.DoubleType)
+    income = out.select(" income as at joining scheme ").collect()
+    vals = {r[0] for r in income}
+    assert None in vals  # blanks -> NULL
+    assert 1200.0 in vals  # "1,200" parsed
+    assert 950.0 in vals  # " 950 " parsed
+
+
+def test_land_csv_roundtrip(spark, tmp_path):
+    dest = str(tmp_path / "people.parquet")
+    df, decisions = land_csv(spark, FIXTURE, dest)
+    assert df.count() == 200
+    cols = set(df.columns)
+    assert "income_as_at_joining_scheme" in cols  # normalized name
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    # registration_date may be typed by inferSchema itself or by the coercion
+    # pass — either way the landed parquet is date-typed.
+    assert isinstance(schema["registration_date"], T.DateType)
+    # income can't be inferred (thousands separators) -> must be a coercion.
+    assert "income_as_at_joining_scheme" in {d.column for d in decisions}
+    assert isinstance(schema["income_as_at_joining_scheme"], T.DoubleType)
+
+
+def test_dataset_metadata_no_rescan(spark, people_raw):
+    md = dataset_metadata(people_raw, with_row_count=False)
+    assert md["columns"][0] == "age"
+    assert md["data_types"]["sex"] == "string"
+    md2 = dataset_metadata(people_raw)
+    assert md2["row_count"] == 200
+
+
+def test_normalize_column_names(spark):
+    df = spark.createDataFrame([(1, 2)], ["  A  B ", "ok"])
+    out = normalize_column_names(df)
+    assert out.columns == ["a_b", "ok"]
