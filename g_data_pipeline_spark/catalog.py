@@ -35,7 +35,28 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Read one test table.
+
+    The events table stores TIMESTAMP(NANOS) parquet, which Spark's reader
+    rejects outright ([PARQUET_TYPE_ILLEGAL]). For it, read nanos as raw
+    longs (legacy knob, runtime-settable) and floor to microseconds —
+    exactly what DuckDB does when it presents TIMESTAMP_NS as TIMESTAMP —
+    so both engines see identical values AND identical orderings."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = df.withColumns(
+            {
+                f.name: F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+                for f in df.schema.fields
+                if isinstance(f.dataType, T.LongType) and f.name == "ts"
+            }
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,172 @@
+"""Text-analysis column builders: tokenization, token counting, quality
+scoring, language ID, fingerprinting, shingles.
+
+All builders are pure ``pyspark.sql.functions`` expression trees — JVM-side,
+whole-stage-codegen'd, no Python UDFs — so they run at scan speed over 100 TB
+of documents. (The reference has no text operators at all; its only string
+op is lowercasing the *query text* — SURVEY.md §2.2.)
+
+Every builder has exactly mirrorable ANSI-SQL semantics (see
+query_defs/text.py for the DuckDB twins), which is what makes these
+oracle-checkable rather than folklore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small, fixed stopword sets per language — marker words for the n-gram/
+# stopword-count language heuristic and the quality score. Deliberately tiny:
+# the point is deterministic, engine-mirrorable scoring, not linguistics.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "en", "por", "que"),
+}
+
+PUNCT_CLASS = r"[.!?,;:]"
+# BPE-ish token regex: word pieces or single non-space symbols.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text -> array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for blank text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: alpha runs, digit runs, single symbols."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
+def _word_regex(words: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def stopword_count(col: Column | str, lang: str = "en") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(_word_regex(STOPWORDS[lang])))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Deterministic quality signals for training-data filtering."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.when(
+            n_tokens > 0,
+            (n_chars - (n_tokens - F.lit(1))) / n_tokens,
+        ),
+        "punct_ratio": F.when(
+            n_chars > 0, F.regexp_count(c, F.lit(PUNCT_CLASS)) / n_chars
+        ),
+        "digit_ratio": F.when(
+            n_chars > 0, F.regexp_count(c, F.lit(r"[0-9]")) / n_chars
+        ),
+        "upper_ratio": F.when(
+            n_chars > 0, F.regexp_count(c, F.lit(r"[A-Z]")) / n_chars
+        ),
+        "stopword_ratio": F.when(
+            n_tokens > 0, stopword_count(c, "en") / n_tokens
+        ),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Single [0,1]-ish score: rewards mid-length docs with healthy stopword
+    density, penalizes digit/punct soup. Fixed weights, fully deterministic.
+    """
+    f = quality_features(col)
+    length_term = F.least(F.col_or(f["n_tokens"], 0) / F.lit(100.0), F.lit(1.0)) \
+        if hasattr(F, "col_or") else F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_term
+        + F.lit(0.4) * F.least(F.coalesce(f["stopword_ratio"], F.lit(0.0)) * 4, F.lit(1.0))
+        + F.lit(0.2)
+        * (
+            F.lit(1.0)
+            - F.least(
+                F.coalesce(f["digit_ratio"], F.lit(0.0))
+                + F.coalesce(f["punct_ratio"], F.lit(0.0)),
+                F.lit(1.0),
+            )
+        )
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram heuristic's signal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    scores = {
+        lang: F.regexp_count(lowered, F.lit(_word_regex(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    # CJK detection by script, not stopwords.
+    scores["zh"] = F.regexp_count(c, F.lit(r"[一-鿿]"))
+    return scores
+
+
+def lang_id(col: Column | str, default: str = "unknown") -> Column:
+    """Argmax of lang_scores with a fixed language order for ties; 'unknown'
+    when no signal at all."""
+    scores = lang_scores(col)
+    order = ["en", "de", "fr", "es", "zh"]  # deterministic tie-break order
+    best = F.greatest(*[scores[k] for k in order])
+    expr = F.lit(default)
+    for lang in reversed(order):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lower, collapse whitespace, strip
+    non-alphanumerics (keeps spaces)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Document fingerprint = md5 of the normalized text (hex string)."""
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def rolling_hash(col: Column | str, base: int = 31, mod: int = 2**61 - 1) -> Column:
+    """Polynomial rolling hash over the normalized text's characters —
+    an order-sensitive fingerprint computed JVM-side via aggregate() over
+    the char array. (md5 variant above is the oracle-matched one; this one
+    demonstrates the custom-hash path.)"""
+    c = normalize_text(col)
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % F.lit(mod).cast("long"),
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (empty when fewer than n
+    tokens). Built with sequence+transform — no explode, no UDF."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -92,28 +92,37 @@ def distinct_count_expr(col: str, method: str = "exact") -> Column:
     return agg.alias(f"unique_count_{col}")
 
 
+def percentile_expr(col: str, percentile_method: str = "exact") -> Column:
+    """P7/P9: [p25, median, p75] as ONE array-percentile aggregate.
+
+    Why one array expression per column: exact Percentile is a
+    TypedImperativeAggregate; piling many of them into one agg trips
+    ObjectHashAggregate's sort-based fallback (measured 6× slower at sf0.1).
+    One array-percentile per column keeps the imperative-agg count at
+    #columns, and profile() runs them in a SEPARATE aggregation from the
+    codegen-friendly stats so the fast path stays in whole-stage codegen.
+    """
+    c = F.col(col).cast("double")
+    pcts = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    if percentile_method == "exact":
+        return F.percentile(c, pcts)
+    return F.percentile_approx(c, pcts)
+
+
 def numeric_stat_exprs(
     col: str,
     deterministic: bool = False,
-    percentile_method: str = "exact",
 ) -> dict[str, Column]:
-    """P5-P9 for one numeric column; keys are stat names."""
+    """P5/P6/P8 for one numeric column (the codegen-friendly stats — min/max/
+    mean/stddev); percentiles live in :func:`percentile_expr`."""
     c = F.col(col).cast("double")
-    if percentile_method == "exact":
-        med = F.percentile(c, F.lit(0.5))
-        p25 = F.percentile(c, F.lit(0.25))
-        p75 = F.percentile(c, F.lit(0.75))
-    else:
-        med = F.percentile_approx(c, F.lit(0.5))
-        p25 = F.percentile_approx(c, F.lit(0.25))
-        p75 = F.percentile_approx(c, F.lit(0.75))
     if deterministic:
         # Exact decimal sums -> identical doubles on any engine/partitioning.
-        # sum(x^2) uses scale=4: squares of <=2dp inputs are exactly 4dp, so
-        # the cast is lossless while staying far from rounding boundaries.
+        # sum(x^2) uses scale=4 (squares of <=2dp inputs are exactly 4dp) and
+        # hi/lo split sums (totals of ~1e10-per-row terms exceed 2^63*1e-4).
         n = F.count(c)
         s1 = dsum(c)
-        s2 = dsum(c * c, scale=4)
+        s2 = dsum(c * c, scale=4, split=True)
         mean = s1 / n
         # sample variance = (S2 - S1^2/n) / (n-1); deterministic, matches the
         # same formula on the oracle side. (Library default path uses the
@@ -127,10 +136,7 @@ def numeric_stat_exprs(
         "min": F.min(c),
         "max": F.max(c),
         "mean": mean,
-        "median": med,
         "std_dev": std,
-        "percentile_25": p25,
-        "percentile_75": p75,
     }
 
 
@@ -146,9 +152,9 @@ def corr_expr(c1: str, c2: str, deterministic: bool = False) -> Column:
     # Pairwise-complete decimal sums; products of <=2dp inputs are <=4dp.
     sx = dsum(F.when(both.isNotNull(), x))
     sy = dsum(F.when(both.isNotNull(), y))
-    sxx = dsum(F.when(both.isNotNull(), x * x), scale=4)
-    syy = dsum(F.when(both.isNotNull(), y * y), scale=4)
-    sxy = dsum(F.when(both.isNotNull(), x * y), scale=4)
+    sxx = dsum(F.when(both.isNotNull(), x * x), scale=4, split=True)
+    syy = dsum(F.when(both.isNotNull(), y * y), scale=4, split=True)
+    sxy = dsum(F.when(both.isNotNull(), x * y), scale=4, split=True)
     cov = sxy - sx * sy / n
     vx = sxx - sx * sx / n
     vy = syy - sy * sy / n
@@ -161,7 +167,7 @@ def sql_numeric_stats(col: str, deterministic: bool = True) -> dict[str, str]:
 
     n = f"COUNT({col})"
     s1 = sql_dsum(col)
-    s2 = sql_dsum(f"{col}*{col}", scale=4)
+    s2 = sql_dsum(f"{col}*{col}", scale=4, split=True)
     return {
         "min": f"MIN({col})",
         "max": f"MAX({col})",
@@ -179,9 +185,9 @@ def sql_corr(c1: str, c2: str) -> str:
 
     n = "COUNT(*)"
     sx, sy = sql_dsum(c1), sql_dsum(c2)
-    sxx = sql_dsum(f"{c1}*{c1}", scale=4)
-    syy = sql_dsum(f"{c2}*{c2}", scale=4)
-    sxy = sql_dsum(f"{c1}*{c2}", scale=4)
+    sxx = sql_dsum(f"{c1}*{c1}", scale=4, split=True)
+    syy = sql_dsum(f"{c2}*{c2}", scale=4, split=True)
+    sxy = sql_dsum(f"{c1}*{c2}", scale=4, split=True)
     return (
         f"(({sxy}) - ({sx})*({sy})/{n}) / "
         f"SQRT((({sxx}) - ({sx})*({sx})/{n}) * (({syy}) - ({sy})*({sy})/{n}))"
@@ -225,7 +231,7 @@ def profile(
         exprs.append(null_count_expr(c))
         exprs.append(distinct_count_expr(c, distinct_method))
     for c in classes.numeric:
-        for stat, e in numeric_stat_exprs(c, deterministic, percentile_method).items():
+        for stat, e in numeric_stat_exprs(c, deterministic).items():
             exprs.append(e.alias(f"{stat}_{c}"))
     pairs = []
     if include_correlations and len(classes.numeric) >= 2:
@@ -235,6 +241,21 @@ def profile(
                 exprs.append(corr_expr(c1, c2, deterministic).alias(f"__corr_{c1}-{c2}"))
 
     row = df.agg(*exprs).collect()[0].asDict()
+
+    # Second pass: exact percentiles (imperative aggregates — kept out of the
+    # codegen'd pass above; see percentile_expr docstring).
+    if classes.numeric:
+        prow = df.agg(
+            *[
+                percentile_expr(c, percentile_method).alias(f"__pct_{c}")
+                for c in classes.numeric
+            ]
+        ).collect()[0].asDict()
+        for c in classes.numeric:
+            p25, med, p75 = prow[f"__pct_{c}"] or (None, None, None)
+            row[f"percentile_25_{c}"] = p25
+            row[f"median_{c}"] = med
+            row[f"percentile_75_{c}"] = p75
 
     dtype_by_col = {f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}
     column_statistics = []

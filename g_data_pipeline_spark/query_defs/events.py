@@ -1,0 +1,135 @@
+"""Time-series / event-stream queries over the ``events`` table: tumbling,
+sliding, and session windows (batch form of the streaming operators —
+operators.windows builders are shared verbatim with the Structured Streaming
+module), plus JSON-ish property extraction.
+
+The reference has no time/stream constructs at all (SURVEY.md §2.2 "Not
+implemented"). Oracles express the same semantics in ANSI SQL: epoch-aligned
+windows via date_trunc, sliding replication via a small UNNEST cross join,
+sessions via gaps-and-islands (LAG + running SUM of breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.catalog import load_table
+from g_data_pipeline_spark.functions.deterministic import dsum, sql_dsum
+from g_data_pipeline_spark.operators.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from g_data_pipeline_spark.queries import register
+
+
+@register(
+    "e_tumbling_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS w_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def e_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (F.window is epoch-aligned,
+    so starts coincide with date_trunc('hour'))."""
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(
+        events,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        ],
+    )
+
+
+@register(
+    "e_sliding_2h_every_1h",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS w_start,
+           date_trunc('hour', ts) + (2 - k) * INTERVAL 1 HOUR AS w_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) offsets
+    GROUP BY 1, 2
+    """,
+)
+def e_sliding_2h_every_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h windows every 1h: each event belongs to 2 windows (the
+    duration/slide replication factor — inherent to overlap semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(
+        events,
+        "ts",
+        "2 hours",
+        "1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        ],
+    )
+
+
+@register(
+    "e_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS s_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS s_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def e_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 5-minute inactivity gap. Spark's native
+    session_window end = last event + gap; the oracle reproduces exactly
+    that via gaps-and-islands."""
+    events = load_table(spark, sf_dir, "events")
+    return session_window_agg(
+        events,
+        "ts",
+        "5 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+
+
+@register(
+    "e_props_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def e_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON-ish props column (from_json -> struct;
+    the oracle uses a regexp so it needs no DuckDB JSON extension)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("k", F.from_json("props", "k BIGINT").getField("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"))
+    )

@@ -171,7 +171,11 @@ register(
 # --------------------------------------------------------------------------
 
 def _profile_stats_query(table: str, cols: list[str]) -> tuple[SparkQuery, str]:
-    from g_data_pipeline_spark.profiler import numeric_stat_exprs, sql_numeric_stats
+    from g_data_pipeline_spark.profiler import (
+        numeric_stat_exprs,
+        percentile_expr,
+        sql_numeric_stats,
+    )
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_table(spark, sf_dir, table)
@@ -179,7 +183,19 @@ def _profile_stats_query(table: str, cols: list[str]) -> tuple[SparkQuery, str]:
         for c in cols:
             for stat, e in numeric_stat_exprs(c, deterministic=True).items():
                 exprs.append(e.alias(f"{stat}_{c}"))
-        return df.agg(*exprs)
+        fast = df.agg(*exprs)
+        # percentiles: separate (imperative-agg) pass, cross-joined — both
+        # sides are single-row aggregates (see percentile_expr docstring).
+        pcts = df.agg(
+            *[percentile_expr(c).alias(f"__pct_{c}") for c in cols]
+        ).select(
+            *[
+                F.col(f"__pct_{c}")[i].alias(f"{stat}_{c}")
+                for c in cols
+                for i, stat in enumerate(("percentile_25", "median", "percentile_75"))
+            ]
+        )
+        return fast.crossJoin(pcts)
 
     select = ", ".join(
         f"{sql} AS {stat}_{c}"
