@@ -90,8 +90,7 @@ def quality_score(col: Column | str) -> Column:
     density, penalizes digit/punct soup. Fixed weights, fully deterministic.
     """
     f = quality_features(col)
-    length_term = F.least(F.col_or(f["n_tokens"], 0) / F.lit(100.0), F.lit(1.0)) \
-        if hasattr(F, "col_or") else F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
     return (
         F.lit(0.4) * length_term
         + F.lit(0.4) * F.least(F.coalesce(f["stopword_ratio"], F.lit(0.0)) * 4, F.lit(1.0))
