@@ -1,0 +1,235 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Pattern: media are opaque ``binary`` columns with typed metadata; all
+decode / feature-extract / resize / frame-sample operators are
+``mapInPandas`` transforms — Arrow-batched, partition-parallel, constant
+driver memory. This file makes the SPARK side real (schemas, batch
+iteration, partitioning, output contracts) while the codec layer is
+swappable:
+
+- Real codecs (PIL / soundfile / av) are NOT installed in this
+  environment; ``_require_pil()`` raises a clearly-marked
+  NotImplementedError where they would plug in.
+- A deterministic FAKE codec ("FIMG"/"FVID" containers, documented below)
+  exercises every pipeline end-to-end in tests with byte-exact
+  expectations.
+
+Scale notes: mapInPandas streams Arrow record batches — peak memory per
+task is one batch (cap via ``spark.sql.execution.arrow.maxRecordsPerBatch``
+when rows carry megabyte blobs); repartition upstream by size, not count,
+when media sizes are skewed. Feature outputs are plain numeric columns, so
+everything downstream (dedup on embeddings, quality filtering, joins)
+reuses the normal relational operators.
+
+FAKE container formats (big-endian u16 fields):
+
+    FIMG: b"FIMG" | width u16 | height u16 | width*height luma bytes
+    FVID: b"FVID" | n_frames u16 | width u16 | height u16
+          | n_frames frames, each width*height luma bytes
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_FIELDS = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("max_luma", T.IntegerType()),
+    ]
+)
+
+
+def _require_pil() -> Any:
+    """The real-codec plug point (PIL not present in this environment)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return PIL.Image
+    except ImportError as exc:  # pragma: no cover - env without PIL
+        raise NotImplementedError(
+            "real image decoding requires Pillow, which is not installed in "
+            "this environment; use codec='fake' (FIMG container) or install "
+            "Pillow and pass codec='pil'"
+        ) from exc
+
+
+# ---- fake codec ----------------------------------------------------------
+
+def encode_fake_image(width: int, height: int, pixels: bytes) -> bytes:
+    assert len(pixels) == width * height
+    return b"FIMG" + struct.pack(">HH", width, height) + pixels
+
+
+def encode_fake_video(width: int, height: int, frames: list[bytes]) -> bytes:
+    assert all(len(f) == width * height for f in frames)
+    return (
+        b"FVID"
+        + struct.pack(">HHH", len(frames), width, height)
+        + b"".join(frames)
+    )
+
+
+def _decode_fake_image(content: bytes) -> tuple[int, int, bytes]:
+    if content[:4] != b"FIMG":
+        raise ValueError("not a FIMG container")
+    w, h = struct.unpack(">HH", content[4:8])
+    return w, h, content[8 : 8 + w * h]
+
+
+def _decode_fake_video(content: bytes) -> tuple[int, int, int, list[bytes]]:
+    if content[:4] != b"FVID":
+        raise ValueError("not a FVID container")
+    n, w, h = struct.unpack(">HHH", content[4:10])
+    sz = w * h
+    frames = [content[10 + i * sz : 10 + (i + 1) * sz] for i in range(n)]
+    return n, w, h, frames
+
+
+# ---- operators -----------------------------------------------------------
+
+def decode_image_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    codec: str = "fake",
+) -> DataFrame:
+    """binary -> per-image features (dims + luma stats) via mapInPandas."""
+    if codec == "pil":
+        _require_pil()
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                w, h, px = _decode_fake_image(bytes(content))
+                arr = np.frombuffer(px, dtype=np.uint8)
+                out.append(
+                    (int(mid), w, h, float(arr.mean()) if arr.size else None,
+                     int(arr.max()) if arr.size else None)
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "mean_luma", "max_luma"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    out_width: int,
+    out_height: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded into the same container —
+    the shape of any re-encode pipeline (decode -> transform -> encode)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                w, h, px = _decode_fake_image(bytes(content))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(out_height) * h // out_height).clip(0, h - 1)
+                xs = (np.arange(out_width) * w // out_width).clip(0, w - 1)
+                resized = arr[np.ix_(ys, xs)]
+                ids.append(int(mid))
+                blobs.append(
+                    encode_fake_image(out_width, out_height, resized.tobytes())
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_k: int = 2,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """video binary -> one row per sampled frame (frame_idx, frame FIMG
+    blob) — the explode-shaped media op (output rows > input rows)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                n, w, h, frames = _decode_fake_video(bytes(content))
+                for i in range(0, n, every_k):
+                    rows.append(
+                        (int(mid), i, encode_fake_image(w, h, frames[i]))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)
+
+
+def video_frame_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-video frame count + overall luma mean (a reduce-shaped media op)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("mean_luma", T.DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                n, w, h, frames = _decode_fake_video(bytes(content))
+                arr = np.frombuffer(b"".join(frames), dtype=np.uint8)
+                rows.append(
+                    (int(mid), n, float(arr.mean()) if arr.size else None)
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "n_frames", "mean_luma"])
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)

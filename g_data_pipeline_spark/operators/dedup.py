@@ -1,0 +1,324 @@
+"""Deduplication operators for training-data pipelines: exact,
+fingerprint, n-gram Jaccard, MinHash+LSH, SimHash.
+
+None of this exists in the reference (its only distinct-adjacent op is
+``n_unique`` counting — SURVEY.md §2.3 P4); these are the north-star
+extensions, designed Spark-first:
+
+- Everything is DataFrame expressions + joins — the only shuffles are the
+  ones the algorithms inherently need (group on key / band / shingle).
+- All hashing is seeded ``xxhash64`` (Spark's built-in 64-bit XXH64) —
+  deterministic across runs, partitionings, and cluster sizes. No Python
+  UDFs anywhere.
+- The scale story per operator is in its docstring; the common trick is
+  that candidate generation (LSH bands, shingle inverted index) keys the
+  shuffle on *content*, so work distributes by data, not by pair count.
+
+Exact-duplicate policy: the survivor of a duplicate group is the row with
+the minimal ``order_col`` — deterministic, unlike ``dropDuplicates`` (which
+keeps an arbitrary first-seen row per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.functions.text import normalize_text, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """Keep one row per distinct ``key_cols`` — the one with MIN(order_col).
+
+    One shuffle on the key columns (same as any groupBy); WindowGroupLimit
+    truncates each partition to 1 row pre-shuffle for the rank filter, so
+    skewed duplicate groups don't concentrate memory.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Near-exact dedup on the md5 of normalized text (case/punctuation/
+    whitespace-invariant). Same plan shape as exact_dedup keyed on the
+    fingerprint."""
+    return exact_dedup(
+        df.withColumn("__fp", F.md5(normalize_text(text_col).cast("binary"))),
+        ["__fp"],
+        id_col,
+    ).drop("__fp")
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup ground truth)
+# --------------------------------------------------------------------------
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles array, set size) per doc — the input signal shared by
+    exact Jaccard and MinHash."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+    ).withColumn("set_size", F.size("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard-similar pairs (id_a < id_b, jaccard >= threshold) via a
+    shingle inverted index:
+
+        explode shingles -> self-join on shingle -> count common -> Jaccard.
+
+    Scale: the join shuffles on shingle *content*; a hot shingle appearing
+    in f docs contributes f^2 candidate rows, so ``max_shingle_freq`` drops
+    ultra-common shingles (stopword runs) before the join — the standard
+    document-frequency cutoff. Exact for pairs whose similarity comes from
+    non-dropped shingles; at 100 TB run this per-language-partition with a
+    cutoff, or use minhash_lsh_pairs below.
+    """
+    sets = shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
+    posts = sets.select("id", "set_size", F.explode("shingles").alias("sh"))
+    if max_shingle_freq is not None:
+        freq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        posts = posts.join(
+            freq.filter(F.col("df") <= max_shingle_freq).select("sh"), "sh"
+        )
+    a = posts.select(
+        F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "sh"
+    )
+    b = posts.select(
+        F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "sh"
+    )
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "common", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """array<long> signature: per permutation i, min over shingles of
+    xxhash64(shingle, seed=i). Seeded xxhash64 is the permutation family —
+    deterministic everywhere, computed JVM-side inside one expression."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via MinHash signatures + banded LSH:
+
+        signature (num_hashes mins) -> split into ``bands`` bands of
+        r = num_hashes/bands values -> candidate pairs = docs sharing any
+        band hash -> (optionally) verify candidates with EXACT Jaccard.
+
+    The only shuffles are the band-bucket self-join (keyed on band content)
+    and the final pair group — no all-pairs blowup. With b bands of r rows
+    the candidate-recall curve is 1-(1-s^r)^b; defaults (b=8, r=4) give
+    ~97% recall at s=0.5. ``verify=True`` recomputes exact Jaccard on the
+    candidates only (cheap: candidates ≪ n²), so precision is exact and
+    the output is directly comparable to ngram_jaccard_pairs minus LSH
+    misses.
+    """
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+    sets = shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
+    sigs = sets.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+    band_rows = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("pos", "bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = band_rows.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = band_rows.select(F.col("id").alias("id_b"), "band", "bucket")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    if not verify:
+        return candidates
+
+    sets_a = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    sets_b = sets.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    return (
+        candidates.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn(
+            "common", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_expr(tokens_col: Column, bits: int = 64) -> Column:
+    """SimHash over a token array, fully JVM-side:
+
+    per token: h = xxhash64(token); per bit b: +1 if set else -1, summed
+    over tokens via one aggregate() with an array accumulator; bit b of the
+    simhash = (sum_b > 0). Returns a LONG."""
+    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+    acc0 = F.array_repeat(F.lit(0).cast("long"), bits)
+    sums = F.aggregate(
+        hashes,
+        acc0,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    # bit 63 of a signed long is the sign bit: 1<<63 must wrap negative.
+    pow2 = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(bits)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums, pow2, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation: split the 64-bit simhash into ``bands`` chunks;
+    by pigeonhole, any pair within Hamming distance < bands must agree on
+    at least one chunk -> join on (band, chunk). Exact Hamming verification
+    via bit_count(xor). One shuffle keyed on chunk content.
+    """
+    from g_data_pipeline_spark.functions.text import tokens
+
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    sims = df.select(
+        F.col(id_col).alias("id"), simhash_expr(tokens(text_col)).alias("simhash")
+    )
+    band_rows = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("simhash", bi * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a = band_rows.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "chunk"
+    )
+    b = band_rows.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "chunk"
+    )
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

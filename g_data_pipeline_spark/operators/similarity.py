@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the exactness baseline) and random-hyperplane LSH bucketing (the scale
+path). No reference counterpart (the reference has no array types at all —
+SURVEY.md §1.2); designed Spark-first.
+
+Scale model:
+- brute-force: |queries| × |corpus| cosine evaluations via a broadcast
+  join — correct at any corpus size when the query set is small (the
+  corpus never shuffles; top-k per query is a WindowGroupLimit-pruned
+  row_number). This is the right plan even at 100 TB for few queries.
+- LSH: corpus is bucketed ONCE by sign-bit signature (16 deterministic
+  random hyperplanes -> 16-bit bucket); queries probe only their own
+  bucket (optionally multi-probe neighbors at Hamming distance 1). The
+  shuffle is keyed on bucket content; recall/cost trade via n_planes and
+  multi-probe radius.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.functions.vectors import cosine_sim
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query by cosine similarity.
+
+    Returns (q_id, vec_id, cos, rank). Deterministic: ties broken by
+    corpus id."""
+    q = F.broadcast(queries.select(query_id, query_vec))
+    joined = corpus.select(corpus_id, corpus_vec).crossJoin(q)
+    if exclude_self:
+        joined = joined.filter(F.col(corpus_id) != F.col(query_id))
+    scored = joined.select(
+        query_id,
+        corpus_id,
+        cosine_sim(corpus_vec, query_vec).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold — exact O(n^2)
+    baseline; pair with LSH bucketing for scale (see random_hyperplane_
+    buckets)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_sim("v_a", "v_b").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (fixed seed —
+    same planes on every run/driver; only signs matter for the LSH)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def signature_expr(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit j = (vec . plane_j) > 0, packed into an int."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    bits = []
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, arr, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        bits.append(
+            F.when(dot > 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_tables: int = 8,
+    planes_per_table: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    multiprobe: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    AND-OR amplification: a table's bucket = ``planes_per_table`` sign bits
+    (AND — all must agree); a pair is a candidate if ANY of ``n_tables``
+    independent tables collides (OR). For a pair at angle theta, a plane
+    agrees with probability p = 1 - theta/pi, so candidate probability is
+    1 - (1 - p^r)^L — steep around the r,L-tunable similarity threshold.
+    ``multiprobe`` additionally probes all buckets at Hamming distance 1
+    within each table (r extra probes/table), buying recall without more
+    tables.
+
+    Candidates then get EXACT cosine + rank, so precision is exact; only
+    recall is approximate. The corpus is hashed once (L rows per vector);
+    the join is keyed on (table, bucket) content — no all-pairs blowup, and
+    at 100 TB the signature build is a single scan whose output can be
+    written once and reused across query batches.
+    """
+    planes = _hyperplanes(dim, n_tables * planes_per_table, seed)
+    tables = [
+        planes[t * planes_per_table : (t + 1) * planes_per_table]
+        for t in range(n_tables)
+    ]
+
+    def bucketed(df: DataFrame, id_col: str, vec_col: str, probe: bool) -> DataFrame:
+        sigs = df.select(
+            id_col,
+            vec_col,
+            *[
+                signature_expr(vec_col, tables[t]).alias(f"__sig{t}")
+                for t in range(n_tables)
+            ],
+        )
+        buckets = []
+        for t in range(n_tables):
+            base = F.col(f"__sig{t}")
+            probes = [base]
+            if probe:
+                probes += [
+                    base.bitwiseXOR(F.lit(1 << j)) for j in range(planes_per_table)
+                ]
+            buckets += [
+                F.struct(F.lit(t).alias("t"), p.alias("b")) for p in probes
+            ]
+        return (
+            sigs.select(
+                id_col, vec_col, F.explode(F.array(*buckets)).alias("tb")
+            )
+            .select(
+                id_col,
+                vec_col,
+                F.col("tb.t").alias("table"),
+                F.col("tb.b").alias("bucket"),
+            )
+            .dropDuplicates([id_col, "table", "bucket"])
+        )
+
+    corp_b = bucketed(
+        corpus.select(corpus_id, corpus_vec), corpus_id, corpus_vec, probe=False
+    )
+    q_b = bucketed(queries, query_id, query_vec, probe=multiprobe)
+
+    cands = corp_b.join(
+        F.broadcast(q_b.drop(query_vec).join(F.broadcast(queries), query_id)),
+        ["table", "bucket"],
+    ).filter(F.col(corpus_id) != F.col(query_id))
+    scored = cands.select(
+        query_id, corpus_id, cosine_sim(corpus_vec, query_vec).alias("cos")
+    ).dropDuplicates([query_id, corpus_id])
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

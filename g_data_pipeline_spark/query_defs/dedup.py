@@ -1,0 +1,113 @@
+"""Dedup queries over ``documents``/``orders``: exact, fingerprint, exact
+n-gram Jaccard (oracle-matched), MinHash-LSH and SimHash (rows-only checks —
+the seeded-xxhash64 permutation family has no DuckDB equivalent; their
+quality is pinned by tests/test_dedup.py against the exact Jaccard oracle
+instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from g_data_pipeline_spark.catalog import load_table
+from g_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from g_data_pipeline_spark.queries import register
+
+
+@register(
+    "d_exact_dedup",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact dedup: one row per key, MIN(order col) survives
+    (dropDuplicates keeps an arbitrary row; this is the reproducible form).
+    Here: each customer's first order."""
+    orders = load_table(spark, sf_dir, "orders")
+    return exact_dedup(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        "o_orderkey",
+    )
+
+
+@register(
+    "d_fingerprint_dedup",
+    oracle=r"""
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def d_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on normalized-text md5 (case/punct/whitespace
+    invariant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_dedup(
+        docs.select("doc_id", "n_chars", "text"), "text", "doc_id"
+    ).drop("text")
+
+
+@register(
+    "d_ngram_jaccard_pairs",
+    oracle=r"""
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), posts AS (
+      SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets WHERE len(sh) > 0
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sz AS size_a, b.sz AS size_b, COUNT(*) AS common
+      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, common,
+           common / CAST(size_a + size_b - common AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE common / CAST(size_a + size_b - common AS DOUBLE) >= 0.5
+    """,
+)
+def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard near-dup pairs (>= 0.5) via the shingle
+    inverted index — the ground truth the sketch methods are measured
+    against."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("d_minhash_lsh_pairs", oracle=None)
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 hashes)+LSH(8 bands) candidates, verified to exact
+    Jaccard >= 0.5. Rows-only for the driver (seeded xxhash64 has no SQL
+    twin); recall vs the exact oracle pinned in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+@register("d_simhash_pairs", oracle=None)
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming <= 12 via pigeonhole banding.
+    Rows-only; properties pinned in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=12, bands=4)

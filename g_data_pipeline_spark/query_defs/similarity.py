@@ -1,0 +1,73 @@
+"""Similarity-search queries over ``embeddings``: exact cosine top-k and
+all-pairs near-dup (both oracle-matched via the scaled-long dot product),
+plus hyperplane-LSH approximate top-k (rows-only; recall pinned in
+tests/test_similarity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.catalog import load_table
+from g_data_pipeline_spark.functions.vectors import sql_cosine_sim
+from g_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+    near_dup_pairs,
+)
+from g_data_pipeline_spark.queries import register
+
+_COS_AB = sql_cosine_sim("a.embedding", "b.embedding")
+
+
+@register(
+    "v_cosine_topk",
+    oracle=f"""
+    SELECT q_id, vec_id, cos, rank FROM (
+      SELECT b.vec_id AS q_id, a.vec_id AS vec_id,
+             {_COS_AB} AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY {_COS_AB} DESC, a.vec_id) AS rank
+      FROM embeddings a
+      CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) b
+      WHERE a.vec_id <> b.vec_id)
+    WHERE rank <= 10
+    """,
+)
+def v_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors against the whole corpus
+    (broadcast brute force — the ANN correctness baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "v_near_dup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_AB} >= 0.35
+    """,
+)
+def v_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.35 (exact O(n^2) baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs(emb, threshold=0.35)
+
+
+@register("v_lsh_topk", oracle=None)
+def v_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH approximate top-10 (8 tables x 6 planes,
+    multiprobe) for the same 5 queries. Rows-only; recall vs v_cosine_topk
+    pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_topk(
+        emb, queries, k=10, dim=64, n_tables=8, planes_per_table=6
+    )

@@ -1,0 +1,122 @@
+"""Structured Streaming pipelines over event streams.
+
+The reference has zero streaming constructs (SURVEY.md §2.2 "Not
+implemented"); this module provides the streaming form of the events
+operators. Design rule: the WINDOW AGGREGATION BUILDERS ARE THE BATCH ONES
+— operators.windows functions are applied verbatim to streaming DataFrames,
+so batch backfill and live streaming share one implementation (the
+Dataset/DataFrame unification Spark is built around). Only sources, sinks,
+watermarks, and output modes are streaming-specific and live here.
+
+Late data: every aggregation takes a ``watermark`` — events later than it
+are dropped and their windows finalized; state size is bounded by
+(watermark horizon / slide) x key cardinality. At 100 TB/day scale the same
+code runs against Kafka by swapping the source; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from g_data_pipeline_spark.operators.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events_from_json(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream with the events schema (schema must be explicit
+    for streaming reads — no inference). Swap for ``format("kafka")`` +
+    ``from_json(value)`` in production; downstream code is identical."""
+    return spark.readStream.schema(EVENT_SCHEMA).json(path)
+
+
+def tumbling_counts_stream(
+    stream: DataFrame,
+    duration: str = "1 hour",
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return tumbling_window_agg(
+        stream.withWatermark("ts", watermark),
+        "ts",
+        duration,
+        keys=keys or ["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        ],
+    )
+
+
+def sliding_counts_stream(
+    stream: DataFrame,
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return sliding_window_agg(
+        stream.withWatermark("ts", watermark),
+        "ts",
+        duration,
+        slide,
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+
+
+def sessionized_counts_stream(
+    stream: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming session windows: state merges sessions as events arrive;
+    a session closes (and emits, in append mode) once the watermark passes
+    its end."""
+    return session_window_agg(
+        stream.withWatermark("ts", watermark),
+        "ts",
+        gap,
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+
+
+def run_available_now(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Execute a streaming DataFrame over all currently-available input
+    (Trigger.AvailableNow) into a memory sink and return the result table.
+
+    This is the batch-parity harness: the stream consumes the same files a
+    batch job would read, so outputs must match the batch operator exactly
+    (asserted in tests/test_streaming.py)."""
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return spark.table(query_name)

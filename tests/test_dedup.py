@@ -1,0 +1,110 @@
+"""Dedup operator quality tests: MinHash-LSH recall vs the exact Jaccard
+oracle, SimHash behavior on planted near-duplicates, survivor determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.catalog import load_table
+from g_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from tests.conftest import SF_DIR_ORACLE
+
+
+def test_minhash_recall_against_exact(spark):
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    mh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    # verification step makes precision exact
+    assert mh <= exact
+    recall = len(mh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below 0.9"
+
+
+def test_minhash_unverified_candidates_superset(spark):
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=8, verify=False
+        ).collect()
+    }
+    verified = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert verified <= cands
+
+
+def test_simhash_near_dup_detection(spark):
+    base = (
+        "spark streams join the filter window batch value merge fast row key "
+        "group query data slow small customer line hash order scan"
+    )
+    near = base.replace("window", "vindow")  # one token changed
+    far = "completely different words entirely unrelated content here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id int, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(df, "doc_id", "text", max_hamming=16, bands=4).collect()
+    }
+    assert (1, 2) in pairs  # near-dup caught
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [("k", 3, "c"), ("k", 1, "a"), ("k", 2, "b"), ("x", 9, "z")],
+        "key string, ord int, payload string",
+    )
+    out = exact_dedup(df, ["key"], "ord").collect()
+    got = {r.key: r.payload for r in out}
+    assert got == {"k": "a", "x": "z"}  # MIN(ord) survives, always
+
+
+def test_jaccard_pairs_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # shingles: abc bcd cde def
+            (2, "a b c d e g"),  # shingles: abc bcd cde deg -> common 3/5
+            (3, "q r s t u v"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.jaccard == pytest.approx(3 / 5)
+
+
+def test_jaccard_max_shingle_freq_cutoff(spark):
+    # a shingle shared by every doc is dropped by the frequency cutoff
+    df = spark.createDataFrame(
+        [(i, f"common run here unique{i} tail{i} end{i}") for i in range(5)],
+        "doc_id int, text string",
+    )
+    with_cut = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.01, max_shingle_freq=2
+    ).count()
+    without = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01).count()
+    assert without == 10  # all pairs share "common run here"
+    assert with_cut == 0

@@ -1,0 +1,74 @@
+"""Multimodal plumbing tests: the fake-codec pipelines exercise real
+mapInPandas schemas, Arrow batching, and explode/reduce output shapes with
+byte-exact expectations; the real-codec path raises the documented stub."""
+
+from __future__ import annotations
+
+import pytest
+
+from g_data_pipeline_spark.multimodal import (
+    decode_image_features,
+    encode_fake_image,
+    encode_fake_video,
+    frame_sample,
+    resize_images,
+    video_frame_stats,
+)
+from g_data_pipeline_spark.multimodal.media import _decode_fake_image
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [
+        (1, "image", encode_fake_image(4, 2, bytes([0, 50, 100, 150, 200, 250, 10, 20]))),
+        (2, "image", encode_fake_image(2, 2, bytes([255, 255, 0, 0]))),
+    ]
+    return spark.createDataFrame(rows, "media_id long, media_type string, content binary")
+
+
+@pytest.fixture(scope="module")
+def videos(spark):
+    frames = [bytes([i] * 6) for i in (10, 20, 30, 40, 50)]
+    rows = [(7, "video", encode_fake_video(3, 2, frames))]
+    return spark.createDataFrame(rows, "media_id long, media_type string, content binary")
+
+
+def test_decode_image_features(images):
+    got = {r.media_id: r for r in decode_image_features(images).collect()}
+    assert (got[1].width, got[1].height) == (4, 2)
+    assert got[1].mean_luma == pytest.approx(sum([0, 50, 100, 150, 200, 250, 10, 20]) / 8)
+    assert got[2].max_luma == 255
+
+
+def test_resize_images_byte_exact(images):
+    out = {r.media_id: bytes(r.content) for r in resize_images(images, 2, 1).collect()}
+    w, h, px = _decode_fake_image(out[1])
+    # nearest-neighbor: rows [0], cols [0, 2] of the 4x2 image
+    assert (w, h) == (2, 1)
+    assert px == bytes([0, 100])
+
+
+def test_frame_sample_explodes(videos):
+    rows = frame_sample(videos, every_k=2).collect()
+    assert [(r.media_id, r.frame_idx) for r in rows] == [(7, 0), (7, 2), (7, 4)]
+    w, h, px = _decode_fake_image(bytes(rows[1].frame))
+    assert px == bytes([30] * 6)
+
+
+def test_video_frame_stats(videos):
+    r = video_frame_stats(videos).collect()[0]
+    assert r.n_frames == 5
+    assert r.mean_luma == pytest.approx(30.0)
+
+
+def test_real_codec_is_marked_stub(images):
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image_features(images, codec="pil")
+
+
+def test_corrupt_container_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [(9, "image", b"NOPE")], "media_id long, media_type string, content binary"
+    )
+    with pytest.raises(Exception, match="FIMG|PythonException"):
+        decode_image_features(df).collect()

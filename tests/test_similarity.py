@@ -1,0 +1,103 @@
+"""Similarity operator tests: cosine correctness vs numpy, LSH recall vs
+the brute-force baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.catalog import load_table
+from g_data_pipeline_spark.functions.vectors import cosine_sim, dot_fast
+from g_data_pipeline_spark.operators.similarity import cosine_topk, lsh_topk
+from tests.conftest import SF_DIR_ORACLE
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=16).astype(np.float32)
+    b = rng.normal(size=16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(a.tolist(), b.tolist())], "va array<float>, vb array<float>"
+    )
+    got = df.select(cosine_sim("va", "vb").alias("c"), dot_fast("va", "vb").alias("d")).collect()[0]
+    a64, b64 = a.astype(np.float64), b.astype(np.float64)
+    exp_c = float(np.dot(a64, b64) / (np.linalg.norm(a64) * np.linalg.norm(b64)))
+    # cosine_sim quantizes per-element products at 1e-12 absolute
+    assert got.c == pytest.approx(exp_c, abs=1e-9)
+    assert got.d == pytest.approx(float(np.dot(a64, b64)), abs=1e-12)
+
+
+def test_cosine_zero_norm_null(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0])], "va array<float>, vb array<float>"
+    )
+    assert df.select(cosine_sim("va", "vb").alias("c")).collect()[0].c is None
+
+
+def test_topk_matches_numpy_ranking(spark):
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    pdf = emb.toPandas()
+    mat = np.array([np.array(v, dtype=np.float64) for v in pdf.embedding])
+    ids = pdf.vec_id.to_numpy()
+    q = mat[ids == 3][0]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        [(c, i) for c, i in zip(cos, ids) if i != 3], key=lambda t: (-t[0], t[1])
+    )
+    expected = [i for _, i in order[:10]]
+
+    queries = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = [
+        r.vec_id
+        for r in cosine_topk(emb, queries, k=10).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_lsh_recall_on_clustered_data(spark):
+    """Planted clusters (the regime LSH exists for): 40 centers x 5 members
+    with cosine ~0.95+ within a cluster — multi-table sign-LSH must recover
+    nearly all true neighbors."""
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for _ in range(40):
+        center = rng.normal(size=32)
+        center /= np.linalg.norm(center)
+        for _ in range(5):
+            v = center + rng.normal(scale=0.1, size=32)
+            rows.append((vid, [float(x) for x in v.astype(np.float32)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r.q_id, r.vec_id) for r in cosine_topk(df, queries, k=4).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in lsh_topk(
+            df, queries, k=4, dim=32, n_tables=8, planes_per_table=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} on clustered data"
+
+
+def test_lsh_on_noise_corpus_is_sane(spark):
+    """On the near-orthogonal synthetic corpus LSH recall is inherently
+    weak; assert structural sanity (subset of corpus, no self-hits, ranked)."""
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    rows = lsh_topk(
+        emb, queries, k=5, dim=64, n_tables=8, planes_per_table=6
+    ).collect()
+    assert rows
+    assert all(r.q_id != r.vec_id for r in rows)
+    assert all(1 <= r.rank <= 5 for r in rows)
