@@ -42,6 +42,10 @@ HEADLINE = [
     "e_session_windows",
     "p_numeric_stats",
     "p_correlation_matrix",
+    "t_token_stats",
+    "d_ngram_jaccard_pairs",
+    "d_minhash_lsh_pairs",
+    "v_cosine_topk",
 ]
 
 

@@ -1,0 +1,53 @@
+"""Grouped-map / UDF surface — the extensibility layer the reference lacks
+entirely (SURVEY.md §2.6 "None").
+
+Two sanctioned Python extension points, both Arrow-batched:
+
+- scalar ``pandas_udf``: vectorized column function, usable inside any
+  expression (still ~an order slower than built-ins — reach for it only
+  when no JVM expression exists);
+- ``applyInPandas`` grouped map: per-group pandas DataFrame in/out, for
+  algorithms that genuinely need the whole group materialized (iterative
+  fits, per-group normalization). The shuffle is the same one groupBy
+  needs; per-task memory = one group, so key cardinality/size balance is
+  the scaling knob (salt first if one group dominates — operators.skew).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zscore_per_group(
+    df: DataFrame, keys: list[str], value_col: str, out_col: str = "zscore"
+) -> DataFrame:
+    """Per-group z-score normalization via applyInPandas (the grouped-map
+    reference example; a pure-SQL window version exists for this particular
+    statistic — the point here is the general per-group-pandas contract)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf[value_col].std(ddof=1)
+        mean = pdf[value_col].mean()
+        pdf[out_col] = (pdf[value_col] - mean) / std if std and std > 0 else None
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+def scalar_pandas_udf_example():
+    """A registered scalar pandas UDF (vectorized log1p-scaling) — returns
+    the UDF so callers/tests can use it in expressions."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def log1p_scaled(s: pd.Series) -> pd.Series:
+        return np.log1p(s) / np.log(10.0)
+
+    return log1p_scaled

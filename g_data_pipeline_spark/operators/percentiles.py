@@ -1,0 +1,102 @@
+"""Distributed EXACT percentiles via range partitioning + order statistics.
+
+``F.percentile`` (exact, linear interpolation) materializes every value of
+the column in one aggregation buffer — fine at bench scale, impossible at
+100 TB. ``percentile_approx`` scales but breaks oracle equality. This
+operator is the scale path that stays EXACT:
+
+1. one count of non-null values  ->  global positions h_p = (n-1)*p;
+   the percentile needs the order statistics at floor(h_p) and ceil(h_p);
+2. ``repartitionByRange`` on the column (Spark samples the column to build
+   range bounds — data distributes by VALUE, so partitions are globally
+   ordered) + ``sortWithinPartitions``;
+3. per-partition row counts (a tiny aggregation) -> driver computes, per
+   needed global index, which partition holds it and at what local offset
+   (prefix sums over ~hundreds of numbers);
+4. a per-partition ``row_number`` window (partitioned by
+   ``spark_partition_id`` — NO global shuffle, the sort from step 2 is
+   reused) + a broadcast semi-filter picks out the <= 2*len(pcts) rows;
+5. linear interpolation driver-side:  v = lo + (h - floor(h)) * (hi - lo).
+
+Total cost: one count + one range shuffle + one pruned pass — every stage
+is fully parallel, per-executor memory is one partition of one column.
+Matches ``F.percentile``/DuckDB ``quantile_cont`` bit-for-bit (same order
+statistics, same interpolation arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def exact_percentiles_distributed(
+    df: DataFrame,
+    col: str,
+    pcts: list[float],
+    num_partitions: int | None = None,
+) -> dict[float, float | None]:
+    """Exact linear-interpolated percentiles of ``df[col]``, scalably."""
+    vals = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    n = vals.count()
+    if n == 0:
+        return {p: None for p in pcts}
+
+    # global indices required (0-based order statistics)
+    need: set[int] = set()
+    pos: dict[float, float] = {}
+    for p in pcts:
+        h = (n - 1) * p
+        pos[p] = h
+        need.add(int(h))
+        need.add(min(int(h) + 1, n - 1))
+
+    parts = num_partitions or max(df.rdd.getNumPartitions(), 1)
+    ranged = vals.repartitionByRange(parts, "v").sortWithinPartitions("v")
+    with_pid = ranged.withColumn("pid", F.spark_partition_id())
+    # cache: step 3's counts and step 4's pick read the same ranged data
+    with_pid.persist()
+    try:
+        counts = dict(
+            (r.pid, r.cnt)
+            for r in with_pid.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        )
+        # prefix sums -> (pid, local 1-based rank) for each needed index
+        targets: list[tuple[int, int, int]] = []  # (global_idx, pid, local_rn)
+        for g in sorted(need):
+            acc = 0
+            for pid in sorted(counts):
+                if g < acc + counts[pid]:
+                    targets.append((g, pid, g - acc + 1))
+                    break
+                acc += counts[pid]
+
+        w = Window.partitionBy("pid").orderBy("v")
+        picked = (
+            with_pid.withColumn("rn", F.row_number().over(w))
+            .join(
+                F.broadcast(
+                    with_pid.sparkSession.createDataFrame(
+                        [(pid, rn) for _, pid, rn in targets], "pid int, rn int"
+                    )
+                ),
+                ["pid", "rn"],
+            )
+            .collect()
+        )
+    finally:
+        with_pid.unpersist()
+
+    by_local = {(r.pid, r.rn): r.v for r in picked}
+    by_global = {g: by_local[(pid, rn)] for g, pid, rn in targets}
+
+    out: dict[float, float | None] = {}
+    for p in pcts:
+        h = pos[p]
+        lo = by_global[int(h)]
+        hi = by_global[min(int(h) + 1, n - 1)]
+        out[p] = lo + (h - int(h)) * (hi - lo)
+    return out

@@ -243,8 +243,21 @@ def profile(
     row = df.agg(*exprs).collect()[0].asDict()
 
     # Second pass: exact percentiles (imperative aggregates — kept out of the
-    # codegen'd pass above; see percentile_expr docstring).
-    if classes.numeric:
+    # codegen'd pass above; see percentile_expr docstring). Three modes:
+    # "exact" (single-buffer, reference semantics), "approx" (GK sketch),
+    # "distributed" (range-partitioned order statistics — the 100 TB path
+    # that is still bit-exact; operators.percentiles).
+    if classes.numeric and percentile_method == "distributed":
+        from g_data_pipeline_spark.operators.percentiles import (
+            exact_percentiles_distributed,
+        )
+
+        for c in classes.numeric:
+            got = exact_percentiles_distributed(df, c, [0.25, 0.5, 0.75])
+            row[f"percentile_25_{c}"] = got[0.25]
+            row[f"median_{c}"] = got[0.5]
+            row[f"percentile_75_{c}"] = got[0.75]
+    elif classes.numeric:
         prow = df.agg(
             *[
                 percentile_expr(c, percentile_method).alias(f"__pct_{c}")

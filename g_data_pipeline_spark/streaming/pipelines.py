@@ -95,6 +95,52 @@ def sessionized_counts_stream(
     )
 
 
+def running_user_totals_stream(stream: DataFrame) -> DataFrame:
+    """CUSTOM STATEFUL operator via applyInPandasWithState: per-user running
+    event count + value total, maintained in explicit GroupState — the
+    escape hatch for stateful logic that windowed aggregation can't express
+    (here deliberately simple so tests can assert exact parity with batch).
+
+    State is one small tuple per user; Spark checkpoints it per micro-batch
+    and redistributes on rescale — the custom-operator contract the
+    reference has no counterpart for."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     df: DataFrame,
     query_name: str,

@@ -102,3 +102,34 @@ def test_watermark_drops_state_in_append_mode(spark, events_json_dir):
     emitted = got.select("w_start").distinct().count()
     assert emitted >= batch_windows - 24
     assert emitted < batch_windows + 1
+
+
+def test_stateful_custom_operator_matches_batch(spark, events_json_dir):
+    """applyInPandasWithState running totals: after consuming all input,
+    per-user state must equal the batch groupBy totals."""
+    from g_data_pipeline_spark.streaming.pipelines import (
+        running_user_totals_stream,
+    )
+
+    stream = stream_events_from_json(spark, events_json_dir)
+    got_df = run_available_now(
+        running_user_totals_stream(stream), "t_state", "update"
+    )
+    # update mode emits one row per user per micro-batch -> keep the one
+    # with the highest running count (the final state)
+    latest = {}
+    for r in got_df.collect():
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            latest[r.user_id] = (r.n_events, r.total_value)
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in load_table(spark, SF_DIR_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(latest) == set(batch)
+    for u, (n, total) in batch.items():
+        assert latest[u][0] == n
+        assert latest[u][1] == pytest.approx(total, rel=1e-9)
