@@ -3,7 +3,12 @@ fingerprint, n-gram Jaccard, MinHash+LSH, SimHash.
 
 None of this exists in the reference (its only distinct-adjacent op is
 ``n_unique`` counting — SURVEY.md §2.3 P4); these are the north-star
-extensions, designed Spark-first:
+extensions, designed Spark-first. Algorithms are the published standards:
+MinHash resemblance sketching (Broder, "On the resemblance and containment
+of documents", 1997), banded LSH (Leskovec/Rajaraman/Ullman, Mining of
+Massive Datasets ch.3), and SimHash (Charikar, "Similarity estimation
+techniques from rounding algorithms", STOC 2002; Manku et al., WWW 2007
+for the Hamming-band trick).
 
 - Everything is DataFrame expressions + joins — the only shuffles are the
   ones the algorithms inherently need (group on key / band / shingle).

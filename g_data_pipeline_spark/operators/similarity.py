@@ -1,6 +1,7 @@
 """Similarity search over embedding columns: brute-force cosine top-k
 (the exactness baseline) and random-hyperplane LSH bucketing (the scale
-path). No reference counterpart (the reference has no array types at all —
+path; sign-random-projection LSH per Charikar STOC 2002, AND-OR amplified
+multi-table construction per Indyk-Motwani 1998 / MMDS ch.3). No reference counterpart (the reference has no array types at all —
 SURVEY.md §1.2); designed Spark-first.
 
 Scale model:

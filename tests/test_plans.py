@@ -1,0 +1,103 @@
+"""Physical-plan regression tests: the scale properties (.explain-verified
+pushdown, broadcast joins, shuffle counts, rank-limit pushdown, partition
+pruning) are asserted here so they can't silently regress."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.queries import REGISTRY
+from tests.conftest import SF_DIR_ORACLE
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR_ORACLE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def op_counts(plan: str) -> dict[str, int]:
+    """Operator name -> count, by DISTINCT operator id (the formatted
+    explain prints each operator in both the tree and the details section)."""
+    import re
+
+    ops = {m.group(1): m.group(2) for m in re.finditer(r"\((\d+)\) (\w+)", plan)}
+    out: dict[str, int] = {}
+    for name in ops.values():
+        out[name] = out.get(name, 0) + 1
+    return out
+
+
+def shuffle_count(plan: str) -> int:
+    c = op_counts(plan)
+    return c.get("Exchange", 0)
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = plan_of(spark, "j_q6_forecast_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, f"{frag} not pushed into the parquet scan"
+    # column pruning: scan must not read unused columns
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in schema_line
+    assert "l_returnflag" not in schema_line
+
+
+def test_q3_broadcasts_dims_and_takeordered(spark):
+    plan = plan_of(spark, "j_q3_shipping_priority")
+    assert op_counts(plan).get("BroadcastHashJoin", 0) == 2  # customer & orders
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
+    # exactly one real shuffle (the group-by); broadcasts are not exchanges
+    assert shuffle_count(plan) == 1
+
+
+def test_q5_fact_never_shuffles_for_dim_joins(spark):
+    plan = plan_of(spark, "j_q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all joins broadcast at this scale
+    assert shuffle_count(plan) == 1  # only the final 25-group aggregation
+
+
+def test_q1_single_shuffle_aggregation(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert shuffle_count(plan) == 1
+    assert "HashAggregate" in plan  # partial+final combine, not sort-agg
+
+
+def test_topk_rank_limit_pushdown(spark):
+    plan = plan_of(spark, "w_topk_per_group")
+    assert "WindowGroupLimit" in plan  # per-partition truncation pre-shuffle
+
+
+def test_filter_projection_reach_scan(spark):
+    plan = plan_of(spark, "r2_filter_eq")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_returnflag" in pushed
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in schema_line  # pruned
+
+
+def test_partition_pruning_on_partitioned_landing(spark, tmp_path):
+    """land partitioned -> a partition-key filter must prune at planning
+    time (PartitionFilters, not a post-scan Filter)."""
+    events = (
+        spark.range(0, 1000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).alias("day"),
+            F.rand(1).alias("v"),
+        )
+    )
+    dest = str(tmp_path / "part_events")
+    events.write.mode("overwrite").partitionBy("day").parquet(dest)
+    df = spark.read.parquet(dest).filter(F.col("day") == 3)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "day" in pf
+    assert df.count() == events.filter(F.col("day") == 3).count()
