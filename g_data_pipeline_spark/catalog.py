@@ -56,7 +56,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 if isinstance(f.dataType, T.LongType) and f.name == "ts"
             }
         )
-    return df
+    # Parquet timestamps with isAdjustedToUTC=false surface as
+    # TIMESTAMP_NTZ; with the engine pinned to a UTC session (session.py)
+    # the wall-clock values are identical, so normalize to TIMESTAMP for a
+    # single timestamp type across the whole surface (matches the oracle).
+    ntz = {
+        f.name: F.col(f.name).cast(T.TimestampType())
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    }
+    return df.withColumns(ntz) if ntz else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,19 +1,19 @@
 """Similarity search over embedding columns: brute-force cosine top-k
 (the exactness baseline) and random-hyperplane LSH bucketing (the scale
 path; sign-random-projection LSH per Charikar STOC 2002, AND-OR amplified
-multi-table construction per Indyk-Motwani 1998 / MMDS ch.3). No reference counterpart (the reference has no array types at all —
-SURVEY.md §1.2); designed Spark-first.
+multi-table construction per Indyk-Motwani 1998 / MMDS ch.3). No reference
+counterpart (the reference has no array types at all — SURVEY.md §1.2);
+designed Spark-first.
 
 Scale model:
 - brute-force: |queries| × |corpus| cosine evaluations via a broadcast
   join — correct at any corpus size when the query set is small (the
   corpus never shuffles; top-k per query is a WindowGroupLimit-pruned
   row_number). This is the right plan even at 100 TB for few queries.
-- LSH: corpus is bucketed ONCE by sign-bit signature (16 deterministic
-  random hyperplanes -> 16-bit bucket); queries probe only their own
-  bucket (optionally multi-probe neighbors at Hamming distance 1). The
-  shuffle is keyed on bucket content; recall/cost trade via n_planes and
-  multi-probe radius.
+- LSH: corpus is hashed ONCE into L independent sign-bit bucket tables;
+  queries probe their buckets (plus Hamming-1 neighbors with multiprobe).
+  The join shuffle is keyed on (table, bucket) content; recall/cost trade
+  via tables x planes-per-table.
 """
 
 from __future__ import annotations

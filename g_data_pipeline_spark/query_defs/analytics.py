@@ -221,7 +221,12 @@ def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_by=["o_orderpriority"],
         order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
         k=3,
-    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    ).select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 @register(
@@ -263,9 +268,13 @@ def w_ntile_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.ntile(4)
         .over(Window.orderBy(F.col("c_acctbal").desc(), "c_custkey"))
+        .cast("long")
         .alias("quartile"),
-        F.rank().over(Window.orderBy("c_nationkey")).alias("nation_rank"),
-        F.dense_rank().over(Window.orderBy("c_nationkey")).alias("nation_dense"),
+        F.rank().over(Window.orderBy("c_nationkey")).cast("long").alias("nation_rank"),
+        F.dense_rank()
+        .over(Window.orderBy("c_nationkey"))
+        .cast("long")
+        .alias("nation_dense"),
     )
 
 

@@ -119,7 +119,7 @@ def e_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e_props_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,

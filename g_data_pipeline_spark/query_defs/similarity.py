@@ -42,7 +42,8 @@ def v_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return cosine_topk(emb, queries, k=10)
+    out = cosine_topk(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 @register(

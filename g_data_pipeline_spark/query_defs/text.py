@@ -43,10 +43,10 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
-        X.token_count("text").alias("n_tokens"),
-        X.bpe_token_count("text").alias("n_bpe_tokens"),
-        X.stopword_count("text", "en").alias("n_stopwords"),
+        F.length("text").cast("long").alias("n_chars"),
+        X.token_count("text").cast("long").alias("n_tokens"),
+        X.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        X.stopword_count("text", "en").cast("long").alias("n_stopwords"),
     )
 
 
@@ -150,9 +150,9 @@ def t_shingle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.array_distinct(X.word_shingles("text", 3))).alias(
-            "n_distinct_shingles"
-        ),
+        F.size(F.array_distinct(X.word_shingles("text", 3)))
+        .cast("long")
+        .alias("n_distinct_shingles"),
     )
 
 
@@ -184,15 +184,15 @@ def t_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_name").alias("up_name"),
         F.substring("p_type", 1, 5).alias("type5"),
         F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.reverse("p_brand").alias("rev_brand"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
         F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
         F.sqrt("p_retailprice").alias("price_sqrt"),
         F.floor("p_retailprice").cast("double").alias("price_floor"),
         F.ceil("p_retailprice").cast("double").alias("price_ceil"),
-        F.greatest("p_size", F.lit(25)).alias("size_hi"),
-        F.least("p_size", F.lit(25)).alias("size_lo"),
+        F.greatest("p_size", F.lit(25)).cast("long").alias("size_hi"),
+        F.least("p_size", F.lit(25)).cast("long").alias("size_lo"),
     )
 
 
@@ -214,13 +214,13 @@ def t_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dy"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
         F.datediff(
             F.col("o_orderdate").cast("date"),
             F.lit("1995-01-01").cast("date"),
-        ).alias("days_since"),
+        ).cast("long").alias("days_since"),
     )

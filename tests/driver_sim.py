@@ -33,6 +33,31 @@ def canon(v):
     return str(v)
 
 
+_DUCK_TYPE_MAP = {
+    "varchar": "string",
+    "integer": "int",
+    "float[]": "array<float>",
+    "time stamp": "timestamp",
+}
+
+
+def _canon_duck_type(t: str) -> str:
+    t = str(t).lower()
+    return _DUCK_TYPE_MAP.get(t, t)
+
+
+def types_match(spark_df, duck_cols_types: list[tuple[str, str]]) -> list[str]:
+    """Compare schemas by (name -> canonical type); returns mismatch notes."""
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    notes = []
+    for name, dt in duck_cols_types:
+        st = spark_types.get(name)
+        ct = _canon_duck_type(dt)
+        if st is not None and st != ct:
+            notes.append(f"{name}: spark={st} duck={ct}")
+    return notes
+
+
 def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -67,20 +92,26 @@ def main() -> int:
         if name not in osql:
             print(f"{name}: rows-only check rows={len(srows)}")
             continue
-        res = con.execute(osql[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
+        rel = con.sql(osql[name])
+        dcols = list(rel.columns)
+        dtypes = [str(t) for t in rel.types]
+        drows = rel.fetchall()
         so = sorted(range(len(scols)), key=lambda i: scols[i])
         do = sorted(range(len(dcols)), key=lambda i: dcols[i])
         s = sorted(tuple(canon(r[i]) for i in so) for r in srows)
         d = sorted(tuple(canon(r[i]) for i in do) for r in drows)
+        type_notes = types_match(sdf, list(zip(dcols, dtypes)))
         match = (
-            sorted(scols) == sorted(dcols) and len(srows) == len(drows) and s == d
+            sorted(scols) == sorted(dcols)
+            and len(srows) == len(drows)
+            and s == d
+            and not type_notes
         )
         ok &= match
         print(
             f"{name}: rows {len(srows)}=={len(drows)} "
             f"cols {sorted(scols) == sorted(dcols)} MATCH: {match}"
+            + (f" TYPES: {type_notes}" if type_notes else "")
         )
         if not match and s != d:
             for a, b in list(zip(s, d))[:3]:
