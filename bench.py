@@ -79,6 +79,17 @@ def run() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # End-to-end profile of the fact table (the reference's flagship
+    # computation — SURVEY.md §2.3): full numeric profile + top-k values.
+    from g_data_pipeline_spark.catalog import load_table
+    from g_data_pipeline_spark.profiler import profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    profile(li)  # warm
+    t0 = time.perf_counter()
+    profile(li)
+    timings["profile_lineitem_full"] = round(time.perf_counter() - t0, 4)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

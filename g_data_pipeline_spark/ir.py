@@ -42,7 +42,10 @@ OP_TYPES = ("filter", "mean", "sum", "count", "group_by_count", "sort", "limit")
 @dataclass(frozen=True)
 class ColumnOperation:
     """One operation of the reference's ``ColumnOperation`` enum
-    (``query_translator.rs:29-42``)."""
+    (``query_translator.rs:29-42``), extended with ``by`` — an optional
+    grouping column for the aggregate ops (the reference can only express
+    group-by-COUNT; grouped mean/sum are the natural completion and what
+    NL queries like "average price by segment" need)."""
 
     type: str  # one of OP_TYPES
     column: str
@@ -50,6 +53,7 @@ class ColumnOperation:
     value: str | None = None  # filter only (always a string in the IR)
     ascending: bool = True  # sort only
     n: int | None = None  # limit only
+    by: str | None = None  # aggregates only: grouping column
 
     def validate(self) -> None:
         if self.type not in OP_TYPES:
@@ -82,6 +86,8 @@ class StructuredQuery:
             for op in self.operations:
                 if op.column and op.column not in known:
                     raise ValueError(f"unknown column {op.column!r} in {op.type}")
+                if op.by is not None and op.by not in known:
+                    raise ValueError(f"unknown grouping column {op.by!r} in {op.type}")
 
     @classmethod
     def from_json(cls, payload: str | dict[str, Any]) -> StructuredQuery:
@@ -100,6 +106,7 @@ class StructuredQuery:
                     value=None if raw.get("value") is None else str(raw["value"]),
                     ascending=bool(raw.get("ascending", True)),
                     n=raw.get("n"),
+                    by=raw.get("by"),
                 )
             )
         q = cls(intent=intent, columns=list(obj.get("columns", [])), operations=ops)

@@ -48,7 +48,13 @@ def rule_based_translate(
 ) -> StructuredQuery:
     """N2: keyword rules over the lowercased query (query_translator.rs:161)."""
     lowered = query_text.lower()
-    named = _find_named_column(query_text, columns)
+    # "... by <col>" / "per <col>" names the grouping column
+    group_col = None
+    by_match = re.search(r"\b(?:by|per|each)\b(.*)$", lowered)
+    if by_match:
+        group_col = _find_named_column(by_match.group(1), columns)
+    value_text = lowered[: by_match.start()] if by_match else query_text
+    named = _find_named_column(value_text, columns)
     for op_type, keywords in _AGG_KEYWORDS:
         if any(k in lowered for k in keywords):
             if op_type in ("mean", "sum"):
@@ -57,11 +63,12 @@ def rule_based_translate(
                 target = named or (columns[0] if columns else None)
             if target is None:
                 break
-            # "count by X" / "per X" -> group-by-count
-            if op_type == "count" and re.search(r"\b(by|per|each)\b", lowered):
+            if op_type == "count" and group_col:
+                ops = [ColumnOperation(type="group_by_count", column=group_col)]
+            elif op_type == "count" and by_match:
                 ops = [ColumnOperation(type="group_by_count", column=target)]
             else:
-                ops = [ColumnOperation(type=op_type, column=target)]
+                ops = [ColumnOperation(type=op_type, column=target, by=group_col)]
             return StructuredQuery(intent=QueryIntent.AGGREGATE, operations=ops)
     if any(k in lowered for k in ("chart", "plot", "visualiz", "graph")):
         return StructuredQuery(intent=QueryIntent.VISUALIZE, columns=[])

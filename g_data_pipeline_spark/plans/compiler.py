@@ -105,15 +105,19 @@ def _apply_operation(
     if op.type == "filter":
         cond = _filter_condition(df, op)
         return df if cond is None else df.filter(cond)
-    if op.type == "mean":
-        agg = davg(op.column) if deterministic_floats else F.mean(op.column)
-        return df.select(agg.alias(f"mean_{op.column}"))
-    if op.type == "sum":
-        agg = dsum(op.column) if deterministic_floats else F.sum(op.column)
-        return df.select(agg.alias(f"sum_{op.column}"))
-    if op.type == "count":
-        # SQL COUNT(col): non-null only (SURVEY.md §4.3.2).
-        return df.select(F.count(op.column).alias(f"count_{op.column}"))
+    if op.type in ("mean", "sum", "count"):
+        if op.type == "mean":
+            agg = davg(op.column) if deterministic_floats else F.mean(op.column)
+        elif op.type == "sum":
+            agg = dsum(op.column) if deterministic_floats else F.sum(op.column)
+        else:
+            # SQL COUNT(col): non-null only (SURVEY.md §4.3.2).
+            agg = F.count(op.column)
+        aliased = agg.alias(f"{op.type}_{op.column}")
+        if op.by:
+            # grouped aggregate (IR extension — ir.ColumnOperation.by)
+            return df.groupBy(op.by).agg(aliased)
+        return df.select(aliased)
     if op.type == "group_by_count":
         return df.groupBy(op.column).agg(
             F.count(op.column).alias(f"count_{op.column}")

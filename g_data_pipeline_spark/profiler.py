@@ -4,13 +4,13 @@ SURVEY.md §2.3 P1-P13) re-expressed as Spark aggregations.
 
 Plan shape (the scale story)
 ----------------------------
-The reference computes one Polars pass per statistic. Here the entire numeric
-profile — null counts, distinct counts, min/max/mean/stddev, exact
-percentiles, and every pairwise Pearson correlation — is ONE ``df.agg(...)``
-with a flat expression list: a single scan + single (tiny) shuffle of partial
-aggregate buffers, regardless of column count. Top-k frequent values add one
-``groupBy(col)`` per categorical column (each its own shuffle on that column,
-unavoidable for exact counts).
+The reference computes one Polars pass per statistic. Here the profile is a
+handful of flat ``df.agg(...)`` passes — counts, numeric stats, correlation
+matrix, percentiles — each a single scan + a single (tiny) shuffle of partial
+aggregate buffers regardless of column count (see ``profile(passes=...)``
+for the fused-single-scan variant and why split is the default). Top-k
+frequent values add one ``groupBy(col)`` per categorical column (its own
+shuffle, unavoidable for exact counts).
 
 100 TB notes, encoded as options rather than folklore:
 
@@ -220,27 +220,47 @@ def profile(
     percentile_method: str = "exact",
     include_correlations: bool = True,
     include_top_values: bool = True,
+    passes: str = "split",
 ) -> dict[str, Any]:
     """Full P1-P13 profile as a JSON-shaped dict (numbers stay numeric;
-    string formatting belongs at the API edge — SURVEY.md §4.3.6)."""
+    string formatting belongs at the API edge — SURVEY.md §4.3.6).
+
+    ``passes``: "split" (default) runs counts / numeric stats / correlations
+    as SEPARATE compact aggregations — whole-stage-codegen compile time is
+    superlinear in plan width, and one fused mega-agg (11 distinct counts +
+    28 correlations + 32 stats) measured ~60 s of janino per call vs ~13 s
+    total when split. "fused" keeps the single-scan plan — the right choice
+    when scan cost dominates compile cost (very wide tables at 100 TB,
+    or a cached input)."""
     classes = classify_columns(df)
     cols = df.columns
 
-    exprs: list[Column] = [F.count(F.lit(1)).alias("__row_count")]
+    count_exprs: list[Column] = [F.count(F.lit(1)).alias("__row_count")]
     for c in cols:
-        exprs.append(null_count_expr(c))
-        exprs.append(distinct_count_expr(c, distinct_method))
+        count_exprs.append(null_count_expr(c))
+        count_exprs.append(distinct_count_expr(c, distinct_method))
+    stat_exprs: list[Column] = []
     for c in classes.numeric:
         for stat, e in numeric_stat_exprs(c, deterministic).items():
-            exprs.append(e.alias(f"{stat}_{c}"))
+            stat_exprs.append(e.alias(f"{stat}_{c}"))
     pairs = []
+    corr_exprs: list[Column] = []
     if include_correlations and len(classes.numeric) >= 2:
         for i, c1 in enumerate(classes.numeric):
             for c2 in classes.numeric[i + 1:]:
                 pairs.append((c1, c2))
-                exprs.append(corr_expr(c1, c2, deterministic).alias(f"__corr_{c1}-{c2}"))
+                corr_exprs.append(
+                    corr_expr(c1, c2, deterministic).alias(f"__corr_{c1}-{c2}")
+                )
 
-    row = df.agg(*exprs).collect()[0].asDict()
+    if passes == "fused":
+        row = df.agg(*(count_exprs + stat_exprs + corr_exprs)).collect()[0].asDict()
+    else:
+        row = df.agg(*count_exprs).collect()[0].asDict()
+        if stat_exprs:
+            row.update(df.agg(*stat_exprs).collect()[0].asDict())
+        if corr_exprs:
+            row.update(df.agg(*corr_exprs).collect()[0].asDict())
 
     # Second pass: exact percentiles (imperative aggregates — kept out of the
     # codegen'd pass above; see percentile_expr docstring). Three modes:

@@ -126,6 +126,33 @@ register(
 }))
 
 register(
+    "r6b_grouped_mean",
+    oracle=f"""
+    SELECT c_mktsegment, {sql_davg('c_acctbal')} AS mean_c_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)(_ir_query("customer", {
+    "intent": "aggregate",
+    "columns": [],
+    "operations": [{"type": "mean", "column": "c_acctbal", "by": "c_mktsegment"}],
+}))
+
+register(
+    "r7b_grouped_sum",
+    oracle=f"""
+    SELECT l_linestatus, {sql_dsum('l_extendedprice')} AS sum_l_extendedprice
+    FROM lineitem WHERE l_quantity > 40 GROUP BY l_linestatus
+    """,
+)(_ir_query("lineitem", {
+    "intent": "aggregate",
+    "columns": [],
+    "operations": [
+        {"type": "filter", "column": "l_quantity", "operator": ">", "value": "40"},
+        {"type": "sum", "column": "l_extendedprice", "by": "l_linestatus"},
+    ],
+}))
+
+register(
     "r9_group_by_count",
     oracle="""
     SELECT o_orderpriority, COUNT(o_orderpriority) AS count_o_orderpriority

@@ -130,3 +130,22 @@ def test_ir_json_roundtrip_and_validation():
             '{"intent": "aggregate", "operations": [{"type": "mean", "column": "nope"}]}'
         )
         sq2.validate(available_columns=["x"])
+
+
+def test_grouped_aggregate_by_extension(spark, tiny):
+    ops = [ColumnOperation(type="mean", column="v", by="k")]
+    got = {
+        r["k"]: r["mean_v"]
+        for r in compile_query(tiny, q("aggregate", [], ops)).collect()
+    }
+    assert got["a"] == pytest.approx(10.0)  # (10 + null) -> 10
+    assert got["b"] == pytest.approx(35.0)  # (20 + 50)/2
+
+
+def test_grouped_by_unknown_column_rejected():
+    sq = StructuredQuery.from_json(
+        '{"intent": "aggregate", "operations": '
+        '[{"type": "sum", "column": "v", "by": "nope"}]}'
+    )
+    with pytest.raises(ValueError):
+        sq.validate(available_columns=["v", "k"])

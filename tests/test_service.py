@@ -121,3 +121,10 @@ def test_failed_job_records_error(svc):
         svc.process_job(jid)
     assert svc.jobs[jid].status == JobStatus.FAILED
     assert svc.jobs[jid].error
+
+
+def test_rule_based_grouped_mean(svc, job_id):
+    out = svc.query(job_id, query_text="average score by province")
+    got = {r["province"]: r["mean_score"] for r in out["data"]}
+    assert set(got) == {"north", "south", "east", "west"}
+    assert all(v > 0 for v in got.values())
