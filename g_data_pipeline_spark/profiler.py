@@ -253,14 +253,42 @@ def profile(
                     corr_expr(c1, c2, deterministic).alias(f"__corr_{c1}-{c2}")
                 )
 
-    if passes == "fused":
-        row = df.agg(*(count_exprs + stat_exprs + corr_exprs)).collect()[0].asDict()
-    else:
-        row = df.agg(*count_exprs).collect()[0].asDict()
-        if stat_exprs:
-            row.update(df.agg(*stat_exprs).collect()[0].asDict())
-        if corr_exprs:
-            row.update(df.agg(*corr_exprs).collect()[0].asDict())
+    # Plan cache, attached to the input DataFrame: rebuilding aggregate
+    # plans mints fresh expression IDs, which defeats Spark's codegen cache
+    # and re-pays analysis+compilation (~10 s here vs ~2 s execution at
+    # sf0.1). Re-profiling the same dataset is the normal service pattern
+    # (recompute-on-miss — SURVEY.md §3.2), so cache the built plans.
+    cache_key = (deterministic, distinct_method, percentile_method, passes,
+                 include_correlations, tuple(cols))
+    plan_cache = getattr(df, "_gdp_profile_plans", None)
+    if plan_cache is None or plan_cache.get("key") != cache_key:
+        plans: dict[str, DataFrame] = {}
+        if passes == "fused":
+            plans["all"] = df.agg(*(count_exprs + stat_exprs + corr_exprs))
+        else:
+            plans["counts"] = df.agg(*count_exprs)
+            if stat_exprs:
+                plans["stats"] = df.agg(*stat_exprs)
+            if corr_exprs:
+                plans["corr"] = df.agg(*corr_exprs)
+        if classes.numeric and percentile_method != "distributed":
+            plans["pcts"] = df.agg(
+                *[
+                    percentile_expr(c, percentile_method).alias(f"__pct_{c}")
+                    for c in classes.numeric
+                ]
+            )
+        plan_cache = {"key": cache_key, "plans": plans}
+        try:
+            df._gdp_profile_plans = plan_cache
+        except AttributeError:
+            pass
+    plans = plan_cache["plans"]
+
+    row = {}
+    for part in ("all", "counts", "stats", "corr"):
+        if part in plans:
+            row.update(plans[part].collect()[0].asDict())
 
     # Second pass: exact percentiles (imperative aggregates — kept out of the
     # codegen'd pass above; see percentile_expr docstring). Three modes:
@@ -278,12 +306,7 @@ def profile(
             row[f"median_{c}"] = got[0.5]
             row[f"percentile_75_{c}"] = got[0.75]
     elif classes.numeric:
-        prow = df.agg(
-            *[
-                percentile_expr(c, percentile_method).alias(f"__pct_{c}")
-                for c in classes.numeric
-            ]
-        ).collect()[0].asDict()
+        prow = plans["pcts"].collect()[0].asDict()
         for c in classes.numeric:
             p25, med, p75 = prow[f"__pct_{c}"] or (None, None, None)
             row[f"percentile_25_{c}"] = p25
