@@ -46,6 +46,7 @@ HEADLINE = [
     "d_ngram_jaccard_pairs",
     "d_minhash_lsh_pairs",
     "v_cosine_topk",
+    "pipeline_curate_documents",
 ]
 
 

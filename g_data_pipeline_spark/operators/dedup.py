@@ -229,6 +229,67 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# Duplicate clustering (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (id, cluster_id)
+    with cluster_id = MIN member id. The iterative-algorithm shape (label
+    propagation to a fixed point) that no single SQL query expresses:
+
+        label(v) <- min(label(v), min over neighbors(label(u)))
+
+    repeated until no label changes. Each iteration is one join + one
+    groupBy (shuffles keyed on vertex id); iterations ~ graph diameter
+    (near-dup clusters are small and dense, so typically 2-4). The loop
+    checkpoints via localCheckpoint every few rounds to truncate lineage —
+    without it the plan doubles per iteration and the driver OOMs on plan
+    size long before data size matters.
+
+    Output contains every vertex that appears in ``pairs`` (singletons that
+    never appear pair with themselves trivially and need no clustering).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for i in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("new_label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        )
+        changed = updated.filter(F.col("changed")).limit(1).count() > 0
+        labels = updated.select("id", F.col("new_label").alias("label"))
+        if i % 3 == 2:
+            labels = labels.localCheckpoint(eager=True)
+        if not changed:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

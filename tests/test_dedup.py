@@ -108,3 +108,52 @@ def test_jaccard_max_shingle_freq_cutoff(spark):
     without = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01).count()
     assert without == 10  # all pairs share "common run here"
     assert with_cut == 0
+
+
+def test_dedup_clusters_union_find_parity(spark):
+    """Label propagation must produce exactly the components a driver-side
+    union-find computes on the same edges."""
+    from g_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    edges = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r.id: r.cluster_id for r in dedup_clusters(df).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+    # normalize: representative = min of component (find after all unions)
+    expected = {v: find(v) for v in parent}
+    assert got == expected
+    assert got[4] == 1 and got[11] == 8 and got[6] == 5
+
+
+def test_dedup_clusters_on_planted_near_dups(spark):
+    """End-to-end: minhash pairs -> clusters -> canonical survivor count."""
+    from g_data_pipeline_spark.catalog import load_table
+    from g_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    n_pair_docs = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    assert n_clusters < n_pair_docs  # at least one real merge
+    # every cluster_id is a member of its own cluster
+    ids = {r.id for r in clusters.collect()}
+    reps = {r.cluster_id for r in clusters.collect()}
+    assert reps <= ids
