@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # managed-table warehouse out of the repo tree (bucketed tables)
+        .config("spark.sql.warehouse.dir", f"/tmp/gdp-warehouse-{os.getpid()}")
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home=/tmp/gdp-derby-{os.getpid()}",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
