@@ -41,6 +41,30 @@ def _find_named_column(text: str, columns: list[str]) -> str | None:
     return None
 
 
+_FILTER_RE = re.compile(
+    r"\b(?:where|with)\s+([\w ]+?)\s*(>=|<=|>|<|=|is)\s*([\w.\-]+)"
+)
+
+
+def _extract_filters(text: str, columns: list[str]) -> list[ColumnOperation]:
+    """Parse simple comparison phrases ('where age > 30', 'with status =
+    active') into filter ops — a capability the reference's keyword
+    translator lacks entirely (its only filters come from the LLM path,
+    whose parser is a stub)."""
+    ops = []
+    for m in _FILTER_RE.finditer(text.lower()):
+        col = _find_named_column(m.group(1), columns)
+        if col is None:
+            continue
+        operator = "=" if m.group(2) == "is" else m.group(2)
+        ops.append(
+            ColumnOperation(
+                type="filter", column=col, operator=operator, value=m.group(3)
+            )
+        )
+    return ops
+
+
 def rule_based_translate(
     query_text: str,
     columns: list[str],
@@ -48,6 +72,7 @@ def rule_based_translate(
 ) -> StructuredQuery:
     """N2: keyword rules over the lowercased query (query_translator.rs:161)."""
     lowered = query_text.lower()
+    filters = _extract_filters(query_text, columns)
     # "... by <col>" / "per <col>" names the grouping column
     group_col = None
     by_match = re.search(r"\b(?:by|per|each)\b(.*)$", lowered)
@@ -69,10 +94,16 @@ def rule_based_translate(
                 ops = [ColumnOperation(type="group_by_count", column=target)]
             else:
                 ops = [ColumnOperation(type=op_type, column=target, by=group_col)]
-            return StructuredQuery(intent=QueryIntent.AGGREGATE, operations=ops)
+            return StructuredQuery(
+                intent=QueryIntent.AGGREGATE, operations=filters + ops
+            )
     if any(k in lowered for k in ("chart", "plot", "visualiz", "graph")):
-        return StructuredQuery(intent=QueryIntent.VISUALIZE, columns=[])
-    return StructuredQuery(intent=QueryIntent.DESCRIBE, columns=[])
+        return StructuredQuery(
+            intent=QueryIntent.VISUALIZE, columns=[], operations=filters
+        )
+    return StructuredQuery(
+        intent=QueryIntent.DESCRIBE, columns=[], operations=filters
+    )
 
 
 def parse_llm_response(payload: str, columns: list[str]) -> StructuredQuery:

@@ -1,0 +1,84 @@
+"""NL translator unit tests (no Spark needed — pure IR output)."""
+
+from __future__ import annotations
+
+import pytest
+
+from g_data_pipeline_spark.ir import QueryIntent
+from g_data_pipeline_spark.nl import parse_llm_response, rule_based_translate
+
+COLS = ["age", "score", "province", "status"]
+NUM = ["age", "score"]
+
+
+def test_mean_with_named_column():
+    sq = rule_based_translate("what is the average score?", COLS, NUM)
+    assert sq.intent == QueryIntent.AGGREGATE
+    assert sq.operations[0].type == "mean"
+    assert sq.operations[0].column == "score"
+
+
+def test_mean_falls_back_to_first_numeric():
+    sq = rule_based_translate("show me the average", COLS, NUM)
+    assert sq.operations[0].column == "age"
+
+
+def test_grouped_mean_by_clause():
+    sq = rule_based_translate("average age by province", COLS, NUM)
+    op = sq.operations[0]
+    assert (op.type, op.column, op.by) == ("mean", "age", "province")
+
+
+def test_count_by_becomes_group_by_count():
+    sq = rule_based_translate("count of people per province", COLS, NUM)
+    assert sq.operations[0].type == "group_by_count"
+    assert sq.operations[0].column == "province"
+
+
+def test_filter_phrase_extraction():
+    sq = rule_based_translate("sum of score where age > 30", COLS, NUM)
+    types = [op.type for op in sq.operations]
+    assert types == ["filter", "sum"]
+    f = sq.operations[0]
+    assert (f.column, f.operator, f.value) == ("age", ">", "30")
+
+
+def test_filter_is_phrase_equality():
+    sq = rule_based_translate("describe rows with status is active", COLS, NUM)
+    assert sq.intent == QueryIntent.DESCRIBE
+    f = sq.operations[0]
+    assert (f.column, f.operator, f.value) == ("status", "=", "active")
+
+
+def test_visualize_keyword():
+    sq = rule_based_translate("plot the data", COLS, NUM)
+    assert sq.intent == QueryIntent.VISUALIZE
+
+
+def test_describe_fallback():
+    sq = rule_based_translate("tell me about this dataset", COLS, NUM)
+    assert sq.intent == QueryIntent.DESCRIBE
+
+
+def test_llm_json_with_fences_and_prose():
+    payload = """Sure! Here's the structured query you asked for:
+    ```json
+    {"intent": "aggregate",
+     "operations": [{"type": "mean", "column": "score", "by": "province"}]}
+    ```
+    Let me know if you need anything else."""
+    sq = parse_llm_response(payload, COLS)
+    assert sq.operations[0].by == "province"
+
+
+def test_llm_json_rejects_unknown_columns():
+    with pytest.raises(ValueError):
+        parse_llm_response(
+            '{"intent": "aggregate", "operations": [{"type": "sum", "column": "nope"}]}',
+            COLS,
+        )
+
+
+def test_llm_no_json_raises():
+    with pytest.raises(ValueError):
+        parse_llm_response("I could not generate a query.", COLS)
