@@ -14,7 +14,9 @@ import importlib.util
 import sys
 
 ENTRY = "/root/repo/__spark_entry__.py"
-SF_DIR = "/root/testdata/sf0.01"
+# override with SIM_SF_DIR to check determinism at other scales
+import os
+SF_DIR = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"

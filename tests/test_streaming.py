@@ -133,3 +133,75 @@ def test_stateful_custom_operator_matches_batch(spark, events_json_dir):
     for u, (n, total) in batch.items():
         assert latest[u][0] == n
         assert latest[u][1] == pytest.approx(total, rel=1e-9)
+
+
+def test_late_data_dropped_across_microbatches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): an event in batch 2 that is
+    older than the watermark established by batch 1 must be DROPPED from the
+    aggregation, and its window must never emit."""
+    import datetime as dt
+    import time as _time
+    from g_data_pipeline_spark.streaming.pipelines import (
+        EVENT_SCHEMA,
+        run_available_now,
+    )
+    from g_data_pipeline_spark.operators.windows import tumbling_window_agg
+
+    d = tmp_path / "late"
+    d.mkdir()
+
+    def write(fname, rows):
+        with open(d / fname, "w") as fh:
+            for i, ts in enumerate(rows):
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_id": i,
+                            "ts": ts.isoformat(),
+                            "user_id": 1,
+                            "event_type": "x",
+                            "value": 1.0,
+                        }
+                    )
+                    + "\n"
+                )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(str(d))
+        agg = tumbling_window_agg(
+            stream.withWatermark("ts", "5 minutes"), "ts", "1 minute"
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda batch_df, _id: emitted.extend(batch_df.collect())
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # run 1: events 10:00-10:05 -> checkpointed watermark = 10:00
+    write("a-first.json", [t0 + dt.timedelta(minutes=m) for m in range(6)])
+    run_once()
+    # run 2 (same checkpoint): one LATE event (09:00, beyond the persisted
+    # watermark -> must be dropped) + one fresh event (10:06)
+    write(
+        "b-second.json",
+        [dt.datetime(2024, 1, 1, 9, 0), t0 + dt.timedelta(minutes=6)],
+    )
+    run_once()
+
+    windows = {r.w_start.hour * 60 + r.w_start.minute for r in emitted}
+    assert 9 * 60 not in windows  # late 09:00 event dropped entirely
+    assert 10 * 60 in windows  # on-time windows emitted
+    counts = {
+        (r.w_start.hour, r.w_start.minute): r.n_events for r in emitted
+    }
+    assert counts[(10, 0)] == 1  # exactly the batch-1 event, nothing late
