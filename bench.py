@@ -3,8 +3,10 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is forced with the ``noop`` sink so the full plan executes on the
-executors without driver-side collection cost distorting the numbers.
+Each query is forced with ``collect()`` (see ``_force``): write sinks build a
+fresh QueryExecution per action and re-pay codegen compilation, while
+collect() reuses the DataFrame's compiled plan; headline results are small
+aggregates/projections so driver collection cost is negligible.
 
 Methodology: each query's DataFrame is built ONCE and executed three times —
 the first (untimed) run absorbs one-time plan costs (janino compilation of

@@ -144,11 +144,15 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(normalize_text(col).cast("binary"))
 
 
-def rolling_hash(col: Column | str, base: int = 31, mod: int = 2**61 - 1) -> Column:
+def rolling_hash(col: Column | str, base: int = 31, mod: int = 2**31 - 1) -> Column:
     """Polynomial rolling hash over the normalized text's characters —
     an order-sensitive fingerprint computed JVM-side via aggregate() over
     the char array. (md5 variant above is the oracle-matched one; this one
-    demonstrates the custom-hash path.)"""
+    demonstrates the custom-hash path.)
+
+    ``mod`` must satisfy (mod-1)*base + 255 < 2^63 so the per-step
+    accumulator never overflows int64 (works under ANSI mode too); the
+    Mersenne prime 2^31-1 leaves ~2^57 of headroom at base=31."""
     c = normalize_text(col)
     chars = F.split(c, "")
     return F.aggregate(

@@ -264,6 +264,8 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    converged = False
+    prev_cached: DataFrame | None = None
     for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -280,12 +282,31 @@ def dedup_clusters(
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
         )
+        # Persist before the convergence-check action so the iteration's
+        # join/groupBy is computed once, not re-paid when `labels` feeds the
+        # next round.
+        updated = updated.persist()
         changed = updated.filter(F.col("changed")).limit(1).count() > 0
         labels = updated.select("id", F.col("new_label").alias("label"))
         if i % 3 == 2:
             labels = labels.localCheckpoint(eager=True)
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = updated
         if not changed:
+            converged = True
             break
+    # Materialize the final labels off the cached lineage, then release it.
+    labels = labels.localCheckpoint(eager=True)
+    if prev_cached is not None:
+        prev_cached.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the cap); raise "
+            "max_iterations — returning partially-propagated labels would "
+            "silently mis-cluster"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

@@ -337,7 +337,10 @@ def s_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderstatus") == "O")
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return a.exceptAll(b).distinct()
+    # subtract() is Spark's EXCEPT DISTINCT — removes a key entirely when it
+    # appears on both sides, matching SQL EXCEPT for any multiplicity (unlike
+    # exceptAll().distinct(), which keeps keys with left multiplicity > right).
+    return a.subtract(b)
 
 
 @register(

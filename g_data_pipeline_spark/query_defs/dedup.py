@@ -72,8 +72,12 @@ def d_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    string_split_regex(trim(lower(text)), '\s+') AS toks
             FROM documents)
       WHERE len(toks) >= 3
-    ), posts AS (
+    ), posts_all AS (
       SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets WHERE len(sh) > 0
+    ), freq AS (
+      SELECT s, COUNT(*) AS df FROM posts_all GROUP BY s
+    ), posts AS (
+      SELECT p.* FROM posts_all p JOIN freq f ON p.s = f.s WHERE f.df <= 1000
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.sz AS size_a, b.sz AS size_b, COUNT(*) AS common
@@ -89,9 +93,13 @@ def d_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-3-gram Jaccard near-dup pairs (>= 0.5) via the shingle
     inverted index — the ground truth the sketch methods are measured
-    against."""
+    against. The document-frequency cutoff (max_shingle_freq=1000, mirrored
+    in the oracle) drops ultra-hot shingles before the self-join so a
+    stopword-run shared by f docs can't mint f^2 candidate rows at scale."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=1000
+    )
 
 
 @register("d_minhash_lsh_pairs", oracle=None)

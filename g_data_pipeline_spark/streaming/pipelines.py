@@ -162,7 +162,13 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {query_name!r} did not finish its "
+                f"AvailableNow batch within {timeout_s}s — refusing to return "
+                "a partially-processed memory-sink table"
+            )
     finally:
         q.stop()
     return spark.table(query_name)

@@ -139,6 +139,20 @@ def test_dedup_clusters_union_find_parity(spark):
     assert got[4] == 1 and got[11] == 8 and got[6] == 5
 
 
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    """A path graph with diameter > max_iterations must raise rather than
+    silently return partially-propagated labels."""
+    from g_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(8)]  # diameter 8
+    df = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(df, max_iterations=2)
+    # and with enough iterations the same graph resolves to one cluster
+    got = dedup_clusters(df, max_iterations=20)
+    assert got.select("cluster_id").distinct().count() == 1
+
+
 def test_dedup_clusters_on_planted_near_dups(spark):
     """End-to-end: minhash pairs -> clusters -> canonical survivor count."""
     from g_data_pipeline_spark.catalog import load_table

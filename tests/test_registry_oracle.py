@@ -30,3 +30,14 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     names = set(e.queries())
     assert set(e.oracle_sql()) <= names
+
+
+def test_survey_core_leads_registry():
+    """The driver grades only the first 50 registry entries; every SURVEY §2
+    core operator (r*, q1, p_*, v_*, d_*, m_*, t_*, e_*, curation pipeline,
+    skew) must sit inside that window."""
+    first50 = set(list(REGISTRY)[:50])
+    core_prefixes = ("r", "q1", "p_", "v_", "d_", "m_", "t_", "e_", "pipeline", "a_")
+    core = {n for n in REGISTRY if n.startswith(core_prefixes)}
+    missing = core - first50
+    assert not missing, f"SURVEY §2 core outside driver window: {sorted(missing)}"
