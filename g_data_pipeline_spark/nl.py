@@ -69,8 +69,15 @@ def rule_based_translate(
     query_text: str,
     columns: list[str],
     numeric_columns: list[str] | None = None,
+    history: list[str] | None = None,
 ) -> StructuredQuery:
-    """N2: keyword rules over the lowercased query (query_translator.rs:161)."""
+    """N2: keyword rules over the lowercased query (query_translator.rs:161).
+
+    ``history`` (prior turns' query texts, oldest first) makes follow-ups
+    resolve: when the current query names no column ("and the sum?"), the
+    most recent prior turn that named one supplies the target — the
+    conversation-context behavior of the reference's translation prompt
+    (query_translator.rs:109-142), done with rules instead of a model."""
     lowered = query_text.lower()
     filters = _extract_filters(query_text, columns)
     # "... by <col>" / "per <col>" names the grouping column
@@ -80,6 +87,11 @@ def rule_based_translate(
         group_col = _find_named_column(by_match.group(1), columns)
     value_text = lowered[: by_match.start()] if by_match else query_text
     named = _find_named_column(value_text, columns)
+    if named is None and history:
+        for prior in reversed(history):
+            named = _find_named_column(prior, columns)
+            if named is not None:
+                break
     for op_type, keywords in _AGG_KEYWORDS:
         if any(k in lowered for k in keywords):
             if op_type in ("mean", "sum"):

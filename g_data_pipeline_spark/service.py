@@ -8,10 +8,15 @@ Spark engine (SURVEY.md §3).
 - conversation query (§3.3): NL/IR -> compile -> ONE lazy plan -> JSON rows
   + Chart.js-style visualization spec (V1-V3) + templated prose.
 
-Storage/queue/cache are in-process fakes mirroring the reference's default
-memory-services mode (memory_s3.rs / memory_db.rs / memory_redis.rs) — on a
-real deployment these become object storage + a DB + a cache, none of which
-is a Spark concern. One uuid identifies upload, job, and dataset (fixing the
+Storage goes through the :mod:`g_data_pipeline_spark.storage` seam: job
+metadata records *logical* object URIs (``s3a://bucket/key``-style) and every
+Spark read/write resolves them via the injected :class:`ObjectStore` — the
+local fake in tests, hadoop-aws passthrough in production (reference:
+``s3.rs:40-74`` / ``memory_s3.rs``). The insights cache has the reference's
+24 h TTL (``mod.rs:107``) with an injectable clock. LLM calls (N3 translate /
+N4 summarize) go through the :mod:`g_data_pipeline_spark.llm` seam; without a
+client the rule-based translator and template prose serve as deterministic
+fallbacks. One uuid identifies upload, job, and dataset (fixing the
 reference's dual-uuid quirk, SURVEY.md §3.1).
 """
 
@@ -20,9 +25,9 @@ from __future__ import annotations
 import json
 import time
 import uuid
+from collections.abc import Callable
 from dataclasses import dataclass, field
 from enum import Enum
-from pathlib import Path
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,10 +35,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from g_data_pipeline_spark.ir import QueryIntent, StructuredQuery
+from g_data_pipeline_spark.llm import LLMClient
 from g_data_pipeline_spark.nl import parse_llm_response, rule_based_translate
 from g_data_pipeline_spark.plans import compile_query
 from g_data_pipeline_spark.profiler import classify_columns, format_insights, profile
 from g_data_pipeline_spark.sources import dataset_metadata, land_csv
+from g_data_pipeline_spark.storage import LocalObjectStore, ObjectStore, TTLCache
+
+# Hard ceiling on rows fetched to the driver per conversation query. The
+# reference collects Filter/Sort results unbounded (conversation.rs) — at
+# 100 TB that OOMs the driver; results beyond the cap are flagged truncated
+# so callers paginate or export instead.
+MAX_RESULT_ROWS = 1000
 
 
 class JobStatus(str, Enum):
@@ -75,12 +88,21 @@ class ConversationContext:
 class DataPipelineService:
     """In-process equivalent of the reference's Actix service wired to Spark."""
 
-    def __init__(self, spark: SparkSession, workdir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        store: ObjectStore | None = None,
+        llm: LLMClient | None = None,
+        insights_ttl_s: float = 24 * 3600.0,
+        clock: Callable[[], float] = time.time,
+    ):
         self.spark = spark
-        self.workdir = Path(workdir)
-        self.workdir.mkdir(parents=True, exist_ok=True)
+        self.store = store or LocalObjectStore(workdir)
+        self.llm = llm
         self.jobs: dict[str, Job] = {}
-        self.insights_cache: dict[str, str] = {}  # job_id -> insights JSON
+        # job_id -> insights JSON, expiring per the reference's 24 h TTL
+        self.insights_cache = TTLCache(ttl_s=insights_ttl_s, clock=clock)
         self.conversations: dict[str, ConversationContext] = {}
         self._datasets: dict[str, DataFrame] = {}
 
@@ -92,21 +114,23 @@ class DataPipelineService:
         if not filename.lower().endswith(".csv"):
             raise ValueError("only .csv files are accepted")
         job_id = str(uuid.uuid4())
-        dest = self.workdir / "uploads" / f"{job_id}.csv"
-        dest.parent.mkdir(parents=True, exist_ok=True)
-        dest.write_bytes(data)
-        self.jobs[job_id] = Job(id=job_id, file_path=str(dest))
+        uri = self.store.put_bytes(f"uploads/{job_id}.csv", data)
+        self.jobs[job_id] = Job(id=job_id, file_path=uri)
         return job_id
+
+    def _dataset_uri(self, job_id: str) -> str:
+        return self.store.uri(f"datasets/{job_id}")
 
     def process_job(self, job_id: str) -> dict[str, Any]:
         job = self.jobs[job_id]
         job.transition(JobStatus.PROCESSING)
         try:
-            parquet_dir = self.workdir / "datasets" / job_id
-            df, _ = land_csv(self.spark, job.file_path, str(parquet_dir))
+            csv_path = self.store.resolve(job.file_path)
+            parquet_dir = self.store.resolve(self._dataset_uri(job_id))
+            df, _ = land_csv(self.spark, csv_path, parquet_dir)
             self._datasets[job_id] = df
             insights = profile(df)
-            self.insights_cache[job_id] = json.dumps(format_insights(insights))
+            self.insights_cache.put(job_id, json.dumps(format_insights(insights)))
             job.transition(JobStatus.COMPLETED)
             return insights
         except Exception as exc:  # noqa: BLE001 — job must record failure
@@ -125,7 +149,7 @@ class DataPipelineService:
         cached = self.insights_cache.get(job_id)
         if cached is None:
             self.process_job(job_id)  # materialized-view recompute-on-miss
-            cached = self.insights_cache[job_id]
+            cached = self.insights_cache.get(job_id)
         return json.loads(cached)
 
     # ---- §3.3 conversation query -----------------------------------------
@@ -133,10 +157,30 @@ class DataPipelineService:
     def dataset(self, job_id: str) -> DataFrame:
         df = self._datasets.get(job_id)
         if df is None:
-            parquet_dir = self.workdir / "datasets" / job_id
-            df = self.spark.read.parquet(str(parquet_dir))
+            parquet_dir = self.store.resolve(self._dataset_uri(job_id))
+            df = self.spark.read.parquet(parquet_dir)
             self._datasets[job_id] = df
         return df
+
+    def _translate(
+        self, query_text: str, df: DataFrame, history: list[str]
+    ) -> StructuredQuery:
+        """N2/N3 translation chain: direct JSON in the text -> LLM client
+        (when configured) -> rule-based fallback, all history-aware."""
+        try:
+            return parse_llm_response(query_text, df.columns)
+        except ValueError:
+            pass
+        if self.llm is not None:
+            try:
+                answer = self.llm.translate(query_text, df.columns, history)
+                return parse_llm_response(answer, df.columns)
+            except ValueError:
+                pass  # model couldn't translate / emitted invalid IR
+        classes = classify_columns(df)
+        return rule_based_translate(
+            query_text, df.columns, classes.numeric, history=history
+        )
 
     def query(
         self,
@@ -144,6 +188,7 @@ class DataPipelineService:
         query_text: str | None = None,
         ir: dict[str, Any] | str | None = None,
         conversation_id: str | None = None,
+        max_rows: int = MAX_RESULT_ROWS,
     ) -> dict[str, Any]:
         df = self.dataset(job_id)
         if conversation_id is None or conversation_id not in self.conversations:
@@ -152,6 +197,7 @@ class DataPipelineService:
                 id=conversation_id, job_id=job_id
             )
         ctx = self.conversations[conversation_id]
+        history = [t.query for t in ctx.history]
 
         if ir is not None:
             sq = (
@@ -161,20 +207,27 @@ class DataPipelineService:
             )
             sq.validate(available_columns=df.columns)
         elif query_text is not None:
-            classes = classify_columns(df)
-            try:
-                sq = parse_llm_response(query_text, df.columns)
-            except ValueError:
-                sq = rule_based_translate(query_text, df.columns, classes.numeric)
+            sq = self._translate(query_text, df, history)
         else:
             raise ValueError("need query_text or ir")
 
         result = compile_query(df, sq)
-        rows = [r.asDict(recursive=True) for r in result.collect()]
+        # Bounded driver fetch: limit(max_rows+1) keeps the cap inside the
+        # plan (TakeOrderedAndProject under a sort), the +1 row only detects
+        # truncation and is dropped before serialization.
+        fetched = result.limit(max_rows + 1).collect()
+        truncated = len(fetched) > max_rows
+        rows = [r.asDict(recursive=True) for r in fetched[:max_rows]]
+        prose = (
+            self.llm.summarize(query_text or str(ir), rows)
+            if self.llm is not None
+            else _prose_summary(sq, rows)
+        )
         response: dict[str, Any] = {
             "conversation_id": conversation_id,
             "data": rows,
-            "response": _prose_summary(sq, rows),
+            "response": prose,
+            "truncated": truncated,
         }
         if sq.intent == QueryIntent.VISUALIZE:
             response["visualization_data"] = visualization_spec(result, rows)

@@ -82,3 +82,33 @@ def test_llm_json_rejects_unknown_columns():
 def test_llm_no_json_raises():
     with pytest.raises(ValueError):
         parse_llm_response("I could not generate a query.", COLS)
+
+
+def test_history_resolves_followup_target():
+    """'and the sum?' names no column; the most recent prior turn that did
+    ('score') supplies the target instead of the first-numeric fallback."""
+    sq = rule_based_translate(
+        "and the sum?", COLS, NUM, history=["what is the average score?"]
+    )
+    assert sq.operations[0].type == "sum"
+    assert sq.operations[0].column == "score"
+    # without history the fallback is the first numeric column
+    sq2 = rule_based_translate("and the sum?", COLS, NUM)
+    assert sq2.operations[0].column == "age"
+
+
+def test_history_most_recent_turn_wins():
+    sq = rule_based_translate(
+        "total?",
+        COLS,
+        NUM,
+        history=["average age", "now the average score"],
+    )
+    assert sq.operations[0].column == "score"
+
+
+def test_history_ignored_when_current_query_names_column():
+    sq = rule_based_translate(
+        "sum of age", COLS, NUM, history=["average score"]
+    )
+    assert sq.operations[0].column == "age"

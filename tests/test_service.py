@@ -8,7 +8,9 @@ from pathlib import Path
 
 import pytest
 
+from g_data_pipeline_spark.llm import FakeLLMClient
 from g_data_pipeline_spark.service import DataPipelineService, JobStatus
+from g_data_pipeline_spark.storage import LocalObjectStore
 
 FIXTURE = Path(__file__).parent / "fixtures" / "people.csv"
 
@@ -128,3 +130,111 @@ def test_rule_based_grouped_mean(svc, job_id):
     got = {r["province"]: r["mean_score"] for r in out["data"]}
     assert set(got) == {"north", "south", "east", "west"}
     assert all(v > 0 for v in got.values())
+
+
+# ---- storage seam (S2/S3): s3a-style logical URIs over the local fake -----
+
+
+def test_object_store_uri_roundtrip(tmp_path):
+    store = LocalObjectStore(str(tmp_path / "s3"), bucket="bkt")
+    uri = store.put_bytes("a/b.txt", b"hi")
+    assert uri == "s3a://bkt/a/b.txt"
+    assert store.get_bytes("a/b.txt") == b"hi"
+    assert store.resolve(uri).endswith("/a/b.txt")
+    assert store.list_keys("a/") == ["a/b.txt"]
+    with pytest.raises(ValueError):
+        store.resolve("s3a://other-bucket/a/b.txt")
+    with pytest.raises(ValueError):
+        store.put_bytes("../escape.txt", b"x")
+    store.delete("a/b.txt")
+    assert not store.exists("a/b.txt")
+
+
+def test_job_metadata_stores_logical_uris(svc, job_id):
+    """Uploads and datasets are addressed by s3a-style URIs; every Spark
+    read goes through store.resolve() — the exact seam a real object-store
+    deployment swaps in."""
+    assert svc.jobs[job_id].file_path.startswith("s3a://")
+    assert svc.store.exists(f"uploads/{job_id}.csv")
+    # dataset parquet landed under the store root via resolve()
+    assert any(k.endswith(".parquet") for k in svc.store.list_keys(f"datasets/{job_id}"))
+
+
+# ---- insights cache TTL (S5; reference mod.rs:107 = 24 h) -----------------
+
+
+def test_insights_cache_ttl_expiry(spark, tmp_path):
+    now = [1000.0]
+    svc = DataPipelineService(
+        spark, str(tmp_path / "ttl"), insights_ttl_s=100.0, clock=lambda: now[0]
+    )
+    jid = svc.upload_csv(FIXTURE.read_bytes(), "people.csv")
+    svc.process_job(jid)
+    assert svc.insights_cache.get(jid) is not None
+    now[0] += 99.0
+    assert svc.insights_cache.get(jid) is not None  # still fresh
+    now[0] += 2.0
+    assert svc.insights_cache.get(jid) is None  # expired
+    # recompute-on-miss repopulates after expiry
+    assert svc.get_insights(jid)["data_summary"]["row_count"] == 200
+    assert svc.insights_cache.get(jid) is not None
+
+
+# ---- bounded driver fetch (conversation results can never OOM the driver) -
+
+
+def test_filter_intent_result_is_bounded(svc, job_id):
+    out = svc.query(
+        job_id,
+        ir={
+            "intent": "filter",
+            "columns": ["age"],
+            "operations": [
+                {"type": "filter", "column": "age", "operator": ">", "value": "0"}
+            ],
+        },
+        max_rows=50,
+    )
+    assert len(out["data"]) == 50
+    assert out["truncated"] is True
+    # under the cap -> not truncated
+    out2 = svc.query(job_id, query_text="what is the average age?")
+    assert out2["truncated"] is False
+
+
+# ---- pluggable LLM client (N3/N4 lifecycle through the fake) --------------
+
+
+def test_fake_llm_translate_compile_respond(spark, tmp_path):
+    fake = FakeLLMClient(
+        translations={
+            "typical income": {
+                "intent": "aggregate",
+                "columns": [],
+                "operations": [
+                    {"type": "mean", "column": "income_as_at_joining_scheme"}
+                ],
+            }
+        }
+    )
+    svc = DataPipelineService(spark, str(tmp_path / "llm"), llm=fake)
+    jid = svc.upload_csv(FIXTURE.read_bytes(), "people.csv")
+    svc.process_job(jid)
+    out = svc.query(jid, query_text="what is the typical income here?")
+    assert "mean_income_as_at_joining_scheme" in out["data"][0]
+    assert out["response"].startswith("Deterministic summary:")
+    assert [c[0] for c in fake.calls] == ["translate", "summarize"]
+
+    # unmatched query -> model declines -> rule-based fallback still answers
+    out2 = svc.query(jid, query_text="what is the average age?")
+    assert out2["data"][0]["mean_age"] > 0
+
+
+# ---- history-aware follow-ups ---------------------------------------------
+
+
+def test_conversation_followup_resolves_column_from_history(svc, job_id):
+    out1 = svc.query(job_id, query_text="what is the average score?")
+    cid = out1["conversation_id"]
+    out2 = svc.query(job_id, query_text="and the total?", conversation_id=cid)
+    assert "sum_score" in out2["data"][0]  # 'score' came from turn 1
