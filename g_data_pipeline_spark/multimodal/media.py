@@ -103,6 +103,59 @@ def _decode_fake_video(content: bytes) -> tuple[int, int, int, list[bytes]]:
     return n, w, h, frames
 
 
+# ---- synthetic media generation (executor-side) --------------------------
+
+def synthetic_images(
+    df: DataFrame, id_col: str, media_type: str = "image"
+) -> DataFrame:
+    """(id) -> (media_id, media_type, content FIMG blob), generated
+    deterministically from the id ON THE EXECUTORS via mapInPandas — the
+    binary column never exists driver-side, so the pattern scales to any
+    corpus size. Dimensions/pixels are pure functions of the id."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 13, 3 + mid % 7
+                px = bytes((mid * 31 + i) % 256 for i in range(w * h))
+                ids.append(mid)
+                blobs.append(encode_fake_image(w, h, px))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": media_type, "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(batches, MEDIA_FIELDS)
+
+
+def synthetic_videos(df: DataFrame, id_col: str) -> DataFrame:
+    """(id) -> (media_id, media_type, content FVID blob) with
+    2 + id % 5 frames, each a deterministic function of (id, frame_idx)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 3 + mid % 5, 2 + mid % 4
+                frames = [
+                    bytes((mid * 17 + f * 7 + i) % 256 for i in range(w * h))
+                    for f in range(2 + mid % 5)
+                ]
+                ids.append(mid)
+                blobs.append(encode_fake_video(w, h, frames))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": "video", "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(batches, MEDIA_FIELDS)
+
+
 # ---- operators -----------------------------------------------------------
 
 def decode_image_features(

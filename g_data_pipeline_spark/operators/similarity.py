@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from g_data_pipeline_spark.functions.vectors import cosine_sim
+from g_data_pipeline_spark.functions.vectors import cosine_sim, dot_fast
 
 
 def cosine_topk(
@@ -192,4 +192,239 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# --------------------------------------------------------------------------
+
+def _lit_array(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _normalize(vec: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in vec))
+    return [x / n for x in vec] if n > 0 else vec
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 2,
+    seed: int = 42,
+) -> list[list[float]]:
+    """K-means coarse quantizer, trained distributed (Lloyd iterations as
+    DataFrame jobs), returning UNIT-NORM centroids (so nearest-by-cosine =
+    argmax dot against them).
+
+    - Seeding: the ``n_centroids`` rows with the smallest
+      ``xxhash64(id, seed)`` — a deterministic uniform sample that any
+      cluster computes identically (no RNG state on executors).
+    - Each Lloyd step: assign (one scan, argmax over broadcast-literal
+      centroids) then re-estimate means via posexplode + groupBy(cid, pos)
+      — k*dim cells, trivially collectible at any corpus size. At 100 TB
+      you'd train on a sampled slice; the index build below is unchanged.
+    """
+    seeds = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [_normalize([float(x) for x in r[0]]) for r in seeds]
+    for _ in range(n_iter):
+        assigned = corpus.select(
+            vec_col, _nearest_centroid_expr(vec_col, centroids).alias("cid")
+        )
+        cells = (
+            assigned.select("cid", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in cells:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.mean
+        centroids = [
+            _normalize([vals[p] for p in sorted(vals)])
+            if (vals := by_cid.get(i))
+            else centroids[i]  # empty cluster keeps its previous centroid
+            for i in range(n_centroids)
+        ]
+    return centroids
+
+
+def _nearest_centroid_expr(vec_col: Column | str, centroids: list[list[float]]) -> Column:
+    """argmax over centroids of dot(v, c_unit) — struct array_max keeps the
+    comparison JVM-side; ties break to the LOWER cid (we negate the cid in
+    the comparison struct so the max prefers smaller ids)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    structs = [
+        F.struct(
+            dot_fast(v, _lit_array(c)).alias("sim"),
+            F.lit(-i).alias("neg_cid"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return -F.array_max(F.array(*structs))["neg_cid"]
+
+
+def _probe_centroids_expr(
+    vec_col: Column | str, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """Top-``n_probe`` centroid ids by dot product, as an array."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    structs = [
+        F.struct(
+            dot_fast(v, _lit_array(c)).alias("sim"),
+            F.lit(-i).alias("neg_cid"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    ranked = F.slice(
+        F.sort_array(F.array(*structs), asc=False), 1, n_probe
+    )
+    return F.transform(ranked, lambda s: -s["neg_cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF index (train -> assign -> probe), the
+    classic coarse-quantizer ANN layout (Sivic & Zisserman '03 inverted
+    files; FAISS IVF-flat structure):
+
+    1. k-means centroids (distributed Lloyd, deterministic seeding);
+    2. every corpus vector lands in exactly ONE cell (argmax dot — one
+       scan, no shuffle until the candidate join);
+    3. each query probes its ``n_probe`` nearest cells; candidates get
+       EXACT cosine + rank, so precision is exact and only recall is
+       approximate (recall/cost tunes via n_centroids x n_probe).
+
+    Scale: the assigned corpus is the persistent index — write it
+    partitioned by ``cell`` and candidate joins become partition-pruned
+    scans of n_probe/n_centroids of the data per query batch."""
+    centroids = train_centroids(
+        corpus, n_centroids, corpus_id, corpus_vec, n_iter=n_iter, seed=seed
+    )
+    corp_cells = corpus.select(
+        corpus_id,
+        corpus_vec,
+        _nearest_centroid_expr(corpus_vec, centroids).alias("cell"),
+    )
+    probes = queries.select(
+        query_id,
+        query_vec,
+        F.explode(
+            _probe_centroids_expr(query_vec, centroids, n_probe)
+        ).alias("cell"),
+    )
+    cands = corp_cells.join(F.broadcast(probes), "cell").filter(
+        F.col(corpus_id) != F.col(query_id)
+    )
+    scored = cands.select(
+        query_id, corpus_id, cosine_sim(corpus_vec, query_vec).alias("cos")
+    ).dropDuplicates([query_id, corpus_id])
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed near-dup pairs — the scale-safe sibling of near_dup_pairs
+# --------------------------------------------------------------------------
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    planes_per_table: int = 6,
+    multiprobe: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs embedding near-dup WITHOUT the O(n^2) crossJoin: vectors
+    are hashed into sign-bit buckets (same multi-table construction as
+    lsh_topk); only same-bucket pairs are generated, then verified with
+    EXACT cosine >= threshold. Precision exact, recall approximate.
+
+    ``multiprobe`` makes ONE join side additionally probe every bucket at
+    Hamming distance 1, so a pair collides in a table when its signatures
+    differ by <= 1 bit: per-table collision probability rises from p^r to
+    p^r + r·p^(r-1)(1-p) — essential for moderate-similarity thresholds
+    (at cos 0.35, r=6: 0.05 -> 0.26 per table; ~0.9 over 8 tables) while
+    keeping full 2^r bucket granularity. The pair-join shuffles on
+    (table, bucket) content — candidate volume scales with bucket
+    occupancy (r+1 probes per item per table), not n^2."""
+    planes = _hyperplanes(dim, n_tables * planes_per_table, seed)
+    tables = [
+        planes[t * planes_per_table : (t + 1) * planes_per_table]
+        for t in range(n_tables)
+    ]
+
+    def bucketed(frame: DataFrame, probe: bool) -> DataFrame:
+        sigs = frame.select(
+            id_col,
+            vec_col,
+            *[
+                signature_expr(vec_col, tables[t]).alias(f"__sig{t}")
+                for t in range(n_tables)
+            ],
+        )
+        buckets = []
+        for t in range(n_tables):
+            base = F.col(f"__sig{t}")
+            probes = [base]
+            if probe:
+                probes += [
+                    base.bitwiseXOR(F.lit(1 << j)) for j in range(planes_per_table)
+                ]
+            buckets += [
+                F.struct(F.lit(t).alias("t"), p.alias("b")) for p in probes
+            ]
+        return (
+            sigs.select(id_col, vec_col, F.explode(F.array(*buckets)).alias("tb"))
+            .select(
+                id_col,
+                vec_col,
+                F.col("tb.t").alias("table"),
+                F.col("tb.b").alias("bucket"),
+            )
+            .dropDuplicates([id_col, "table", "bucket"])
+        )
+
+    a = bucketed(df, probe=multiprobe).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "table", "bucket"
+    )
+    b = bucketed(df, probe=False).select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "table", "bucket"
+    )
+    return (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine_sim("v_a", "v_b").alias("cos"))
+        .filter(F.col("cos") >= threshold)
     )

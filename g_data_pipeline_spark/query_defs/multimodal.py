@@ -1,0 +1,43 @@
+"""Multimodal queries (SURVEY.md north-star extension; rows-only for the
+driver — binary codec ops have no DuckDB twin; byte-exact behavior is pinned
+by tests/test_multimodal.py against the deterministic fake codec).
+
+Both queries run the full distributed media pipeline: ids from ``documents``
+-> synthesize binary media executor-side (mapInPandas, Arrow-batched)
+-> decode/feature-extract (mapInPandas) -> relational post-processing. The
+binary blobs never touch the driver."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.catalog import load_table
+from g_data_pipeline_spark.multimodal.media import (
+    decode_image_features,
+    synthetic_images,
+    synthetic_videos,
+    video_frame_stats,
+)
+from g_data_pipeline_spark.queries import register
+
+
+@register("m_image_features", oracle=None)
+def m_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pipeline: binary FIMG column -> (width, height, luma stats) via
+    mapInPandas, then a normal relational filter on the extracted features.
+    Rows-only (codec ops are non-SQL-expressible); exact decode values are
+    pinned in tests/test_multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    images = synthetic_images(docs, "doc_id")
+    feats = decode_image_features(images)
+    return feats.filter(F.col("mean_luma").isNotNull()).orderBy("media_id")
+
+
+@register("m_video_frame_stats", oracle=None)
+def m_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline: FVID column -> per-video (n_frames, mean luma) via
+    mapInPandas — the reduce-shaped media op. Rows-only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    videos = synthetic_videos(docs, "doc_id")
+    return video_frame_stats(videos).orderBy("media_id")

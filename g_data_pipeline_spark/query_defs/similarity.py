@@ -12,6 +12,8 @@ from g_data_pipeline_spark.catalog import load_table
 from g_data_pipeline_spark.functions.vectors import sql_cosine_sim
 from g_data_pipeline_spark.operators.similarity import (
     cosine_topk,
+    ivf_topk,
+    lsh_near_dup_pairs,
     lsh_topk,
     near_dup_pairs,
 )
@@ -71,4 +73,28 @@ def v_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lsh_topk(
         emb, queries, k=10, dim=64, n_tables=8, planes_per_table=6
+    )
+
+
+@register("v_ivf_topk", oracle=None)
+def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer, 16 cells, probe 4) approximate top-10
+    for the same 5 queries. Rows-only (iterative training has no SQL twin);
+    recall vs v_cosine_topk pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
+@register("v_lsh_near_dup_pairs", oracle=None)
+def v_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.35) via LSH bucketing — the
+    scale-safe sibling of the O(n^2) v_near_dup_pairs baseline. Rows-only;
+    precision is exact (verified cosine), recall pinned vs the exact
+    baseline in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(
+        emb, threshold=0.35, dim=64, n_tables=8, planes_per_table=6
     )

@@ -101,3 +101,68 @@ def test_lsh_on_noise_corpus_is_sane(spark):
     assert rows
     assert all(r.q_id != r.vec_id for r in rows)
     assert all(1 <= r.rank <= 5 for r in rows)
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """Same planted-cluster regime: the IVF coarse quantizer should put a
+    cluster in one (or few) cells, so probing 4/16 cells recovers nearly
+    all true neighbors."""
+    from g_data_pipeline_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(23)
+    rows = []
+    vid = 0
+    for _ in range(40):
+        center = rng.normal(size=32)
+        center /= np.linalg.norm(center)
+        for _ in range(5):
+            v = center + rng.normal(scale=0.1, size=32)
+            rows.append((vid, [float(x) for x in v.astype(np.float32)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(df, queries, k=4).collect()}
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivf_topk(df, queries, k=4, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"IVF recall {recall:.2f} on clustered data"
+
+
+def test_ivf_deterministic_across_runs(spark):
+    from g_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    r1 = sorted(map(tuple, ivf_topk(emb, queries, k=5).collect()))
+    r2 = sorted(map(tuple, ivf_topk(emb, queries, k=5).collect()))
+    assert r1 == r2
+
+
+def test_lsh_near_dup_pairs_precision_and_recall(spark):
+    """Bucketed near-dup must be a SUBSET of the exact O(n^2) pairs (exact
+    verify = exact precision) with high recall on the fixture corpus."""
+    from g_data_pipeline_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+        near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b) for r in near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(
+            emb, threshold=0.35, dim=64, n_tables=8, planes_per_table=6
+        ).collect()
+    }
+    assert exact, "fixture should contain near-dup embedding pairs"
+    assert approx <= exact  # exact-cosine verification => perfect precision
+    recall = len(approx) / len(exact)
+    assert recall >= 0.8, f"LSH near-dup recall {recall:.2f}"
