@@ -48,6 +48,9 @@ HEADLINE = [
     "d_ngram_jaccard_pairs",
     "d_minhash_lsh_pairs",
     "v_cosine_topk",
+    "v_ivf_topk",
+    "v_lsh_near_dup_pairs",
+    "m_image_features",
     "pipeline_curate_documents",
 ]
 

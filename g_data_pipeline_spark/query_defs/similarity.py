@@ -88,13 +88,45 @@ def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
+def _planted_near_dup_corpus(emb: DataFrame) -> DataFrame:
+    """embeddings ∪ perturbed copies of every 10th vector (deterministic
+    xxhash64 noise, cosine ~0.95 to the original). The synthetic embeddings
+    fixture has no high-similarity pairs of its own, so the near-dup
+    operators are exercised on planted ones — the regime they exist for."""
+    emb = emb.select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x.cast("double")
+                + (
+                    (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(2001)) - 1000)
+                    / 1000.0
+                )
+                * 0.07
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
 @register("v_lsh_near_dup_pairs", oracle=None)
 def v_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.35) via LSH bucketing — the
-    scale-safe sibling of the O(n^2) v_near_dup_pairs baseline. Rows-only;
-    precision is exact (verified cosine), recall pinned vs the exact
-    baseline in tests/test_similarity.py."""
+    """Embedding near-dup pairs (cosine >= 0.9) via LSH bucketing over the
+    planted-near-dup corpus — the scale-safe sibling of the O(n^2)
+    v_near_dup_pairs baseline, run in LSH's design regime (high-similarity
+    dedup: 16 planes/table keeps buckets near-singleton, Hamming-1
+    multiprobe holds per-table collision ~0.5 for cos 0.95 pairs, 6 tables
+    -> ~0.99 recall). Moderate-threshold all-pairs (e.g. 0.35 — vectors 69°
+    apart) is intrinsically dense and belongs to the exact baseline, not a
+    bucketed method. Rows-only; precision exact (verified cosine), recall
+    pinned vs the exact baseline in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_near_dup_pairs(
-        emb, threshold=0.35, dim=64, n_tables=8, planes_per_table=6
+        _planted_near_dup_corpus(emb),
+        threshold=0.9,
+        dim=64,
+        n_tables=6,
+        planes_per_table=16,
     )

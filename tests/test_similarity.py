@@ -146,23 +146,27 @@ def test_ivf_deterministic_across_runs(spark):
 
 def test_lsh_near_dup_pairs_precision_and_recall(spark):
     """Bucketed near-dup must be a SUBSET of the exact O(n^2) pairs (exact
-    verify = exact precision) with high recall on the fixture corpus."""
+    verify = exact precision) with high recall on the planted-near-dup
+    corpus (the high-similarity regime LSH is for)."""
     from g_data_pipeline_spark.operators.similarity import (
         lsh_near_dup_pairs,
         near_dup_pairs,
     )
+    from g_data_pipeline_spark.query_defs.similarity import (
+        _planted_near_dup_corpus,
+    )
 
-    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    corpus = _planted_near_dup_corpus(load_table(spark, SF_DIR_ORACLE, "embeddings"))
     exact = {
-        (r.id_a, r.id_b) for r in near_dup_pairs(emb, threshold=0.35).collect()
+        (r.id_a, r.id_b) for r in near_dup_pairs(corpus, threshold=0.9).collect()
     }
     approx = {
         (r.id_a, r.id_b)
         for r in lsh_near_dup_pairs(
-            emb, threshold=0.35, dim=64, n_tables=8, planes_per_table=6
+            corpus, threshold=0.9, dim=64, n_tables=6, planes_per_table=16
         ).collect()
     }
-    assert exact, "fixture should contain near-dup embedding pairs"
+    assert len(exact) >= 40, "planted corpus should contain ~50 near-dup pairs"
     assert approx <= exact  # exact-cosine verification => perfect precision
     recall = len(approx) / len(exact)
-    assert recall >= 0.8, f"LSH near-dup recall {recall:.2f}"
+    assert recall >= 0.9, f"LSH near-dup recall {recall:.2f}"
