@@ -2,7 +2,16 @@ from g_data_pipeline_spark.sources.ingest import (
     coerce_types,
     dataset_metadata,
     land_csv,
+    land_jsonl,
     read_csv,
+    read_jsonl,
 )
 
-__all__ = ["coerce_types", "dataset_metadata", "land_csv", "read_csv"]
+__all__ = [
+    "coerce_types",
+    "dataset_metadata",
+    "land_csv",
+    "land_jsonl",
+    "read_csv",
+    "read_jsonl",
+]

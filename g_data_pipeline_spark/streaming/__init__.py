@@ -1,5 +1,7 @@
 from g_data_pipeline_spark.streaming.pipelines import (
+    dedup_events_stream,
     run_available_now,
+    running_user_totals_stream,
     sessionized_counts_stream,
     sliding_counts_stream,
     stream_events_from_json,
@@ -7,7 +9,9 @@ from g_data_pipeline_spark.streaming.pipelines import (
 )
 
 __all__ = [
+    "dedup_events_stream",
     "run_available_now",
+    "running_user_totals_stream",
     "sessionized_counts_stream",
     "sliding_counts_stream",
     "stream_events_from_json",

@@ -95,6 +95,28 @@ def sessionized_counts_stream(
     )
 
 
+def dedup_events_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exactly-once event dedup — the ingestion guard of a
+    training-data pipeline (at-least-once sources like Kafka redeliver).
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark``: state
+    per key is EVICTED once the watermark passes its event time, so state
+    size is bounded by (watermark horizon x key arrival rate) — the only
+    form that survives an unbounded stream. The plain ``dropDuplicates``
+    form (False) keeps every key forever: correct, but state grows without
+    bound; batch jobs should use operators.dedup.exact_dedup instead."""
+    marked = stream.withWatermark("ts", watermark)
+    cols = keys or ["event_id"]
+    if within_watermark:
+        return marked.dropDuplicatesWithinWatermark(cols)
+    return marked.dropDuplicates(cols)
+
+
 def running_user_totals_stream(stream: DataFrame) -> DataFrame:
     """CUSTOM STATEFUL operator via applyInPandasWithState: per-user running
     event count + value total, maintained in explicit GroupState — the

@@ -84,3 +84,41 @@ def test_normalize_column_names(spark):
     df = spark.createDataFrame([(1, 2)], ["  A  B ", "ok"])
     out = normalize_column_names(df)
     assert out.columns == ["a_b", "ok"]
+
+
+def test_jsonl_roundtrip_and_corrupt_line_handling(spark, tmp_path):
+    from g_data_pipeline_spark.sources import land_jsonl
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"Doc Id": 1, "text": "hello world", "lang": "en"}\n'
+        'this line is not json\n'
+        '{"Doc Id": 2, "text": "bonjour", "lang": "fr"}\n'
+    )
+    df = land_jsonl(spark, str(src), str(tmp_path / "landed"))
+    rows = {r.doc_id: (r.text, r.lang) for r in df.collect()}
+    assert rows == {1: ("hello world", "en"), 2: ("bonjour", "fr")}
+
+
+def test_jsonl_explicit_schema_partitioned_landing(spark, tmp_path):
+    from g_data_pipeline_spark.sources import land_jsonl
+
+    src = tmp_path / "d.jsonl"
+    src.write_text(
+        '{"id": 1, "lang": "en", "text": "a"}\n'
+        '{"id": 2, "lang": "fr", "text": "b"}\n'
+        '{"id": 3, "lang": "en", "text": "c"}\n'
+    )
+    df = land_jsonl(
+        spark,
+        str(src),
+        str(tmp_path / "landed2"),
+        schema="id bigint, lang string, text string",
+        partition_by=["lang"],
+    )
+    assert df.count() == 3
+    # partition pruning works on the landed layout
+    plan = df.filter(df.lang == "en")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert any("PartitionFilters" in l and "lang" in l for l in plan.splitlines())

@@ -101,3 +101,36 @@ def test_partition_pruning_on_partitioned_landing(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "day" in pf
     assert df.count() == events.filter(F.col("day") == 3).count()
+
+
+def test_lsh_near_dup_no_cartesian_product(spark):
+    """The bucketed near-dup path must plan as a hash join on
+    (table, bucket) — never a CartesianProduct / nested-loop join (the
+    O(n^2) shape it exists to avoid)."""
+    plan = plan_of(spark, "v_lsh_near_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_corpus_joins_broadcast_probes(spark):
+    """IVF candidate join must broadcast the (small) probe side so the
+    corpus never shuffles for the join; no all-pairs shape."""
+    plan = plan_of(spark, "v_ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_cosine_topk_is_broadcast_nested_loop(spark):
+    """The exact baseline IS a crossJoin by design — but the query side must
+    be broadcast (corpus never shuffles for the join)."""
+    plan = plan_of(spark, "v_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan  # top-k pruned before the final sort
+
+
+def test_multimodal_pipeline_stays_arrow_batched(spark):
+    """Media pipelines run as mapInPandas (Arrow batches) — binary blobs
+    never route through row-at-a-time Python evaluation."""
+    plan = plan_of(spark, "m_image_features")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time UDF node

@@ -205,3 +205,30 @@ def test_late_data_dropped_across_microbatches(spark, tmp_path):
         (r.w_start.hour, r.w_start.minute): r.n_events for r in emitted
     }
     assert counts[(10, 0)] == 1  # exactly the batch-1 event, nothing late
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    """At-least-once redelivery (same event_id in two micro-batch files) must
+    yield exactly one output row per event_id, with bounded state
+    (dropDuplicatesWithinWatermark)."""
+    import os
+
+    from g_data_pipeline_spark.streaming import dedup_events_stream
+
+    src = tmp_path / "dup_events"
+    os.makedirs(src)
+    base = {"user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"}
+    with open(src / "a.json", "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({**base, "event_id": i, "ts": f"2024-01-01T10:0{i}:00"}) + "\n")
+    with open(src / "b.json", "w") as fh:
+        # events 3,4 redelivered + two new ones
+        for i in (3, 4, 5, 6):
+            fh.write(json.dumps({**base, "event_id": i, "ts": f"2024-01-01T10:0{i}:00"}) + "\n")
+
+    stream = stream_events_from_json(spark, str(src))
+    got = run_available_now(
+        dedup_events_stream(stream, watermark="1 hour"), "t_dedup", "append"
+    )
+    ids = sorted(r.event_id for r in got.collect())
+    assert ids == [0, 1, 2, 3, 4, 5, 6]  # each id exactly once
