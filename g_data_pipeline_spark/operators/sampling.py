@@ -1,0 +1,72 @@
+"""Deterministic hash-based sampling — reproducible subsets at any scale.
+
+``df.sample()`` is seeded per-partition RNG: results change with partition
+count/layout, so a "10% sample" is NOT stable across cluster sizes, retries,
+or engines — useless for reproducible training-data splits. Hash sampling
+decides per ROW from the row's own key: keep iff
+
+    bucket(key) = int(md5(key || seed)[:15 hex]) mod 1e6  <  fraction * 1e6
+
+Properties: (a) deterministic everywhere — same rows at local[1] and on a
+1000-executor cluster, and md5 is engine-identical, so a DuckDB oracle
+reproduces the exact sample; (b) a pure narrow filter — pushes to the scan
+side, no shuffle, no RNG state; (c) consistent across tables — sampling two
+tables by the same key keeps them join-compatible (the standard trick for
+sampled fact/dim pairs); (d) seed changes give independent samples.
+
+Stratified form: per-stratum fractions via one CASE over the stratum
+column — one pass, no per-stratum jobs (``sampleBy`` semantics, but
+deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def hash_bucket_expr(key_cols: list[str], seed: str = "") -> Column:
+    """Uniform bucket in [0, 1e6) from md5 of the concatenated key + seed.
+    15 hex chars = 60 bits -> exact BIGINT, no precision loss; chr(31) as
+    separator avoids ('ab','c') == ('a','bc') collisions."""
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols], F.lit(seed)
+    )
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % _BUCKETS
+
+
+def sql_hash_bucket(key_cols: list[str], seed: str = "") -> str:
+    """DuckDB twin of :func:`hash_bucket_expr` (md5 hex is identical)."""
+    keys = ", ".join(f"CAST({c} AS VARCHAR)" for c in key_cols)
+    return (
+        f"CAST(('0x' || substring(md5(concat_ws(chr(31), {keys}, '{seed}')), 1, 15)) "
+        f"AS BIGINT) % {_BUCKETS}"
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_cols: list[str], fraction: float, seed: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows, decided per key."""
+    return df.filter(hash_bucket_expr(key_cols, seed) < int(fraction * _BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str],
+    default_fraction: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy``, reproducibly):
+    strata absent from ``fractions`` get ``default_fraction``."""
+    threshold: Column = F.lit(int(default_fraction * _BUCKETS))
+    for value, frac in fractions.items():
+        threshold = (
+            F.when(F.col(strata_col) == value, F.lit(int(frac * _BUCKETS)))
+            .otherwise(threshold)
+        )
+    return df.filter(hash_bucket_expr(key_cols, seed) < threshold)

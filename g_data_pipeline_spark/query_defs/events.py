@@ -133,3 +133,90 @@ def e_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"))
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join + deterministic sampling (operators/asof.py, sampling.py)
+# --------------------------------------------------------------------------
+
+from g_data_pipeline_spark.operators.asof import asof_join  # noqa: E402
+from g_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    sql_hash_bucket,
+    stratified_hash_sample,
+)
+
+
+@register(
+    "a_asof_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_id AS last_click_id, c.ts AS last_click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase annotated with the user's most recent
+    prior-or-simultaneous click (union + ordered-window construction —
+    ONE shuffle, no range-join blowup; operators/asof.py). Oracle is
+    DuckDB's native ASOF LEFT JOIN. Right side pre-aggregated to one row
+    per (user, ts) so the as-of row is well-defined."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.col("ts").alias("click_ts"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["click_id", "click_ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("click_id").alias("last_click_id"),
+        F.col("click_ts").alias("last_click_ts"),
+    )
+
+
+_SAMPLE_BUCKET = sql_hash_bucket(["event_id"], seed="split1")
+
+
+@register(
+    "a_stratified_sample",
+    oracle=f"""
+    SELECT event_id, event_type, user_id, value FROM events
+    WHERE {_SAMPLE_BUCKET} <
+      CASE event_type WHEN 'click' THEN 100000 WHEN 'purchase' THEN 500000
+      ELSE 0 END
+    """,
+)
+def a_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 10% of clicks, 50% of purchases,
+    keyed on md5(event_id) — identical row set on any cluster layout, any
+    engine (the DuckDB oracle reproduces it exactly), no RNG state. The
+    reproducible-training-split primitive (operators/sampling.py)."""
+    events = load_table(spark, sf_dir, "events")
+    return stratified_hash_sample(
+        events.select("event_id", "event_type", "user_id", "value"),
+        strata_col="event_type",
+        fractions={"click": 0.1, "purchase": 0.5},
+        key_cols=["event_id"],
+        seed="split1",
+    )

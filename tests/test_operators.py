@@ -70,3 +70,83 @@ def test_topk_row_number_vs_rank(spark):
         df, ["g"], [F.col("v").desc()], k=1, method="rank"
     )
     assert sorted((r.v, r.id) for r in rk.collect()) == [(3, 1), (3, 2)]  # ties kept
+
+
+# ---- as-of join ----------------------------------------------------------
+
+
+def test_asof_join_basic_and_ties(spark):
+    from g_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"), (2, 10, "lx")],
+        "k bigint, ts bigint, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, 7, 100.0), (1, 20, 200.0), (2, 99, 900.0)],
+        "k bigint, ts bigint, quote double",
+    )
+    out = {
+        (r.k, r.ts): r.quote
+        for r in asof_join(left, right, ["k"], "ts").collect()
+    }
+    assert out[(1, 5)] is None        # no right row at or before ts=5
+    assert out[(1, 10)] == 100.0      # latest <= 10 is ts=7
+    assert out[(1, 20)] == 200.0      # equal timestamp matches (>= semantics)
+    assert out[(2, 10)] is None       # right exists but only in the future
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    from g_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("ts")
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    df = asof_join(left, right, ["k"], "ts")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # one window shuffle, no join blowup
+
+
+# ---- deterministic sampling ----------------------------------------------
+
+
+def test_hash_sample_partition_invariant(spark):
+    from g_data_pipeline_spark.operators.sampling import hash_sample
+
+    df = spark.range(2000).select(F.col("id"))
+    a = {r.id for r in hash_sample(df, ["id"], 0.3, seed="x").collect()}
+    b = {
+        r.id
+        for r in hash_sample(df.repartition(17), ["id"], 0.3, seed="x").collect()
+    }
+    assert a == b  # layout-independent
+    assert 0.25 < len(a) / 2000 < 0.35  # roughly the asked fraction
+
+
+def test_hash_sample_seeds_give_different_samples(spark):
+    from g_data_pipeline_spark.operators.sampling import hash_sample
+
+    df = spark.range(2000)
+    a = {r.id for r in hash_sample(df, ["id"], 0.3, seed="s1").collect()}
+    b = {r.id for r in hash_sample(df, ["id"], 0.3, seed="s2").collect()}
+    assert a != b
+    overlap = len(a & b) / len(a)
+    assert 0.15 < overlap < 0.5  # ~independent (expected ~0.3)
+
+
+def test_stratified_hash_sample_fractions(spark):
+    from g_data_pipeline_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.range(4000).select(
+        F.col("id"), (F.when(F.col("id") % 2 == 0, "a").otherwise("b")).alias("s")
+    )
+    out = stratified_hash_sample(
+        df, "s", {"a": 0.5, "b": 0.05}, key_cols=["id"]
+    ).groupBy("s").count().collect()
+    got = {r.s: r["count"] for r in out}
+    assert 850 < got["a"] < 1150   # ~1000 of 2000
+    assert 50 < got.get("b", 0) < 150  # ~100 of 2000
