@@ -173,3 +173,33 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def chunk_tokens(
+    col: Column | str, chunk_size: int, overlap: int = 0
+) -> Column:
+    """Split text into fixed-size token chunks with ``overlap`` tokens of
+    context carried between consecutive chunks — the standard long-document
+    preparation for context-bounded training/embedding. Returns
+    array<struct<chunk_idx int, chunk string, n_tokens int>> built entirely
+    from sequence/transform/slice (no explode until the caller wants rows,
+    no UDF). stride = chunk_size - overlap; the last chunk may be short;
+    empty/blank text yields zero chunks."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("require 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(col)
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... while start < n. token_count
+    # (not size) guards blank text: split("") yields [""], size 1.
+    starts = F.when(
+        token_count(col) > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_size)).alias("chunk"),
+            F.least(F.lit(chunk_size), n - s).cast("int").alias("n_tokens"),
+        ),
+    )

@@ -224,3 +224,35 @@ def t_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1995-01-01").cast("date"),
         ).cast("long").alias("days_since"),
     )
+
+
+@register(
+    "t_chunk_documents",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(s // 28 AS BIGINT) AS chunk_idx,
+           array_to_string(t[s + 1 : s + 32], ' ') AS chunk,
+           CAST(LEAST(32, len(t) - s) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, t, unnest(range(0, len(t), 28)) AS s
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents
+            WHERE len(trim(text)) > 0)
+    )
+    """,
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking: 32-token chunks with 4 tokens of overlap
+    (stride 28) — the context-window preparation step of a training/
+    embedding pipeline, array-native until the final explode (no UDF).
+    DuckDB twin replays the same slicing with list ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(X.chunk_tokens("text", 32, overlap=4)).alias("c")
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+    )

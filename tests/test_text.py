@@ -86,3 +86,26 @@ def test_bpe_token_count(spark):
     df = spark.createDataFrame([(1, "ab12-cd!")], "id int, text string")
     got = _one(df, X.bpe_token_count("text"))
     assert got[1] == 5  # ab | 12 | - | cd | !
+
+
+def test_chunk_tokens_overlap_and_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, ""), (4, "   ")],
+        "id int, text string",
+    )
+    got = _one(df, X.chunk_tokens("text", 3, 1))
+    assert [(c.chunk_idx, c.chunk, c.n_tokens) for c in got[1]] == [
+        (0, "a b c", 3),
+        (1, "c d e", 3),
+        (2, "e f g", 3),
+        (3, "g", 1),
+    ]
+    assert [(c.chunk, c.n_tokens) for c in got[2]] == [("x", 1)]
+    assert got[3] == [] and got[4] == []  # blank text -> zero chunks
+
+
+def test_chunk_tokens_rejects_bad_overlap():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        X.chunk_tokens("text", 4, 4)
