@@ -428,3 +428,46 @@ def lsh_near_dup_pairs(
         .select("id_a", "id_b", cosine_sim("v_a", "v_b").alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped embedding aggregation (mean pooling)
+# --------------------------------------------------------------------------
+
+def mean_pool(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean embedding per group (centroid / profile vector —
+    the pooling step behind user/class/topic vectors).
+
+    Shape: posexplode to (group, pos, val) -> aggregate per (group, pos) ->
+    reassemble with an order-pinned collect_list. The first aggregation keys
+    on (group, pos), so parallelism is group-cardinality x dim and a hot
+    group's work spreads across dim partitions — BETTER skew behavior than
+    any whole-vector aggregation; the second shuffle moves one row per
+    (group, pos), i.e. tiny. No UDF, no unbounded per-group buffers.
+
+    Determinism: per-element sums go through the same scaled-long scheme as
+    functions.vectors (float32 -> exact double -> x1e12 round -> integer
+    sum), so results are bit-identical on any partitioning/engine; final
+    mean is two deterministic double ops.
+    """
+    pos = df.select(*group_cols, F.posexplode(vec_col).alias("pos", "val"))
+    per_pos = (
+        pos.groupBy(*group_cols, "pos")
+        .agg(
+            F.sum(
+                F.round(F.col("val").cast("double") * F.lit(1e12)).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .withColumn("m", (F.col("s").cast("double") / F.lit(1e12)) / F.col("c"))
+    )
+    return per_pos.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("mean_vec"),
+        F.max("c").alias("n_vectors"),
+    )

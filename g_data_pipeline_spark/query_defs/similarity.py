@@ -130,3 +130,30 @@ def v_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=6,
         planes_per_table=16,
     )
+
+
+@register(
+    "v_mean_pool",
+    oracle="""
+    SELECT label, list(m ORDER BY pos) AS mean_vec,
+           MAX(cnt) AS n_vectors
+    FROM (
+      SELECT label, pos,
+             CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1e12) AS BIGINT))
+                  AS DOUBLE) / 1e12 / COUNT(*) AS m,
+             COUNT(*) AS cnt
+      FROM (SELECT label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    ) GROUP BY label
+    """,
+)
+def v_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroid) via the (group, pos)-keyed
+    two-stage aggregation — deterministic scaled-long element sums, skew
+    spread across dim partitions (operators/similarity.py:mean_pool)."""
+    from g_data_pipeline_spark.operators.similarity import mean_pool
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mean_pool(emb.select("label", "embedding"), ["label"])

@@ -39,6 +39,7 @@ _DUCK_TYPE_MAP = {
     "varchar": "string",
     "integer": "int",
     "float[]": "array<float>",
+    "double[]": "array<double>",
     "time stamp": "timestamp",
 }
 

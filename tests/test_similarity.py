@@ -170,3 +170,17 @@ def test_lsh_near_dup_pairs_precision_and_recall(spark):
     assert approx <= exact  # exact-cosine verification => perfect precision
     recall = len(approx) / len(exact)
     assert recall >= 0.9, f"LSH near-dup recall {recall:.2f}"
+
+
+def test_mean_pool_matches_numpy(spark):
+    from g_data_pipeline_spark.operators.similarity import mean_pool
+
+    rows = [
+        ("a", [1.0, 2.0, 3.0]),
+        ("a", [3.0, 2.0, 1.0]),
+        ("b", [10.0, 0.0, -10.0]),
+    ]
+    df = spark.createDataFrame(rows, "g string, embedding array<float>")
+    got = {r.g: (r.mean_vec, r.n_vectors) for r in mean_pool(df, ["g"]).collect()}
+    assert got["a"][0] == [2.0, 2.0, 2.0] and got["a"][1] == 2
+    assert got["b"][0] == [10.0, 0.0, -10.0] and got["b"][1] == 1
