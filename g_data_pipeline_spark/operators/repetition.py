@@ -1,0 +1,92 @@
+"""Within-document repetition statistics — the Gopher-style repetition
+signals (Rae et al. 2021, "Scaling Language Models", §A1.1: duplicate
+line/paragraph fractions, top n-gram fraction) used by every large-scale
+training-data curation pipeline to drop low-quality, repetitive documents.
+
+Adapted to the corpus shape (single-line synthetic docs): repetition is
+measured at token and bigram granularity —
+
+- ``dup_token_ratio``   1 - distinct_tokens/tokens (duplicate-line analog)
+- ``alpha_token_frac``  fraction of tokens containing a letter (Gopher's
+                        "80% of words contain an alphabetic character")
+- ``top_bigram_count``  occurrences of the most frequent word bigram
+- ``top_bigram_frac``   that count / total bigrams (top n-gram fraction)
+- ``gopher_keep``       the composite threshold filter
+
+Scale design: the per-row metrics are pure array expressions (one scan, no
+shuffle). The top-bigram metric explodes bigrams and aggregates on
+(doc_id, bigram) then (doc_id) — two shuffles keyed by doc id, linear in
+corpus size, never materializing per-doc maps in driver memory. The pure-
+expression alternative (array_max over per-element filters) is O(len^2)
+per row and is deliberately avoided: fine at 100 tokens, wrong at 100k.
+
+No reference counterpart (the reference has no text operators at all);
+designed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.functions.text import tokens, word_shingles
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_dup_token_ratio: float = 0.55,
+    max_top_bigram_frac: float = 0.06,
+    min_alpha_token_frac: float = 0.8,
+) -> DataFrame:
+    """Per-document repetition metrics + the composite ``gopher_keep`` flag.
+
+    Determinism: every float here is a single int/int double division (plus
+    threshold comparisons) — no order-dependent accumulation, so values
+    hash-match any engine bit-for-bit.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        id_col,
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)) / F.size(toks)
+        ).alias("dup_token_ratio"),
+        (
+            F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / F.size(toks)
+        ).alias("alpha_token_frac"),
+        word_shingles(F.col(text_col), 2).alias("__bigrams"),
+    )
+    per_bigram = (
+        base.select(id_col, F.explode("__bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = per_bigram.groupBy(id_col).agg(
+        F.max("c").cast("bigint").alias("top_bigram_count"),
+        F.sum("c").cast("bigint").alias("__n_bigrams"),
+    )
+    joined = (
+        base.drop("__bigrams")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_token_ratio",
+            "alpha_token_frac",
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.coalesce(
+                F.col("top_bigram_count") / F.col("__n_bigrams"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return joined.withColumn(
+        "gopher_keep",
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("dup_token_ratio") < max_dup_token_ratio)
+        & (F.col("top_bigram_frac") < max_top_bigram_frac)
+        & (F.col("alpha_token_frac") >= min_alpha_token_frac),
+    )

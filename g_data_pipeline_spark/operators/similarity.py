@@ -471,3 +471,78 @@ def mean_pool(
         ).alias("mean_vec"),
         F.max("c").alias("n_vectors"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup) — cluster-then-dedup over embeddings
+# --------------------------------------------------------------------------
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup embedding pairs restricted to WITHIN k-means cells — the
+    SemDeDup construction (Abbas et al. 2023, arXiv:2303.09540): semantic
+    duplicates cluster together, so comparing only within each coarse cell
+    replaces the O(n^2) all-pairs join with sum-over-cells O(|cell|^2),
+    and the candidate join shuffles on the cell id.
+
+    Precision is exact (every candidate gets true cosine >= threshold);
+    recall misses only pairs split across a cell boundary. ``n_assign``
+    soft-assigns each vector to its top-n nearest cells (the standard
+    boundary fix): a pair is compared if ANY assigned cell is shared, so
+    boundary pairs whose second-nearest cell agrees are recovered, at
+    n_assign× the join input. Reuses the IVF coarse quantizer
+    (train_centroids), so at scale the clustered corpus IS the IVF index:
+    write once partitioned by cell; ANN search and dedup read one layout.
+    """
+    centroids = train_centroids(
+        df, n_centroids, id_col, vec_col, n_iter=n_iter, seed=seed
+    )
+    cells = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            _probe_centroids_expr(vec_col, centroids, n_assign)
+        ).alias("cell"),
+    )
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "cell"
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine_sim("v_a", "v_b").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup survivor set: drop every row that has a within-cell
+    neighbor with cosine >= threshold and a SMALLER id (greedy min-id
+    survivor — the same deterministic convention as exact_dedup). One
+    anti join against the dropped-id set; no per-group state."""
+    pairs = semantic_dedup_pairs(
+        df, threshold, n_centroids, n_iter, n_assign, id_col, vec_col, seed
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

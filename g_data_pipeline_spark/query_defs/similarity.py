@@ -157,3 +157,15 @@ def v_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mean_pool(emb.select("label", "embedding"), ["label"])
+
+
+@register("d_semantic_dedup")  # rows-only: k-means cells are not SQL-expressible
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivor set (cluster-then-dedup, min-id survivor) over the
+    embeddings corpus at cosine >= 0.35 within 8 k-means cells
+    (operators/similarity.py:semantic_dedup). Precision pinned exactly and
+    recall bounded vs the O(n^2) baseline in tests/test_similarity.py."""
+    from g_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35, n_centroids=8)

@@ -256,3 +256,50 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk").alias("chunk"),
         F.col("c.n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "t_repetition_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+               AS dup_token_ratio,
+             CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE) / len(t) AS alpha_token_frac
+      FROM toks
+    ), big AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM toks WHERE len(t) >= 2
+    ), top AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    )
+    SELECT base.doc_id, n_tokens, dup_token_ratio, alpha_token_frac,
+           COALESCE(top_bigram_count, 0) AS top_bigram_count,
+           COALESCE(CAST(top_bigram_count AS DOUBLE) / n_bigrams, 0.0)
+             AS top_bigram_frac,
+           (n_tokens >= 20 AND dup_token_ratio < 0.55
+            AND COALESCE(CAST(top_bigram_count AS DOUBLE) / n_bigrams, 0.0)
+                < 0.06
+            AND alpha_token_frac >= 0.8) AS gopher_keep
+    FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+    """,
+)
+def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metrics + composite keep
+    flag (operators/repetition.py): duplicate-token ratio, alphabetic-token
+    fraction, top-bigram count/fraction. Every float is a single int/int
+    division — bit-identical across engines."""
+    from g_data_pipeline_spark.operators.repetition import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")

@@ -134,3 +134,42 @@ def test_multimodal_pipeline_stays_arrow_batched(spark):
     plan = plan_of(spark, "m_image_features")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time UDF node
+
+
+def test_q8_star_join_all_dims_broadcast(spark):
+    """Q8's seven joins: every dimension side (part filter, customer-region
+    semi, supplier-nation map, nation x2, region) must broadcast; the only
+    sort-merge join is fact-fact (lineitem-orders); one final shuffle for
+    the o_year aggregate."""
+    plan = plan_of(spark, "j_q8_market_share")
+    c = op_counts(plan)
+    assert c.get("BroadcastHashJoin", 0) >= 4
+    assert c.get("SortMergeJoin", 0) <= 1  # lineitem x orders only
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_decorrelated_avg_broadcasts(spark):
+    """The per-part average (Q17's correlated scalar subquery, decorrelated
+    to a grouped aggregate) must be broadcast back onto the fact — the big
+    lineitem side must not shuffle for the comparison join."""
+    plan = plan_of(spark, "j_q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_pass_per_order(spark):
+    """The folded EXISTS/NOT-EXISTS formulation must aggregate per order in
+    one pass — no correlated re-joins of lineitem against itself (the
+    naive translation would scan lineitem three times)."""
+    plan = plan_of(spark, "j_q21_sole_late_supplier")
+    # exactly one scan per table (lineitem, orders, supplier) — the naive
+    # EXISTS/NOT-EXISTS translation would scan lineitem three times
+    assert op_counts(plan).get("Scan", 0) == 3
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """SemDeDup's pair join must be hash-keyed on the cell id — never a
+    cartesian/nested-loop shape (the O(n^2) plan it exists to avoid)."""
+    plan = plan_of(spark, "d_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -184,3 +184,53 @@ def test_mean_pool_matches_numpy(spark):
     got = {r.g: (r.mean_vec, r.n_vectors) for r in mean_pool(df, ["g"]).collect()}
     assert got["a"][0] == [2.0, 2.0, 2.0] and got["a"][1] == 2
     assert got["b"][0] == [10.0, 0.0, -10.0] and got["b"][1] == 1
+
+
+def test_semantic_dedup_pairs_subset_of_exact_with_recall(spark):
+    """SemDeDup candidate pairs must be a SUBSET of the exact near-dup set
+    (precision 1.0 by construction) with healthy recall when cells are
+    coarse; survivors = corpus minus greedy min-id drops of those pairs."""
+    from g_data_pipeline_spark.operators.similarity import (
+        near_dup_pairs,
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+    from g_data_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.id_a, r.id_b) for r in near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(emb, 0.35, n_centroids=4).collect()
+    }
+    assert approx <= exact, "semantic pair outside the exact near-dup set"
+    assert len(approx) / len(exact) >= 0.7, (
+        f"recall {len(approx) / len(exact):.2f} with 4 coarse cells, top-2 "
+        "soft assignment"
+    )
+    survivors = {
+        r.vec_id for r in semantic_dedup(emb, 0.35, n_centroids=4).collect()
+    }
+    dropped = {b for _, b in approx}
+    all_ids = {r.vec_id for r in emb.collect()}
+    assert survivors == all_ids - dropped
+
+
+def test_semantic_dedup_keeps_one_per_tight_cluster(spark):
+    """Well-separated duplicate groups -> exactly the min id of each group
+    survives, singletons untouched."""
+    from g_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [0.998, 0.02, 0.0]),
+        (10, [0.0, 1.0, 0.0]), (11, [0.01, 0.999, 0.0]),
+        (20, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        r.vec_id
+        for r in semantic_dedup(df, 0.99, n_centroids=3, n_iter=3).collect()
+    )
+    assert got == [1, 10, 20]
