@@ -360,3 +360,27 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register("p_profile_approx")  # rows-only: sketch layouts are engine-specific
+def p_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profiling path: HyperLogLog++ distinct counts
+    (approx_count_distinct, rsd=0.01) and Greenwald-Khanna approximate
+    percentiles (percentile_approx, accuracy 10000) over the numeric
+    lineitem columns — one single-shuffle agg, constant-size sketch state
+    per column instead of the exact paths' full-column ordering. Relative
+    error pinned vs the exact profile in tests/test_profiler.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        aggs.append(
+            F.approx_count_distinct(c, rsd=0.01)
+            .cast("bigint")
+            .alias(f"{c}_approx_distinct")
+        )
+        aggs.append(
+            F.percentile_approx(
+                c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+            ).alias(f"{c}_approx_pcts")
+        )
+    return li.agg(*aggs)

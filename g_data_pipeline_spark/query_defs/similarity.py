@@ -169,3 +169,36 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.35, n_centroids=8)
+
+
+@register(
+    "v_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+             / 127.0 AS scale,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) /
+                    (list_max(list_transform(embedding,
+                       y -> abs(CAST(y AS DOUBLE)))) / 127.0) + 0.5) AS INT))
+             AS q
+    FROM embeddings
+    """,
+)
+def v_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (scale = max|x|/127, q =
+    floor(x/scale + 0.5)) — the storage-shrink pass before shipping
+    vectors to an ANN index; 4x smaller than float32 at ~equal recall.
+    floor(x+0.5) instead of round() because the engines' round-half modes
+    are not contractually identical; floor on identical doubles is.
+    Pure array expressions — no UDF, no shuffle, scan speed at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / (absmax / 127.0) + 0.5).cast("int"),
+    ).alias("q")
+    return emb.select("vec_id", scale, q)

@@ -303,3 +303,61 @@ def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_stats(docs, "doc_id", "text")
+
+
+@register(
+    "t_redact_pii",
+    oracle=r"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-010' || CAST(doc_id % 10 AS VARCHAR)
+                  || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+                 'g'),
+               '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>',
+             'g') AS redacted,
+           len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS n_emails
+    FROM enriched
+    """,
+)
+def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / phone numbers / IPv4 -> typed placeholders),
+    the standard pre-training redaction pass — pure JVM regexp_replace, so
+    it runs at scan speed on any corpus size. The synthetic corpus carries
+    no PII, so the query deterministically enriches each doc with
+    id-derived PII first (identically in both engines), making the
+    redaction path non-trivially exercised and still oracle-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-010"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+    ip_re = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ),
+        ip_re,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.regexp_count(raw, F.lit(email_re)).cast("bigint").alias("n_emails"),
+    )

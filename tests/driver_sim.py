@@ -40,6 +40,7 @@ _DUCK_TYPE_MAP = {
     "integer": "int",
     "float[]": "array<float>",
     "double[]": "array<double>",
+    "integer[]": "array<int>",
     "time stamp": "timestamp",
 }
 

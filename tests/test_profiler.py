@@ -129,3 +129,27 @@ def test_format_insights_presentation_layer(people):
     assert isinstance(
         {s["name"]: s for s in p["column_statistics"]}["age"]["mean"], float
     )
+
+
+def test_profile_approx_within_tolerance(spark):
+    """The sketch-based profile path (p_profile_approx) must track the
+    exact statistics: HLL++ distinct within 2% (rsd=0.01), GK percentiles
+    within 0.5% relative rank error."""
+    from pyspark.sql import functions as F
+
+    from g_data_pipeline_spark.catalog import load_table
+    from g_data_pipeline_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    row = REGISTRY["p_profile_approx"].fn(spark, sf).collect()[0]
+    li = load_table(spark, sf, "lineitem")
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        exact_distinct = li.select(F.countDistinct(c)).collect()[0][0]
+        approx = row[f"{c}_approx_distinct"]
+        assert abs(approx - exact_distinct) <= 0.02 * exact_distinct + 1
+        exact_pcts = li.select(
+            F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        ).collect()[0][0]
+        spread = exact_pcts[2] - exact_pcts[0] or 1.0
+        for got, want in zip(row[f"{c}_approx_pcts"], exact_pcts):
+            assert abs(got - want) <= 0.005 * spread + 1e-9, (c, got, want)
