@@ -75,11 +75,13 @@ def run() -> None:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        # ONE DataFrame per query: warm once (codegen+JIT), then best-of-2.
+        # ONE DataFrame per query: warm once (codegen+JIT), then best-of-3
+        # (min absorbs GC/scheduler noise, which measured up to 1.5x on the
+        # imperative-aggregate profile queries).
         df = spec.fn(spark, sf_dir)
         _force(df)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(df)
             best = min(best, time.perf_counter() - t0)
@@ -92,9 +94,12 @@ def run() -> None:
 
     li = load_table(spark, sf_dir, "lineitem")
     profile(li)  # warm
-    t0 = time.perf_counter()
-    profile(li)
-    timings["profile_lineitem_full"] = round(time.perf_counter() - t0, 4)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        profile(li)
+        best = min(best, time.perf_counter() - t0)
+    timings["profile_lineitem_full"] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
