@@ -267,12 +267,20 @@ def j_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        davg("l_quantity").alias("avg_qty")
+    wanted = part.filter(F.col("p_brand") == "Brand#3")
+    # Aggregate the per-part average ONLY for parts that survive the brand
+    # filter (semi join first): identical results — the threshold is only
+    # ever compared for those parts — but the aggregate and its broadcast
+    # shrink by the filter's selectivity (~25x here). The broadcast hint is
+    # right whenever the filtered key set fits an executor; beyond that,
+    # drop the hint and AQE picks a shuffled join.
+    per_part = (
+        li.join(F.broadcast(wanted), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(davg("l_quantity").alias("avg_qty"))
     )
     return (
-        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#3")),
-                li.l_partkey == part.p_partkey)
+        li.join(F.broadcast(wanted), li.l_partkey == part.p_partkey)
         .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
         .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))

@@ -1,5 +1,7 @@
 from g_data_pipeline_spark.streaming.pipelines import (
+    click_to_purchase_stream,
     dedup_events_stream,
+    enrich_events_stream,
     run_available_now,
     running_user_totals_stream,
     sessionized_counts_stream,
@@ -9,7 +11,9 @@ from g_data_pipeline_spark.streaming.pipelines import (
 )
 
 __all__ = [
+    "click_to_purchase_stream",
     "dedup_events_stream",
+    "enrich_events_stream",
     "run_available_now",
     "running_user_totals_stream",
     "sessionized_counts_stream",

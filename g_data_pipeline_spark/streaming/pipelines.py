@@ -194,3 +194,61 @@ def run_available_now(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def enrich_events_stream(stream: DataFrame, users: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of events joins
+    against the (static, broadcast) user dimension — the standard streaming
+    enrichment pattern. Stateless (no watermark needed: the static side is
+    re-resolved per micro-batch, so dimension updates between batches are
+    picked up), append-mode safe, and the stream side never shuffles when
+    the dimension broadcasts."""
+    return stream.join(F.broadcast(users), "user_id", "left")
+
+
+def click_to_purchase_stream(
+    stream: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream join: every (click, purchase) pair for the
+    same user where the purchase lands within ``horizon`` after the click —
+    the attribution/conversion-funnel primitive.
+
+    Both sides carry event-time watermarks and the join has a two-sided
+    time bound, so state is provably bounded: a buffered click can be
+    dropped once the watermark passes click_ts + horizon (Structured
+    Streaming derives the state-cleanup condition from the interval
+    predicate — the documented requirement for stream-stream inner joins).
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts",
+        "purchase_value",
+    )
