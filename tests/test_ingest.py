@@ -122,3 +122,44 @@ def test_jsonl_explicit_schema_partitioned_landing(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert any("PartitionFilters" in l and "lang" in l for l in plan.splitlines())
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """50 tiny files -> a handful of right-sized ones, rows identical;
+    sort_by gives each output file a disjoint key range (min/max stats
+    become useful for file skipping)."""
+    from pyspark.sql import functions as F
+
+    from g_data_pipeline_spark.sources.compact import (
+        compact_parquet,
+        dataset_bytes,
+    )
+
+    src = str(tmp_path / "tiny")
+    dest = str(tmp_path / "compacted")
+    df = spark.range(0, 20000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.rand(5).alias("v")
+    )
+    df.repartition(50).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 50
+    n = compact_parquet(
+        spark, src, dest, target_file_mb=1, sort_by=["id"]
+    )
+    files = sorted(glob.glob(f"{dest}/part-*.parquet"))
+    assert len(files) == n < 50
+    out = spark.read.parquet(dest)
+    assert out.count() == 20000
+    assert sorted(r.id for r in out.collect()) == list(range(20000))
+    # disjoint id ranges per file (range partition + sorted within)
+    ranges = []
+    for f in files:
+        rows = spark.read.parquet(f).agg(
+            F.min("id").alias("lo"), F.max("id").alias("hi")
+        ).collect()[0]
+        ranges.append((rows.lo, rows.hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "output files overlap in key range"
+    assert dataset_bytes(spark, dest) > 0

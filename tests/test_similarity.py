@@ -234,3 +234,27 @@ def test_semantic_dedup_keeps_one_per_tight_cluster(spark):
         for r in semantic_dedup(df, 0.99, n_centroids=3, n_iter=3).collect()
     )
     assert got == [1, 10, 20]
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Property of symmetric int8 quantization: |x - q*scale| <= scale/2
+    and every q fits int8 range [-127, 127]."""
+    import math
+
+    from g_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["v_quantize_int8"].fn(spark, "/root/testdata/sf0.001").collect()
+    emb = {
+        r.vec_id: r.embedding
+        for r in REGISTRY["v_quantize_int8"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .sparkSession.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        v = emb[r.vec_id]
+        assert all(-127 <= q <= 127 for q in r.q)
+        for x, q in zip(v, r.q):
+            assert math.isfinite(r.scale)
+            assert abs(float(x) - q * r.scale) <= r.scale / 2 + 1e-12
