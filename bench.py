@@ -52,6 +52,10 @@ HEADLINE = [
     "v_lsh_near_dup_pairs",
     "m_image_features",
     "pipeline_curate_documents",
+    # round-2 additions (first recorded cost becomes their baseline)
+    "j_q8_market_share",
+    "t_repetition_stats",
+    "d_semantic_dedup",
 ]
 
 
