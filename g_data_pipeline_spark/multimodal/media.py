@@ -286,3 +286,105 @@ def video_frame_stats(
             yield pd.DataFrame(rows, columns=["media_id", "n_frames", "mean_luma"])
 
     return df.select(id_col, content_col).mapInPandas(batches, schema)
+
+
+# ---- audio ----------------------------------------------------------------
+#
+#     FAUD: b"FAUD" | sample_rate u16 | n_samples u16
+#           | n_samples signed-byte PCM samples
+#
+# Same contract as FIMG/FVID: real decoding (soundfile / librosa / av) is a
+# plug point behind _require_audio_codec(); the FAUD container exercises the
+# full Spark-side pipeline deterministically.
+
+def _require_audio_codec() -> Any:
+    """The real-codec plug point (soundfile/librosa not in this env)."""
+    try:
+        import soundfile  # noqa: F401
+
+        return soundfile
+    except ImportError as exc:  # pragma: no cover - env without soundfile
+        raise NotImplementedError(
+            "real audio decoding requires soundfile/librosa, not installed "
+            "in this environment; use codec='fake' (FAUD container)"
+        ) from exc
+
+
+def encode_fake_audio(sample_rate: int, samples: bytes) -> bytes:
+    return b"FAUD" + struct.pack(">HH", sample_rate, len(samples)) + samples
+
+
+def _decode_fake_audio(content: bytes) -> tuple[int, bytes]:
+    if content[:4] != b"FAUD":
+        raise ValueError("not a FAUD container")
+    rate, n = struct.unpack(">HH", content[4:8])
+    return rate, content[8 : 8 + n]
+
+
+def synthetic_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """(id) -> (media_id, media_type, content FAUD blob); rate and PCM are
+    pure functions of the id, generated executor-side via mapInPandas."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                rate = 8000 + (mid % 3) * 4000
+                n = 32 + mid % 50
+                pcm = bytes((mid * 37 + i * 11) % 256 for i in range(n))
+                ids.append(mid)
+                blobs.append(encode_fake_audio(rate, pcm))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": "audio", "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(batches, MEDIA_FIELDS)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio_features(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """binary -> per-clip features (rate, length, duration, RMS of the
+    signed PCM, peak magnitude) via mapInPandas — the audio twin of
+    decode_image_features."""
+    if codec != "fake":
+        _require_audio_codec()
+
+    def batches(it: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in it:
+            out: dict[str, list] = {
+                k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, pcm = _decode_fake_audio(bytes(content))
+                signed = [b - 256 if b >= 128 else b for b in pcm]
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(pcm))
+                out["duration_s"].append(len(pcm) / rate)
+                out["rms"].append(
+                    math.sqrt(sum(s * s for s in signed) / len(pcm))
+                    if pcm
+                    else 0.0
+                )
+                out["peak"].append(max((abs(s) for s in signed), default=0))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)

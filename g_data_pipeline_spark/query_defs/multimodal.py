@@ -41,3 +41,18 @@ def m_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     videos = synthetic_videos(docs, "doc_id")
     return video_frame_stats(videos).orderBy("media_id")
+
+
+@register("m_audio_features", oracle=None)
+def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline: binary FAUD column -> (rate, duration, RMS, peak)
+    via mapInPandas — the audio twin of the image path. Rows-only; decode
+    values pinned byte-exactly in tests/test_multimodal.py."""
+    from g_data_pipeline_spark.multimodal.media import (
+        decode_audio_features,
+        synthetic_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    audio = synthetic_audio(docs, "doc_id")
+    return decode_audio_features(audio).orderBy("media_id")

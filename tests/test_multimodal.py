@@ -72,3 +72,40 @@ def test_corrupt_container_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="FIMG|PythonException"):
         decode_image_features(df).collect()
+
+
+def test_audio_features_exact(spark):
+    """FAUD decode: rate/length/duration/RMS/peak must match a pure-Python
+    recomputation from the same deterministic generator."""
+    import math
+
+    from g_data_pipeline_spark.multimodal.media import (
+        decode_audio_features,
+        synthetic_audio,
+    )
+
+    base = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    got = {
+        r.media_id: r
+        for r in decode_audio_features(synthetic_audio(base, "doc_id")).collect()
+    }
+    assert len(got) == 40
+    for mid in range(40):
+        rate = 8000 + (mid % 3) * 4000
+        n = 32 + mid % 50
+        pcm = [(mid * 37 + i * 11) % 256 for i in range(n)]
+        signed = [b - 256 if b >= 128 else b for b in pcm]
+        r = got[mid]
+        assert r.sample_rate == rate and r.n_samples == n
+        assert r.duration_s == n / rate
+        assert r.rms == pytest.approx(
+            math.sqrt(sum(s * s for s in signed) / n), rel=1e-12
+        )
+        assert r.peak == max(abs(s) for s in signed)
+
+
+def test_audio_real_codec_is_declared_plug_point():
+    from g_data_pipeline_spark.multimodal.media import _require_audio_codec
+
+    with pytest.raises(NotImplementedError):
+        _require_audio_codec()
