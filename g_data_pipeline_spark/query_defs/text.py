@@ -361,3 +361,43 @@ def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         redacted.alias("redacted"),
         F.regexp_count(raw, F.lit(email_re)).cast("bigint").alias("n_emails"),
     )
+
+
+@register(
+    "t_top_ngrams",
+    oracle=r"""
+    SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_distinct
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents)
+      WHERE len(t) >= 2
+    )
+    GROUP BY bg
+    ORDER BY n_docs_total DESC, bg ASC
+    LIMIT 20
+    """,
+)
+def t_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (total occurrences + distinct-doc
+    frequency, count-desc / bigram-asc tiebreak) — the vocabulary /
+    boilerplate-detection scan. One explode + one grouped agg keyed on the
+    bigram (content key: skew-bounded by true n-gram frequency), top-k via
+    TakeOrdered — no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(X.word_shingles("text", 2)).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_distinct"),
+        )
+        .orderBy(F.col("n_docs_total").desc(), F.col("bg").asc())
+        .limit(20)
+    )
