@@ -455,3 +455,29 @@ def g_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), (o_orderpriority))
         """
     )
+
+
+@register(
+    "w_percent_rank_cume_dist",
+    oracle="""
+    SELECT c_custkey,
+           PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+             AS pr,
+           CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+             AS cd
+    FROM customer
+    """,
+)
+def w_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank, cume_dist) — both are
+    rank-count ratios, so the doubles are single divisions of identical
+    integers on any engine: deterministic without scaled-long machinery."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return customer.select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

@@ -249,3 +249,23 @@ def dataset_metadata(df: DataFrame, with_row_count: bool = True) -> dict[str, An
         "row_count": df.count() if with_row_count else None,
         "data_types": {f.name: f.dataType.simpleString() for f in df.schema.fields},
     }
+
+
+def land_orc(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    normalize_names: bool = True,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """ORC -> Parquet landing (interchange with Hive/Trino-era warehouses;
+    ORC is already columnar, so this is a format normalization pass keeping
+    the lake single-format). Same contract as land_csv/land_jsonl."""
+    df = spark.read.orc(src)
+    if normalize_names:
+        df = normalize_column_names(df)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dest)
+    return spark.read.parquet(dest)

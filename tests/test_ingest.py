@@ -163,3 +163,21 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, "output files overlap in key range"
     assert dataset_bytes(spark, dest) > 0
+
+
+def test_land_orc_round_trip(spark, tmp_path):
+    """ORC interchange: write a frame as ORC, land it to parquet, values and
+    schema survive exactly."""
+    from g_data_pipeline_spark.sources.ingest import land_orc
+
+    src = str(tmp_path / "orc_src")
+    dest = str(tmp_path / "orc_landed")
+    df = spark.range(0, 500).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS Bucket Id".replace("Bucket Id", "`Bucket Id`"),
+        "CAST(id AS DOUBLE) / 3 AS v",
+    )
+    df.write.orc(src)
+    landed = land_orc(spark, src, dest)
+    assert "bucket_id" in landed.columns  # names normalized
+    assert landed.count() == 500
+    assert sorted(r.id for r in landed.collect()) == list(range(500))
