@@ -409,3 +409,57 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``min_overlap`` distinct word n-grams with ANY benchmark document — the
+    standard pre-training hygiene pass (n-gram collision scans per the
+    GPT-3 appendix C / PaLM appendix methodology; no equivalent in the
+    reference, which has no corpus operators at all).
+
+    Returns every corpus row's (id, n_overlap, contaminated) — zero-overlap
+    documents are kept with n_overlap = 0 so the output is a total labeling,
+    ready for an anti-join or a filter.
+
+    Scale (100 TB corpus vs ~10^5-doc benchmark suite): the benchmark
+    shingle set is DISTINCT-reduced then broadcast, so the corpus side
+    explodes its shingles and probes the broadcast hash map with NO shuffle;
+    the only shuffles are the per-doc overlap count (keyed on doc id) and
+    the small left join planting zeros. If the benchmark outgrows broadcast
+    (~10^8 shingles), drop the hint and the same plan runs as a shuffled
+    join keyed on shingle content.
+    """
+    bench_shingles = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("s")
+        )
+        .distinct()
+    )
+    corpus_shingles = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("s"),
+    )
+    overlap = (
+        corpus_shingles.join(F.broadcast(bench_shingles), "s", "left_semi")
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(overlap, F.col(id_col) == F.col("_cid"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )

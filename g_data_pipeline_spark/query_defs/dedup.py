@@ -7,6 +7,7 @@ instead)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from g_data_pipeline_spark.catalog import load_table
 from g_data_pipeline_spark.operators.dedup import (
@@ -119,3 +120,40 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only; properties pinned in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=12, bands=4)
+
+
+@register(
+    "d_decontaminate",
+    oracle=r"""
+    WITH shing AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in range(1, len(toks) - 1)])
+                  ELSE [] END AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+    ),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM shing WHERE doc_id % 37 = 0),
+    corpus AS (SELECT doc_id, unnest(sh) AS s FROM shing WHERE doc_id % 37 <> 0)
+    SELECT d.doc_id,
+           CAST(COALESCE(cnt, 0) AS BIGINT) AS n_overlap,
+           COALESCE(cnt, 0) >= 5 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS cnt
+               FROM corpus JOIN bench USING (s)
+               GROUP BY doc_id) o USING (doc_id)
+    """,
+)
+def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents corpus: every 37th doc
+    plays the held-out eval suite; corpus docs sharing >= 5 distinct word
+    3-grams with it are flagged (the sf0.01 corpus contains a genuine
+    benchmark near-duplicate at 56 shared 3-grams). See
+    operators/dedup.py::decontaminate for the broadcast-probe scale plan."""
+    from g_data_pipeline_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(corpus, benchmark, "doc_id", "text", n=3, min_overlap=5)

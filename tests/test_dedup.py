@@ -171,3 +171,56 @@ def test_dedup_clusters_on_planted_near_dups(spark):
     ids = {r.id for r in clusters.collect()}
     reps = {r.cluster_id for r in clusters.collect()}
     assert reps <= ids
+
+
+def test_decontaminate_flags_planted_copy(spark):
+    """A corpus doc that verbatim-copies a benchmark doc is flagged; an
+    unrelated doc is not, but still appears with n_overlap = 0 (total
+    labeling); partial-overlap doc counts its shared distinct 3-grams."""
+    from g_data_pipeline_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # verbatim copy
+            (2, "alpha beta gamma unrelated words here"), # 1 shared 3-gram
+            (3, "completely different text with nothing shared"),
+            (4, "xy"),                                    # < n tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in decontaminate(
+            corpus, bench, "doc_id", "text", n=3, min_overlap=4
+        ).collect()
+    }
+    assert out[1] == (4, True)   # 6 tokens -> 4 distinct 3-grams, all shared
+    assert out[2] == (1, False)
+    assert out[3] == (0, False)
+    assert out[4] == (0, False)
+    assert len(out) == 4
+
+
+def test_decontaminate_corpus_probe_is_broadcast(spark):
+    """The benchmark shingle set must broadcast — the corpus side probes it
+    without shuffling for the semi join (the only exchanges are the per-doc
+    count and the zero-planting left join)."""
+    from g_data_pipeline_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    plan = (
+        decontaminate(
+            docs.filter(F.col("doc_id") % 37 != 0),
+            docs.filter(F.col("doc_id") % 37 == 0),
+            "doc_id",
+            "text",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

@@ -173,3 +173,25 @@ def test_semantic_dedup_no_cartesian(spark):
     plan = plan_of(spark, "d_semantic_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q9_profit_dims_broadcast(spark):
+    """Q9's star: part filter and supplier->nation map broadcast; the only
+    allowed sort-merge edge is fact-fact (lineitem x orders); no cartesian
+    product anywhere."""
+    plan = plan_of(spark, "j_q9_product_type_profit")
+    c = op_counts(plan)
+    assert c.get("BroadcastHashJoin", 0) >= 2
+    assert c.get("SortMergeJoin", 0) <= 1  # lineitem x orders only
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_min_cost_correlated_min_broadcasts(spark):
+    """Q2's correlated-MIN selection: the per-part minimum (a grouped
+    aggregate of the small per-(part,supplier) cost table) must broadcast
+    back onto the costs side, and the supplier/nation/region dimension
+    chain must broadcast — lineitem never shuffles for a dimension join."""
+    plan = plan_of(spark, "j_q2_min_cost_supplier")
+    c = op_counts(plan)
+    assert c.get("BroadcastHashJoin", 0) >= 3
+    assert "CartesianProduct" not in plan
