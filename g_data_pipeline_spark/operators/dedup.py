@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from g_data_pipeline_spark.functions.text import normalize_text, word_shingles
+from g_data_pipeline_spark.functions.text import (
+    normalize_text,
+    tokens,
+    word_shingles,
+)
 
 
 def exact_dedup(
@@ -462,4 +466,106 @@ def decontaminate(
                 "contaminated"
             ),
         )
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-level repeated-span removal (the C4 "three-sentence span"
+    dedup, token-window form; Raffel et al. 2020 §2.2): split every document
+    into non-overlapping ``span_tokens``-token spans, keep only the FIRST
+    occurrence of each distinct span corpus-wide (ordered by (doc id,
+    position) — deterministic), and reassemble each document from its
+    surviving spans in original order.
+
+    Returns a total labeling: (id, dedup_text, spans_kept, spans_total) for
+    EVERY input row — a fully-deduplicated document comes back with
+    ``dedup_text = ''`` and ``spans_kept = 0``.
+
+    Scale (100 TB): the only wide stage is the first-occurrence rank, which
+    shuffles keyed on span CONTENT — work distributes by data, and
+    WindowGroupLimit truncates each span's group before the final filter.
+    Reassembly groups on doc id (second shuffle, bounded by document size).
+    No UDFs; span extraction is sequence+slice like word_shingles.
+    """
+    toks = tokens(text_col)
+    n_spans = F.when(
+        F.trim(F.col(text_col)) == "", F.lit(0)
+    ).otherwise(F.ceil(F.size(toks) / F.lit(float(span_tokens)))).cast("int")
+    spans = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(
+        F.col(id_col).alias("id"), spans.alias("__spans")
+    ).withColumn("spans_total", F.size("__spans").cast("long"))
+
+    exploded = base.select(
+        "id", F.posexplode("__spans").alias("pos", "span")
+    )
+    w = Window.partitionBy("span").orderBy("id", "pos")
+    kept = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).cast("long").alias("spans_kept"),
+    )
+    return (
+        base.select("id", "spans_total")
+        .join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+            F.coalesce("spans_kept", F.lit(0).cast("long")).alias("spans_kept"),
+            "spans_total",
+        )
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental corpus dedup: drop batch documents whose normalized-text
+    fingerprint already exists in the historical corpus, then dedupe within
+    the batch itself (MIN(id) survives). The daily-crawl-vs-archive pattern:
+    history is append-only; each new dump is anti-joined against it.
+
+    Scale (100 TB history): no broadcast hint — Catalyst picks by stats,
+    so a small history broadcasts and a billions-of-fingerprints history
+    hash-partitions both sides on the 128-bit fingerprint (in a real
+    deployment the history side is a bucketed fingerprint table so only the
+    batch side shuffles). Within-batch dedup reuses the same fingerprint
+    key, so AQE can reuse the exchange.
+    """
+    from g_data_pipeline_spark.functions.text import fingerprint_md5
+
+    hist_fp = history.select(fingerprint_md5(text_col).alias("__fp")).distinct()
+    fresh = (
+        batch.withColumn("__fp", fingerprint_md5(text_col))
+        .join(hist_fp, "__fp", "left_anti")
+    )
+    return (
+        exact_dedup(fresh, ["__fp"], id_col)
+        .select(F.col(id_col), F.col("__fp").alias("fingerprint"))
     )

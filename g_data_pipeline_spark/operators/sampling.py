@@ -21,7 +21,7 @@ deterministic).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 1_000_000
@@ -70,3 +70,57 @@ def stratified_hash_sample(
             .otherwise(threshold)
         )
     return df.filter(hash_bucket_expr(key_cols, seed) < threshold)
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled source mixing weights: per-source document counts
+    c_i are reweighted as w_i = c_i**alpha / sum_j(c_j**alpha) — the
+    standard corpus-mixing scheme (exponential smoothing of multilingual /
+    multi-source sampling; mT5 (Xue et al. 2021) §3.1, alpha in [0.2, 1]),
+    which upsamples small sources relative to their natural share.
+
+    Output: (source, n_docs, natural_share, mix_weight), one row per source.
+
+    Determinism: for alpha = 0.5 the weight goes through floor(sqrt(c)*1e6)
+    — sqrt is IEEE-correctly-rounded on every engine, and the scaled-long
+    totals sum exactly, so the final single division is bit-deterministic
+    (same scheme as functions/deterministic.py). Other alphas use pow(),
+    whose last-ulp behavior is NOT contractually identical across engines —
+    fine for production, but register only alpha=0.5 against an oracle.
+
+    Scale: one grouped aggregate (map-side partials) down to #sources rows,
+    then an unpartitioned window over that tiny result — the window's
+    single-partition stage holds #sources rows, not data rows.
+    """
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    if alpha == 0.5:
+        w_scaled = F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000.0)).cast(
+            "long"
+        )
+    else:
+        w_scaled = F.floor(
+            F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+            * F.lit(1_000_000.0)
+        ).cast("long")
+    everything = Window.partitionBy()
+    return (
+        counts.withColumn("__w", w_scaled)
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(everything).cast("double")
+            ).alias("natural_share"),
+            (
+                F.col("__w").cast("double")
+                / F.sum("__w").over(everything).cast("double")
+            ).alias("mix_weight"),
+        )
+    )

@@ -51,3 +51,65 @@ def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quality filter -> language ID -> fingerprint dedup, as ONE lazy plan."""
     docs = load_table(spark, sf_dir, "documents")
     return curate_documents(docs)
+
+
+@register(
+    "t_pack_sequences",
+    oracle=r"""
+    WITH counted AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                       AS BIGINT) END AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM counted
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((c - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+           CAST((c - n_tokens) % 512 AS BIGINT) AS bin_offset,
+           floor((c - 1) / 512.0) > floor((c - n_tokens) / 512.0) AS spans_bins
+    FROM cum
+    """,
+)
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing per source stream (512-token bins):
+    each document's placement (bin id, offset, bin-boundary flag) in the
+    GPT-style packed training layout. Pure integer math over the (source,
+    doc_id) total order — bit-deterministic. See operators/packing.py for
+    the stream-sharding scale plan."""
+    from g_data_pipeline_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", "source", capacity=512)
+
+
+@register(
+    "t_mixture_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    )
+    SELECT source, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE)
+             AS natural_share,
+           CAST(CAST(floor(sqrt(n_docs) * 1000000.0) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(CAST(floor(sqrt(n_docs) * 1000000.0) AS BIGINT))
+                    OVER () AS DOUBLE) AS mix_weight
+    FROM counts
+    """,
+)
+def t_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) source mixing weights over the
+    documents corpus — upsamples small sources, the mT5-style corpus-mixing
+    scheme. sqrt is IEEE-correctly-rounded everywhere and the scaled-long
+    totals are exact, so the weights are bit-deterministic. See
+    operators/sampling.py::mixture_weights."""
+    from g_data_pipeline_spark.operators.sampling import mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_weights(docs, "source", alpha=0.5)

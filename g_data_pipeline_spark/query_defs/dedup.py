@@ -157,3 +157,82 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark = docs.filter(F.col("doc_id") % 37 == 0)
     corpus = docs.filter(F.col("doc_id") % 37 != 0)
     return decontaminate(corpus, benchmark, "doc_id", "text", n=3, min_overlap=5)
+
+
+@register(
+    "d_span_dedup",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(t[(i-1)*8+1 : (i-1)*8+8], ' ') AS span
+      FROM toks, LATERAL (SELECT unnest(generate_series(1,
+           CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i)
+    ), kept AS (
+      SELECT doc_id, pos, span,
+             ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM spans
+    ), reassembled AS (
+      SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS dedup_text,
+             COUNT(*) AS spans_kept
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.dedup_text, '') AS dedup_text,
+           CAST(COALESCE(r.spans_kept, 0) AS BIGINT) AS spans_kept,
+           CAST(ceil(len(string_split_regex(trim(lower(d.text)), '\s+')) / 8.0)
+                AS BIGINT) AS spans_total
+    FROM documents d LEFT JOIN reassembled r USING (doc_id)
+    """,
+)
+def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-span removal over the corpus: 8-token spans, first
+    occurrence (by doc_id, position) survives, documents reassembled from
+    surviving spans. Total labeling — every doc comes back, possibly with
+    dedup_text=''. See operators/dedup.py::span_dedup for the scale plan
+    (shuffle keyed on span content)."""
+    from g_data_pipeline_spark.operators.dedup import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup(docs, "doc_id", "text", span_tokens=8)
+
+
+@register(
+    "d_incremental_dedup",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), hist AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 4 <> 0
+    )
+    SELECT doc_id, fingerprint FROM (
+      SELECT doc_id, fingerprint,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM fp
+      WHERE doc_id % 4 = 0
+        AND fingerprint NOT IN (SELECT fingerprint FROM hist)
+    ) WHERE rn = 1
+    """,
+)
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-archive) dedup: docs with doc_id % 4 == 0 play
+    the new crawl dump, the rest the historical corpus; batch docs whose
+    normalized-text fingerprint exists in history are dropped, then the
+    batch dedupes internally (MIN doc_id survives). NOT IN is safe as
+    left_anti here because md5 fingerprints are non-null. See
+    operators/dedup.py::incremental_dedup (anti join keyed on fingerprint,
+    never broadcast — history is the big side)."""
+    from g_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_dedup(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        docs.filter(F.col("doc_id") % 4 != 0),
+        "text",
+        "doc_id",
+    )

@@ -93,8 +93,13 @@ def main() -> int:
     # exactness-baseline ORACLES (DuckDB list-lambda cross joins) take tens
     # of minutes; the Spark side is checked at sf0.01 by the default run.
     skip = {s for s in os.environ.get("SIM_SKIP", "").split(",") if s}
+    # SIM_ONLY: comma-separated allowlist for fast iteration on new queries
+    # (entry smoke still runs; the full run stays the pre-commit gate).
+    only = {s for s in os.environ.get("SIM_ONLY", "").split(",") if s}
     qs, osql = mod.queries(), mod.oracle_sql()
     for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
         if name in skip:
             print(f"{name}: SKIPPED (SIM_SKIP)")
             continue

@@ -224,3 +224,72 @@ def test_decontaminate_corpus_probe_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_planted_repeats(spark):
+    """Doc 2 repeats doc 1's first span verbatim -> it loses that span but
+    keeps its unique one; a fully-duplicated doc comes back with empty text
+    and spans_kept=0 (total labeling); within-doc repeated spans collapse."""
+    from g_data_pipeline_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),            # span: "a b c d"
+            (2, "a b c d x y z w"),    # spans: ["a b c d" (dup), "x y z w"]
+            (3, "a b c d"),            # fully duplicated
+            (4, "p q r s p q r s"),    # within-doc repeat -> one survives
+            (5, ""),                   # blank: 0 spans
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.dedup_text, r.spans_kept, r.spans_total)
+        for r in span_dedup(df, "doc_id", "text", span_tokens=4).collect()
+    }
+    assert out[1] == ("a b c d", 1, 1)
+    assert out[2] == ("x y z w", 1, 2)
+    assert out[3] == ("", 0, 1)
+    assert out[4] == ("p q r s", 1, 2)
+    assert out[5] == ("", 0, 0)
+    assert len(out) == 5
+
+
+def test_span_dedup_preserves_order_of_survivors(spark):
+    """Surviving spans reassemble in original position order, not shuffle
+    order."""
+    from g_data_pipeline_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "dup1 dup1", ), (2, "k1 k1 dup1 dup1 k2 k2 k3 k3")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.dedup_text
+        for r in span_dedup(df, "doc_id", "text", span_tokens=2).collect()
+    }
+    assert out[2] == "k1 k1 k2 k2 k3 k3"
+
+
+def test_incremental_dedup_planted(spark):
+    """Batch docs duplicating history are dropped; batch-internal dups keep
+    MIN(doc_id); normalization makes the match case/punct-insensitive."""
+    from g_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    history = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "older unique text")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "The QUICK, brown fox!"),   # dup of history 1 (normalized)
+            (101, "fresh new content"),
+            (102, "fresh new content"),        # batch-internal dup of 101
+            (103, "another fresh one"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in incremental_dedup(batch, history, "text", "doc_id").collect()
+    )
+    assert kept == [101, 103]

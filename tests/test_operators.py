@@ -150,3 +150,49 @@ def test_stratified_hash_sample_fractions(spark):
     got = {r.s: r["count"] for r in out}
     assert 850 < got["a"] < 1150   # ~1000 of 2000
     assert 50 < got.get("b", 0) < 150  # ~100 of 2000
+
+
+def test_pack_sequences_bin_math(spark):
+    """Known token counts pack into the expected bins: cumulative layout per
+    group, offsets mod capacity, boundary-crossing flag."""
+    from g_data_pipeline_spark.operators.packing import pack_sequences
+
+    rows = [
+        (1, "g1", "a b c"),            # 3 tokens: start 0  -> bin 0 off 0
+        (2, "g1", " ".join(["t"] * 6)),  # start 3 -> bin 0 off 3, crosses (ends at 8)
+        (3, "g1", "x y"),              # start 9 -> bin 1 off 1
+        (4, "g2", " ".join(["u"] * 8)),  # start 0 -> bin 0, exactly fills
+        (5, "g2", "v"),                # start 8 -> bin 1 off 0
+        (6, "g2", ""),                 # 0 tokens: start 9 -> bin 1 off 1, no span
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset, r.spans_bins)
+        for r in pack_sequences(
+            df, "doc_id", "text", "source", capacity=8
+        ).collect()
+    }
+    assert out[1] == (3, 0, 0, False)
+    assert out[2] == (6, 0, 3, True)
+    assert out[3] == (2, 1, 1, False)
+    assert out[4] == (8, 0, 0, False)   # exactly fills bin 0, no crossing
+    assert out[5] == (1, 1, 0, False)
+    assert out[6] == (0, 1, 1, False)
+
+
+def test_mixture_weights_upsamples_small_sources(spark):
+    """alpha=0.5 pulls shares toward uniform: the small source's mix weight
+    exceeds its natural share, weights sum to 1, equal counts get equal
+    weights."""
+    from g_data_pipeline_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(900)] + [(1000, "small")] * 0
+        + [(900 + i, "small") for i in range(100)],
+        ["doc_id", "source"],
+    )
+    out = {r.source: r for r in mixture_weights(df, "source").collect()}
+    assert abs(out["big"].natural_share - 0.9) < 1e-12
+    assert out["small"].mix_weight > out["small"].natural_share
+    assert out["big"].mix_weight < out["big"].natural_share
+    assert abs(out["big"].mix_weight + out["small"].mix_weight - 1.0) < 1e-12

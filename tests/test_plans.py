@@ -195,3 +195,36 @@ def test_q2_min_cost_correlated_min_broadcasts(spark):
     c = op_counts(plan)
     assert c.get("BroadcastHashJoin", 0) >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_shuffles_on_content_only(spark):
+    """span_dedup's wide stages key on span content (first-occurrence rank)
+    and doc id (reassembly + zero-planting join) — no cartesian anywhere,
+    and the rank filter gets the WindowGroupLimit truncation."""
+    plan = plan_of(spark, "d_span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Packing is ONE window (prefix sum per source stream): exactly one
+    exchange, keyed on the stream column."""
+    plan = plan_of(spark, "t_pack_sequences")
+    assert shuffle_count(plan) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_anti_join_adapts_to_history_size(spark):
+    """The operator never FORCES a broadcast of the history fingerprints —
+    Catalyst picks by stats: at test scale (375-row history) it correctly
+    broadcasts; past the threshold the same plan hash-partitions on the
+    fingerprint. Pin: an anti join exists, no cartesian, and no broadcast
+    HINT in the logical plan (so the size-based choice stays adaptive)."""
+    from g_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["d_incremental_dedup"].fn(spark, SF_DIR_ORACLE)
+    plan = plan_of(spark, "d_incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "hint" not in logical.lower()
