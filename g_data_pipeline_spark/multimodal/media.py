@@ -71,6 +71,31 @@ def _require_pil() -> Any:
         ) from exc
 
 
+def _image_decoder(codec: str):
+    """Return an executor-side ``bytes -> (width, height, luma_bytes)``
+    decoder. ``codec='fake'`` parses the FIMG container; ``codec='pil'``
+    decodes any real image format via Pillow (grayscale-converted so the
+    downstream luma-stat contract is identical) — installing Pillow flips
+    the whole pipeline from fake to real with zero code change. Validated
+    driver-side by ``_require_pil`` so a missing library fails at plan time
+    with a clear message, not per-task on the executors."""
+    if codec == "fake":
+        return _decode_fake_image
+    if codec == "pil":
+
+        def decode(content: bytes) -> tuple[int, int, bytes]:
+            import io
+
+            import PIL.Image
+
+            img = PIL.Image.open(io.BytesIO(content)).convert("L")
+            w, h = img.size
+            return w, h, img.tobytes()
+
+        return decode
+    raise ValueError(f"unknown image codec {codec!r} (use 'fake' or 'pil')")
+
+
 # ---- fake codec ----------------------------------------------------------
 
 def encode_fake_image(width: int, height: int, pixels: bytes) -> bytes:
@@ -167,6 +192,7 @@ def decode_image_features(
     """binary -> per-image features (dims + luma stats) via mapInPandas."""
     if codec == "pil":
         _require_pil()
+    decode = _image_decoder(codec)
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
@@ -175,7 +201,7 @@ def decode_image_features(
         for pdf in it:
             out = []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
-                w, h, px = _decode_fake_image(bytes(content))
+                w, h, px = decode(bytes(content))
                 arr = np.frombuffer(px, dtype=np.uint8)
                 out.append(
                     (int(mid), w, h, float(arr.mean()) if arr.size else None,
@@ -194,9 +220,13 @@ def resize_images(
     out_height: int,
     id_col: str = "media_id",
     content_col: str = "content",
+    codec: str = "fake",
 ) -> DataFrame:
-    """Nearest-neighbor resize, re-encoded into the same container —
+    """Nearest-neighbor resize, re-encoded into the FIMG container —
     the shape of any re-encode pipeline (decode -> transform -> encode)."""
+    if codec == "pil":
+        _require_pil()
+    decode = _image_decoder(codec)
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -211,7 +241,7 @@ def resize_images(
         for pdf in it:
             ids, blobs = [], []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
-                w, h, px = _decode_fake_image(bytes(content))
+                w, h, px = decode(bytes(content))
                 arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
                 ys = (np.arange(out_height) * h // out_height).clip(0, h - 1)
                 xs = (np.arange(out_width) * w // out_width).clip(0, w - 1)

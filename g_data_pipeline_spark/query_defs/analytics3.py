@@ -275,16 +275,58 @@ def t_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d_dedup_clusters", oracle=None)
+@register(
+    "d_dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE sets AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), posts_all AS (
+      SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets WHERE len(sh) > 0
+    ), freq AS (
+      SELECT s, COUNT(*) AS df FROM posts_all GROUP BY s
+    ), posts AS (
+      SELECT p.* FROM posts_all p JOIN freq f ON p.s = f.s WHERE f.df <= 1000
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sz AS size_a, b.sz AS size_b, COUNT(*) AS common
+      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      WHERE common / CAST(size_a + size_b - common AS DOUBLE) >= 0.5
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+      WHERE common / CAST(size_a + size_b - common AS DOUBLE) >= 0.5
+    ), walk(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+    )
+    SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id
+    """,
+)
 def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pipeline endgame: MinHash pairs -> connected components ->
-    (doc_id, cluster_id). Iterative label propagation (non-SQL-expressible;
-    union-find parity pinned in tests/test_dedup.py)."""
+    """Near-dup pipeline endgame: exact word-3-gram Jaccard pairs (>= 0.5,
+    the d_ngram_jaccard_pairs edge set) -> connected components ->
+    (id, cluster_id = MIN member id). Spark side is iterative min-label
+    propagation (operators/dedup.py:dedup_clusters, union-find parity also
+    pinned in tests/test_dedup.py); the DuckDB twin expresses the same
+    fixpoint as a recursive reachability CTE (min over reachable ids).
+    The MinHash-edged variant stays rows-only in tests/test_dedup.py —
+    seeded xxhash64 has no SQL twin."""
     from g_data_pipeline_spark.operators.dedup import (
         dedup_clusters,
-        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=1000
+    )
     return dedup_clusters(pairs)

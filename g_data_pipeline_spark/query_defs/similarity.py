@@ -135,28 +135,30 @@ def v_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v_mean_pool",
     oracle="""
-    SELECT label, list(m ORDER BY pos) AS mean_vec,
-           MAX(cnt) AS n_vectors
-    FROM (
-      SELECT label, pos,
-             CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1e12) AS BIGINT))
-                  AS DOUBLE) / 1e12 / COUNT(*) AS m,
-             COUNT(*) AS cnt
-      FROM (SELECT label, unnest(embedding) AS val,
-                   generate_subscripts(embedding, 1) AS pos
-            FROM embeddings)
-      GROUP BY label, pos
-    ) GROUP BY label
+    SELECT CAST(label AS BIGINT) AS label, pos,
+           CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1e12) AS BIGINT))
+                AS DOUBLE) / 1e12 / COUNT(*) AS m,
+           COUNT(*) AS n_vectors
+    FROM (SELECT label, unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) - 1 AS pos
+          FROM embeddings)
+    GROUP BY label, pos
     """,
 )
 def v_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (class centroid) via the (group, pos)-keyed
     two-stage aggregation — deterministic scaled-long element sums, skew
-    spread across dim partitions (operators/similarity.py:mean_pool)."""
-    from g_data_pipeline_spark.operators.similarity import mean_pool
+    spread across dim partitions. Registered in FLATTENED form
+    (label, pos, m, n_vectors) — the driver's canonicalizer cannot hash
+    array columns — while the array-assembling ``mean_pool`` stays the
+    library surface (operators/similarity.py:mean_pool)."""
+    from g_data_pipeline_spark.operators.similarity import mean_pool_flat
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return mean_pool(emb.select("label", "embedding"), ["label"])
+    flat = mean_pool_flat(emb.select("label", "embedding"), ["label"])
+    return flat.select(
+        F.col("label").cast("long").alias("label"), "pos", "m", "n_vectors"
+    )
 
 
 @register("d_semantic_dedup")  # rows-only: k-means cells are not SQL-expressible
@@ -175,12 +177,12 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v_quantize_int8",
     oracle="""
     SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS pos,
            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
              / 127.0 AS scale,
-           list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) /
-                    (list_max(list_transform(embedding,
-                       y -> abs(CAST(y AS DOUBLE)))) / 127.0) + 0.5) AS INT))
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) /
+                  (list_max(list_transform(embedding,
+                     y -> abs(CAST(y AS DOUBLE)))) / 127.0) + 0.5) AS BIGINT)
              AS q
     FROM embeddings
     """,
@@ -191,14 +193,24 @@ def v_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors to an ANN index; 4x smaller than float32 at ~equal recall.
     floor(x+0.5) instead of round() because the engines' round-half modes
     are not contractually identical; floor on identical doubles is.
-    Pure array expressions — no UDF, no shuffle, scan speed at 100 TB."""
+    Pure array expressions — no UDF, one posexplode, scan speed at 100 TB.
+    Registered in FLATTENED form (vec_id, pos, scale, q) so the driver's
+    scalar-only canonicalizer can grade it; the packed array shape is a
+    trivial collect_list away for library use."""
     emb = load_table(spark, sf_dir, "embeddings")
     absmax = F.array_max(
         F.transform("embedding", lambda x: F.abs(x.cast("double")))
     )
-    scale = (absmax / F.lit(127.0)).alias("scale")
-    q = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") / (absmax / 127.0) + 0.5).cast("int"),
-    ).alias("q")
-    return emb.select("vec_id", scale, q)
+    scaled = emb.select(
+        "vec_id",
+        (absmax / F.lit(127.0)).alias("scale"),
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    return scaled.select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        "scale",
+        F.floor(F.col("x").cast("double") / F.col("scale") + 0.5)
+        .cast("long")
+        .alias("q"),
+    )

@@ -123,6 +123,98 @@ class LocalObjectStore(ObjectStore):
         return str(self._path(uri[len(self._prefix):]))
 
 
+class HadoopObjectStore(ObjectStore):
+    """Object store backed by the Hadoop ``FileSystem`` API via the Spark JVM
+    gateway — the REAL cluster code path (reference parity:
+    ``/root/reference/src/services/s3.rs:40-74`` put/get/list/delete).
+
+    ``base_uri`` selects the backend by scheme: ``s3a://bucket/prefix``
+    against a real object store (hadoop-aws + credentials via the standard
+    ``spark.hadoop.fs.s3a.*`` configs), ``hdfs://...``, or ``file:///...``
+    for tests. Every scheme runs the SAME code below — the local contract
+    test over ``file://`` exercises byte-for-byte the calls an ``s3a://``
+    deployment makes, so pointing ``GDP_S3_TEST_URI`` at a live endpoint is
+    a config change, not a code change.
+
+    ``resolve`` is the identity: Spark executors read ``s3a://`` URIs
+    natively, so no rewriting is needed (unlike :class:`LocalObjectStore`,
+    which must map its fake URIs onto a directory tree). Driver-side
+    ``put_bytes``/``get_bytes`` are for small control-plane objects (uploads,
+    JSON results); bulk data moves executor-side via ``spark.read``/``write``
+    on the returned URIs.
+    """
+
+    def __init__(self, spark, base_uri: str):
+        if not base_uri.endswith("/"):
+            base_uri += "/"
+        self.base_uri = base_uri
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._base_path = jvm.org.apache.hadoop.fs.Path(base_uri)
+        self._fs = self._base_path.getFileSystem(self._conf)
+
+    def _jpath(self, key: str):
+        if key.startswith("/") or ".." in key.split("/"):
+            raise ValueError(f"invalid object key {key!r}")
+        return self._jvm.org.apache.hadoop.fs.Path(self.base_uri + key)
+
+    def put_bytes(self, key: str, data: bytes) -> str:
+        out = self._fs.create(self._jpath(key), True)  # overwrite=True
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        return self.uri(key)
+
+    def get_bytes(self, key: str) -> bytes:
+        p = self._jpath(key)
+        if not self._fs.exists(p):
+            raise FileNotFoundError(self.uri(key))
+        stream = self._fs.open(p)
+        try:
+            util = self._jvm.org.apache.commons.io.IOUtils
+            return bytes(util.toByteArray(stream))
+        finally:
+            stream.close()
+
+    def exists(self, key: str) -> bool:
+        return bool(self._fs.exists(self._jpath(key)))
+
+    def delete(self, key: str) -> None:
+        p = self._jpath(key)
+        if self._fs.exists(p):
+            self._fs.delete(p, False)
+
+    def list_keys(self, prefix: str = "") -> list[str]:
+        if not self._fs.exists(self._base_path):
+            return []
+        # Strip against the fs-qualified base: Path.toString() normalizes
+        # URIs (e.g. file:///x -> file:/x), so the raw base_uri string is
+        # not a reliable prefix.
+        base = self._fs.makeQualified(self._base_path).toString().rstrip("/") + "/"
+        out: list[str] = []
+        it = self._fs.listFiles(self._base_path, True)  # recursive
+        while it.hasNext():
+            status = it.next()
+            full = status.getPath().toString()
+            key = full[len(base):] if full.startswith(base) else full
+            if key.startswith(prefix):
+                out.append(key)
+        return sorted(out)
+
+    def uri(self, key: str) -> str:
+        self._jpath(key)  # validate
+        return self.base_uri + key
+
+    def resolve(self, uri: str) -> str:
+        if not uri.startswith(self.base_uri):
+            raise ValueError(
+                f"URI {uri!r} is not in this store (expected {self.base_uri}*)"
+            )
+        return uri
+
+
 class TTLCache:
     """KV cache with per-entry expiry (reference: 24 h insights TTL,
     ``src/services/mod.rs:107``). ``clock`` is injectable for tests."""

@@ -254,6 +254,43 @@ def test_span_dedup_planted_repeats(spark):
     assert len(out) == 5
 
 
+def test_span_dedup_hot_span_skew(spark):
+    """Skew stress: ONE span repeated across 20k docs all hashes to a single
+    reducer partition pre-truncation — the WindowGroupLimit rank pushdown
+    (pinned in tests/test_plans.py) must prune each group to its first row
+    per partition BEFORE the final shuffle, so the hot group's reducer sees
+    O(partitions) rows, not O(n). Behavioral contract checked here: first
+    occurrence (min doc id) keeps the hot span, every other doc keeps only
+    its unique tail, and the run completes at interactive speed."""
+    from pyspark.sql import functions as F
+
+    from g_data_pipeline_spark.operators.dedup import span_dedup
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("hot hot hot hot "),
+            F.format_string("u%d a b c", F.col("id")),
+        ).alias("text"),
+    )
+    out = span_dedup(df, "doc_id", "text", span_tokens=4)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("spans_kept").alias("kept"),
+        F.sum("spans_total").alias("total"),
+        F.sum(F.when(F.col("dedup_text").startswith("hot"), 1).otherwise(0)).alias(
+            "hot_survivors"
+        ),
+    ).collect()[0]
+    assert agg.rows == n  # total labeling
+    assert agg.total == 2 * n
+    assert agg.kept == n + 1  # every unique tail + exactly one hot span
+    assert agg.hot_survivors == 1
+    first = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert first.dedup_text == "hot hot hot hot u0 a b c"
+
+
 def test_span_dedup_preserves_order_of_survivors(spark):
     """Surviving spans reassemble in original position order, not shuffle
     order."""

@@ -34,9 +34,41 @@ def test_entry_smoke(spark):
 
 def test_survey_core_leads_registry():
     """The driver grades only the first 50 registry entries; the pinned
-    _DRIVER_WINDOW (the SURVEY §2 core surface) must be exactly that window,
-    in order — new registrations may never evict a pinned entry."""
+    _DRIVER_WINDOW (round-3 rotation: never-driver-graded oracle queries
+    first, then the SURVEY §2 core — see ROTATION.md) must be exactly that
+    window, in order — new registrations may never evict a pinned entry."""
     from g_data_pipeline_spark.queries import _DRIVER_WINDOW
 
     assert len(_DRIVER_WINDOW) == 50
     assert list(REGISTRY)[:50] == list(_DRIVER_WINDOW)
+
+
+def test_driver_window_entries_all_have_oracles():
+    """A rows-only (oracle=None) entry inside the driver window can never
+    produce a green correctness row — round 2 burned 8 of the 50 slots that
+    way. Window slots are scarce: oracle-gated queries only."""
+    from g_data_pipeline_spark.queries import _DRIVER_WINDOW
+
+    missing = [n for n in _DRIVER_WINDOW if REGISTRY[n].oracle is None]
+    assert missing == []
+
+
+def test_driver_window_outputs_are_scalar_only(spark):
+    """The driver's pandas-based canonicalizer hashes sorted column values
+    and crashes on unhashable cells (`TypeError: unhashable type: 'list'` —
+    the round-2 v_mean_pool red row). No in-window query may output
+    array/map/struct columns; flatten (posexplode) instead."""
+    from g_data_pipeline_spark.queries import _DRIVER_WINDOW
+    from tests.conftest import SF_DIR_SMOKE
+
+    offenders = {}
+    for name in _DRIVER_WINDOW:
+        df = REGISTRY[name].fn(spark, SF_DIR_SMOKE)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}
