@@ -56,6 +56,11 @@ HEADLINE = [
     "j_q8_market_share",
     "t_repetition_stats",
     "d_semantic_dedup",
+    # round-3 additions (first recorded cost becomes their baseline)
+    "a_range_join",
+    "e_funnel_conversion",
+    "t_tfidf_topk",
+    "d_priority_merge",
 ]
 
 

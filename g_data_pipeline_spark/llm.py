@@ -37,6 +37,138 @@ class LLMClient(Protocol):
         ...
 
 
+class LLMUnavailable(RuntimeError):
+    """All transport attempts failed (network error, 5xx, timeout)."""
+
+
+class HttpLLMClient:
+    """OpenAI-compatible chat-completions client over stdlib ``urllib`` —
+    the production implementation of the :class:`LLMClient` seam, with the
+    reference's operational semantics (``/root/reference/src/services/
+    ai.rs:96`` 30 s summary / 15 s translation timeouts; ``processor.rs:
+    128,155,176-206`` two attempts then canned fallback):
+
+    - per-attempt socket timeout (``timeout_s``),
+    - ``max_attempts`` tries with no backoff wait between them (matching the
+      reference's immediate retry), retrying on network errors, timeouts,
+      HTTP 5xx and 429 — NOT on other 4xx (a bad request stays bad),
+    - ``translate`` raises ``ValueError`` when the transport is down or the
+      model returns unusable output, which routes callers onto the
+      rule-based translator (service.py's documented fallback),
+    - ``summarize`` degrades to the same canned fallback prose shape the
+      reference uses rather than failing the profiling job.
+
+    Point ``base_url`` at any chat-completions server (hosted or local);
+    there is deliberately no SDK dependency. Deterministic tests drive it
+    against a loopback ``http.server`` (tests/test_llm_http.py); nothing
+    here requires external network access.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        api_key: str = "",
+        model: str = "gpt-4o",
+        timeout_s: float = 15.0,
+        max_attempts: int = 2,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.api_key = api_key
+        self.model = model
+        self.timeout_s = timeout_s
+        self.max_attempts = max_attempts
+
+    # -- transport ---------------------------------------------------------
+
+    def _chat(self, messages: list[dict[str, str]]) -> str:
+        import urllib.error
+        import urllib.request
+
+        body = json.dumps(
+            {"model": self.model, "messages": messages}
+        ).encode("utf-8")
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        last_err: Exception | None = None
+        for _ in range(self.max_attempts):
+            req = urllib.request.Request(
+                f"{self.base_url}/chat/completions", data=body, headers=headers
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    payload = json.loads(resp.read().decode("utf-8"))
+                return payload["choices"][0]["message"]["content"]
+            except urllib.error.HTTPError as exc:
+                if exc.code < 500 and exc.code != 429:
+                    raise LLMUnavailable(f"HTTP {exc.code}: {exc.reason}") from exc
+                last_err = exc  # 5xx / 429: retry
+            except (urllib.error.URLError, TimeoutError, OSError) as exc:
+                last_err = exc
+            except (KeyError, IndexError, ValueError) as exc:
+                # 200 with an unusable body — retrying may help (LB flap)
+                last_err = exc
+        raise LLMUnavailable(
+            f"LLM unreachable after {self.max_attempts} attempts: {last_err}"
+        ) from last_err
+
+    # -- LLMClient ---------------------------------------------------------
+
+    def translate(
+        self, query_text: str, columns: list[str], history: list[str]
+    ) -> str:
+        prompt = (
+            "Translate the user's question about a dataset into a single "
+            "StructuredQuery JSON object with keys intent, column, value, "
+            "operator. Answer with JSON only.\n"
+            f"Columns: {', '.join(columns)}\n"
+            + (f"Conversation so far: {' | '.join(history)}\n" if history else "")
+            + f"Question: {query_text}"
+        )
+        try:
+            return self._chat(
+                [
+                    {
+                        "role": "system",
+                        "content": "You translate questions to structured queries.",
+                    },
+                    {"role": "user", "content": prompt},
+                ]
+            )
+        except LLMUnavailable as exc:
+            # contract: ValueError -> caller falls back to rule-based NL
+            raise ValueError(str(exc)) from exc
+
+    def summarize(self, query_text: str, rows: list[dict[str, Any]]) -> str:
+        try:
+            return self._chat(
+                [
+                    {
+                        "role": "system",
+                        "content": (
+                            "You are a data analysis assistant. Provide a "
+                            "concise, business-focused summary."
+                        ),
+                    },
+                    {
+                        "role": "user",
+                        "content": (
+                            f"Question: {query_text}\n"
+                            f"Result rows (JSON): {json.dumps(rows[:50])}"
+                        ),
+                    },
+                ]
+            )
+        except LLMUnavailable:
+            # reference behavior: canned fallback, never fail the job
+            if not rows:
+                return "The query returned no data."
+            return (
+                f"Summary unavailable (model unreachable); the query "
+                f"returned {len(rows)} row(s)."
+            )
+
+
 class FakeLLMClient:
     """Canned, deterministic LLM. ``translations`` maps a query substring
     (matched case-insensitively, first match in insertion order wins) to the

@@ -110,6 +110,14 @@ _DRIVER_WINDOW = (
     "s_intersect_all",
     "g_grouping_sets",
     "w_percent_rank_cume_dist",
+    # -- Round-3 NEW operators (registered this round; oracle-green in sim,
+    # first driver grading now).
+    "a_range_join",
+    "e_funnel_conversion",
+    "t_tfidf_topk",
+    "t_char_diversity",
+    "t_vocab_stats",
+    "d_priority_merge",
     # -- SURVEY §2 core re-confirmation (green in r1+r2; kept in-window so
     # the reference-parity surface has a green row every round). New round-3
     # oracle queries take slots from this tail first.
@@ -129,12 +137,6 @@ _DRIVER_WINDOW = (
     "q1_pricing_summary",
     "p_numeric_stats",
     "p_null_unique_counts",
-    "p_correlation_matrix",
-    "p_top_values",
-    "v_array_functions",
-    "v_cosine_topk",
-    "d_exact_dedup",
-    "pipeline_curate_documents",
 )
 
 # Queries promoted right after the pinned window (in this order) — all have

@@ -13,3 +13,4 @@ from g_data_pipeline_spark.query_defs import multimodal  # noqa: F401
 from g_data_pipeline_spark.query_defs import reference_surface  # noqa: F401
 from g_data_pipeline_spark.query_defs import similarity  # noqa: F401
 from g_data_pipeline_spark.query_defs import text  # noqa: F401
+from g_data_pipeline_spark.query_defs import text2  # noqa: F401

@@ -236,3 +236,57 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
     )
+
+
+@register(
+    "d_priority_merge",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, source, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'mirror' AS source, text, n_chars
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(trim(regexp_replace(regexp_replace(
+                 lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+               ORDER BY CASE WHEN source = 'mirror' THEN 0 ELSE 1 END,
+                        doc_id) AS rn
+      FROM corpus) WHERE rn = 1
+    """,
+)
+def d_priority_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-aware multi-source corpus merge: when the same normalized
+    text arrives from several sources, keep the copy from the
+    highest-priority source (then MIN doc id) — the union step of every
+    multi-dump training corpus (curated mirror beats raw crawl). The
+    synthetic corpus has no natural cross-source duplicates, so a 'mirror'
+    copy of every 5th document is planted (higher priority than the
+    original, doc_id + 1e6) and must win its pair. One shuffle, keyed on
+    the content fingerprint; survivor choice is a WindowGroupLimit-pruned
+    rank, same scale shape as exact_dedup (operators/dedup.py:39)."""
+    from g_data_pipeline_spark.functions.text import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+        "n_chars",
+    )
+    corpus = docs.unionByName(planted)
+    tier = F.when(F.col("source") == "mirror", 0).otherwise(1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint_md5("text")).orderBy(
+        tier.asc(), F.col("doc_id").asc()
+    )
+    return (
+        corpus.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source", "n_chars")
+    )

@@ -220,3 +220,119 @@ def a_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["event_id"],
         seed="split1",
     )
+
+
+@register(
+    "a_range_join",
+    oracle="""
+    WITH w AS (
+      SELECT event_id AS window_id, ts AS w_start,
+             ts + INTERVAL 15 MINUTE AS w_end
+      FROM events WHERE event_type = 'error' AND value >= 200.0
+    ), p AS (
+      SELECT event_id AS purchase_id, ts AS p_ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT w.window_id, p.purchase_id, p.p_ts, p.value
+    FROM w JOIN p ON p.p_ts >= w.w_start AND p.p_ts < w.w_end
+    """,
+)
+def a_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval containment) join: every purchase falling inside a
+    15-minute incident window opened by a high-value error event. Executed
+    as a BUCKETED equi-join (operators/rangejoin.py) — point joins interval
+    through a shared time-bucket key, then the exact containment predicate
+    re-checks — no nested-loop cross product (plan-asserted in
+    tests/test_plans.py). Oracle is the plain inequality join, which DuckDB
+    runs via its native IEJoin."""
+    from g_data_pipeline_spark.operators.rangejoin import bucketed_range_join
+
+    events = load_table(spark, sf_dir, "events")
+    intervals = events.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 200.0)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("w_end"),
+    )
+    points = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    out = bucketed_range_join(
+        points, intervals, "p_ts", "w_start", "w_end", bucket_width="15 minutes"
+    )
+    return out.select("window_id", "purchase_id", "p_ts", "value")
+
+
+@register(
+    "e_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): users whose first click
+    follows their first view, and whose first purchase follows THAT click.
+    The product-analytics sequence primitive. Implemented with three
+    stacked window expressions over the SAME user partition — Catalyst
+    plans them into one shuffle + three Window nodes (no joins, no
+    re-partitioning); the oracle expresses the identical semantics as
+    chained grouped CTEs."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.select("user_id", "event_type", "ts")
+        .withColumn(
+            "v_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("v_ts").alias("v_ts"),
+        F.max("c_ts").alias("c_ts"),
+        F.max("p_ts").alias("p_ts"),
+    )
+    return per_user.agg(
+        F.count("v_ts").alias("n_view_users"),
+        F.count("c_ts").alias("n_click_after_view"),
+        F.count("p_ts").alias("n_purchase_after_click"),
+    )

@@ -1,0 +1,177 @@
+"""Corpus-statistics queries over ``documents``, wave 2: TF-IDF keyword
+extraction, character-diversity quality scoring, and per-source vocabulary
+statistics. All JVM-expression-only (no UDFs), shuffles keyed on content
+(doc, token, source) — the shapes that survive a 100 TB corpus.
+
+Determinism notes (same policy as queries.py's module docstring):
+- Integer counts are exact everywhere.
+- ``t_char_diversity`` is log-free by design: the Gini–Simpson index
+  ``1 - Σc²/L²`` is computed from exact integer sums with one double
+  multiply + divide at the end — bit-identical on any engine, unlike
+  Shannon entropy whose per-term ``log`` last-bits differ between libm
+  implementations.
+- ``t_tfidf_topk`` does need ``ln``; scores are rounded to 6 decimals on
+  BOTH engines before ranking (documented deviation, same as
+  stddev/corr), and ties break on the token string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.catalog import load_table
+from g_data_pipeline_spark.functions.text import tokens
+from g_data_pipeline_spark.queries import register
+
+# DuckDB twin of functions.text.tokens(): lower, trim, split on whitespace.
+_SQL_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+@register(
+    "t_tfidf_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(round(tf.tf * ln((n.n_docs + 1) / (df.df + 1.0)), 6)
+                  AS DOUBLE) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by smoothed TF-IDF
+    (``tf · ln((N+1)/(df+1))``) — the classic keyword-extraction /
+    relevance-weighting pass. Three content-keyed shuffles ((doc,token)
+    count, token document-frequency, per-doc window) + one broadcast of
+    the single-row corpus count; no UDFs, no cartesian. Scores rounded to
+    6 decimals on both engines BEFORE ranking so the rank keys are
+    bit-identical (ln last-bits differ across libm implementations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+@register(
+    "t_char_diversity",
+    oracle="""
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS total_chars,
+           COUNT(*) AS distinct_chars,
+           1.0 - CAST(SUM(c * c) AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS gini
+    FROM (
+      SELECT doc_id, ch, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+            FROM documents)
+      WHERE ch <> ''
+      GROUP BY doc_id, ch
+    )
+    GROUP BY doc_id
+    """,
+)
+def t_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Gini–Simpson diversity per document
+    (``1 - Σc²/L²``): near 0 flags degenerate/spammy text (one repeated
+    character), ~0.95 is normal prose — the log-free cousin of character
+    entropy, chosen because it is EXACTLY deterministic: integer sums, one
+    double multiply + divide at the end. Blank documents produce no rows
+    (no characters to measure)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").cast("long")
+    return per_char.groupBy("doc_id").agg(
+        total.alias("total_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")).cast("double")
+            / (total.cast("double") * total.cast("double"))
+        ).alias("gini"),
+    )
+
+
+@register(
+    "t_vocab_stats",
+    oracle=rf"""
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_types,
+           COUNT(*) / CAST(SUM(cnt) AS DOUBLE) AS type_token_ratio
+    FROM (
+      SELECT source, token, COUNT(*) AS cnt
+      FROM (SELECT source, unnest({_SQL_TOKS}) AS token FROM documents)
+      WHERE token <> ''
+      GROUP BY source, token
+    )
+    GROUP BY source
+    """,
+)
+def t_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: token volume, distinct types, hapax
+    legomena (frequency-1 types — the Zipf tail), and type/token ratio.
+    The corpus-health metrics behind mixture and filtering decisions
+    (a source whose TTR collapses is boilerplate; one that is all hapax is
+    noise). Two keyed shuffles ((source, token) then source); all-integer
+    aggregation with one final double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    per_tok = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_tok.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax_types"),
+        (
+            F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double")
+        ).alias("type_token_ratio"),
+    )

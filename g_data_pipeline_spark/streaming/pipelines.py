@@ -252,3 +252,52 @@ def click_to_purchase_stream(
         "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts",
         "purchase_value",
     )
+
+
+def exactly_once_parquet_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+):
+    """End-to-end exactly-once PARQUET sink via ``foreachBatch`` + dynamic
+    partition overwrite — the standard idempotent-writer pattern for sinks
+    without transactional commit.
+
+    Structured Streaming guarantees each epoch is replayed with the SAME
+    ``batch_id`` after failure; writing every micro-batch into its own
+    ``__batch_id=N`` partition with dynamic partition-overwrite makes the
+    replay overwrite exactly the partition the failed attempt may have
+    half-written, never duplicating rows in other partitions. Downstream
+    batch readers just read ``path`` (the synthetic ``__batch_id`` column
+    prunes away under column pruning).
+
+    Returns once the AvailableNow trigger has drained all input. The
+    per-batch writer is exposed as ``exactly_once_parquet_sink.write_batch``
+    for tests to invoke a simulated replay directly.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"exactly-once sink did not drain within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return write_batch

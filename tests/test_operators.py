@@ -196,3 +196,59 @@ def test_mixture_weights_upsamples_small_sources(spark):
     assert out["small"].mix_weight > out["small"].natural_share
     assert out["big"].mix_weight < out["big"].natural_share
     assert abs(out["big"].mix_weight + out["small"].mix_weight - 1.0) < 1e-12
+
+
+def test_bucketed_range_join_semantics(spark):
+    """Half-open [start, end) containment; intervals spanning many buckets
+    match points in every covered bucket exactly once; disjoint points drop."""
+    from datetime import datetime
+
+    from g_data_pipeline_spark.operators.rangejoin import bucketed_range_join
+
+    T = datetime
+    points = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0, 0)),   # == start -> in
+            (2, T(2024, 1, 1, 10, 59, 59)), # just inside
+            (3, T(2024, 1, 1, 11, 0, 0)),   # == end -> OUT (half-open)
+            (4, T(2024, 1, 1, 9, 59, 59)),  # before -> out
+            (5, T(2024, 1, 1, 10, 30, 0)),  # mid, crosses several buckets
+            (6, T(2024, 1, 2, 0, 0, 0)),    # far away -> out
+        ],
+        ["pid", "p_ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, T(2024, 1, 1, 10, 0, 0), T(2024, 1, 1, 11, 0, 0)),
+            # overlapping second interval: points 2 and 5 match BOTH
+            (200, T(2024, 1, 1, 10, 15, 0), T(2024, 1, 1, 12, 0, 0)),
+        ],
+        ["iid", "w_start", "w_end"],
+    )
+    out = bucketed_range_join(
+        points, intervals, "p_ts", "w_start", "w_end", bucket_width="5 minutes"
+    )
+    pairs = sorted((r.pid, r.iid) for r in out.collect())
+    assert pairs == [(1, 100), (2, 100), (2, 200), (3, 200), (5, 100), (5, 200)]
+
+
+def test_bucketed_range_join_no_duplicate_pairs(spark):
+    """A (point, interval) pair meets in exactly one bucket (the point's) —
+    wide intervals must not yield duplicate matches."""
+    from datetime import datetime
+
+    from g_data_pipeline_spark.operators.rangejoin import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, 0, i, 30)) for i in range(50)],
+        ["pid", "p_ts"],
+    )
+    intervals = spark.createDataFrame(
+        [(9, datetime(2024, 1, 1, 0, 0, 0), datetime(2024, 1, 2, 0, 0, 0))],
+        ["iid", "w_start", "w_end"],
+    )
+    out = bucketed_range_join(
+        points, intervals, "p_ts", "w_start", "w_end", bucket_width="1 minutes"
+    )
+    assert out.count() == 50
+    assert out.select("pid").distinct().count() == 50

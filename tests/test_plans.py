@@ -228,3 +228,45 @@ def test_incremental_dedup_anti_join_adapts_to_history_size(spark):
     assert "LeftAnti" in plan
     logical = df._jdf.queryExecution().logical().toString()
     assert "UnresolvedHint" not in logical and "hint" not in logical.lower()
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """The range join must plan as a hash equi-join on the time bucket —
+    a naive ts-between-start-and-end join degenerates to
+    BroadcastNestedLoopJoin (O(points x intervals), the scale-killer the
+    bucketing exists to avoid)."""
+    plan = plan_of(spark, "a_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    c = op_counts(plan)
+    assert c.get("BroadcastHashJoin", 0) + c.get("SortMergeJoin", 0) >= 1
+
+
+def test_funnel_single_shuffle_window_stack(spark):
+    """The three stacked funnel windows share the user partition: Catalyst
+    must plan ONE exchange for all of them (plus the final single-row
+    aggregate's), never re-shuffling between window stages."""
+    plan = plan_of(spark, "e_funnel_conversion")
+    assert "CartesianProduct" not in plan
+    # user-partition exchange + two for the global agg boundary at most
+    assert shuffle_count(plan) <= 3
+    assert op_counts(plan).get("Window", 0) >= 1
+
+
+def test_priority_merge_rank_pruned(spark):
+    """Survivor selection is a rank over the content fingerprint — the
+    rn=1 filter must get WindowGroupLimit truncation so a hot fingerprint
+    (mass-duplicated doc) is pruned per-partition before the shuffle."""
+    plan = plan_of(spark, "d_priority_merge")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_only_broadcast_is_corpus_count(spark):
+    """tf-idf joins are keyed on token; the only nested-loop-ish shape
+    allowed is the broadcast of the single-row corpus-count aggregate."""
+    plan = plan_of(spark, "t_tfidf_topk")
+    assert "CartesianProduct" not in plan
+    # the single-row count may broadcast via BNLJ; anything bigger may not
+    assert op_counts(plan).get("BroadcastNestedLoopJoin", 0) <= 1
+    assert "WindowGroupLimit" in plan  # top-3 pruned before final shuffle

@@ -238,7 +238,9 @@ def test_semantic_dedup_keeps_one_per_tight_cluster(spark):
 
 def test_quantize_int8_roundtrip_error_bound(spark):
     """Property of symmetric int8 quantization: |x - q*scale| <= scale/2
-    and every q fits int8 range [-127, 127]."""
+    and every q fits int8 range [-127, 127]. The registered query is the
+    FLATTENED (vec_id, pos, scale, q) form (driver-gradeable, scalar-only);
+    reassemble per vector here to check the round-trip."""
     import math
 
     from g_data_pipeline_spark.queries import REGISTRY
@@ -246,15 +248,19 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     rows = REGISTRY["v_quantize_int8"].fn(spark, "/root/testdata/sf0.001").collect()
     emb = {
         r.vec_id: r.embedding
-        for r in REGISTRY["v_quantize_int8"]
-        .fn(spark, "/root/testdata/sf0.001")
-        .sparkSession.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-        .collect()
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).collect()
     }
     assert rows
+    by_vec: dict = {}
     for r in rows:
-        v = emb[r.vec_id]
-        assert all(-127 <= q <= 127 for q in r.q)
-        for x, q in zip(v, r.q):
+        by_vec.setdefault(r.vec_id, {})[r.pos] = r
+    for vec_id, elems in by_vec.items():
+        v = emb[vec_id]
+        assert len(elems) == len(v)
+        for pos, x in enumerate(v):
+            r = elems[pos]
+            assert -127 <= r.q <= 127
             assert math.isfinite(r.scale)
-            assert abs(float(x) - q * r.scale) <= r.scale / 2 + 1e-12
+            assert abs(float(x) - r.q * r.scale) <= r.scale / 2 + 1e-12

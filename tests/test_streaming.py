@@ -289,3 +289,37 @@ def test_stream_stream_join_matches_batch(spark, events_json_dir):
     b = _normalize(batch)
     assert len(b) > 0  # the fixture must actually exercise the join
     assert _normalize(got) == b
+
+
+def test_exactly_once_sink_idempotent_on_replay(spark, events_json_dir, tmp_path):
+    """foreachBatch + dynamic partition overwrite: draining the stream lands
+    exactly the input rows; replaying a batch (the post-failure path —
+    Structured Streaming re-runs the epoch with the SAME batch_id)
+    overwrites its own partition instead of appending duplicates."""
+    from g_data_pipeline_spark.streaming.pipelines import (
+        exactly_once_parquet_sink,
+        stream_events_from_json,
+    )
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_events_from_json(spark, events_json_dir)
+    write_batch = exactly_once_parquet_sink(stream, out, ckpt)
+
+    n_expected = load_table(spark, SF_DIR_SMOKE, "events").count()
+    landed = spark.read.parquet(out)
+    assert landed.count() == n_expected
+    assert landed.select("event_id").distinct().count() == n_expected
+
+    # simulated replay: re-write batch 0 with the same batch_id. Materialize
+    # the rows first — overwriting a path while lazily reading from it is
+    # exactly the self-reference the real foreachBatch replay never has
+    # (it replays from the SOURCE).
+    rows0 = (
+        landed.filter(F.col("__batch_id") == 0).drop("__batch_id").collect()
+    )
+    assert rows0
+    batch0 = spark.createDataFrame(rows0, landed.drop("__batch_id").schema)
+    write_batch(batch0, 0)
+    after = spark.read.parquet(out)
+    assert after.count() == n_expected  # no duplicates, nothing lost
