@@ -118,6 +118,7 @@ _DRIVER_WINDOW = (
     "t_char_diversity",
     "t_vocab_stats",
     "d_priority_merge",
+    "d_source_shingle_overlap",
     # -- SURVEY §2 core re-confirmation (green in r1+r2; kept in-window so
     # the reference-parity surface has a green row every round). New round-3
     # oracle queries take slots from this tail first.
@@ -136,7 +137,6 @@ _DRIVER_WINDOW = (
     "r11_visualize_cap",
     "q1_pricing_summary",
     "p_numeric_stats",
-    "p_null_unique_counts",
 )
 
 # Queries promoted right after the pinned window (in this order) — all have

@@ -290,3 +290,102 @@ def d_priority_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", "source", "n_chars")
     )
+
+
+@register(
+    "d_source_shingle_overlap",
+    oracle=r"""
+    WITH shing AS (
+      SELECT source, list_distinct([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)]) AS sh
+      FROM (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), posts AS (
+      SELECT DISTINCT source, unnest(sh) AS s FROM shing
+    ), sizes AS (
+      SELECT source, COUNT(*) AS n_shingles FROM posts GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) AS shared_shingles,
+           COUNT(*) / CAST(sa.n_shingles + sb.n_shingles - COUNT(*) AS DOUBLE)
+             AS jaccard
+    FROM posts a
+    JOIN posts b ON a.s = b.s AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY a.source, b.source, sa.n_shingles, sb.n_shingles
+    """,
+)
+def d_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the count
+    and Jaccard similarity of shared distinct word-3-gram shingles — the
+    subcorpus-level overlap audit run before mixing sources into a training
+    set (near-identical sources double-weight their content silently).
+
+    Scale: posts are DISTINCT (source, shingle) — a shingle contributes at
+    most n_sources rows, so the shingle self-join fans out by at most
+    n_sources² per shingle key INDEPENDENT of corpus row count (unlike
+    doc-level pair joins, which need the frequency cutoff). Shuffles keyed
+    on shingle then (src_a, src_b); source count is the small dimension, so
+    the sizes join broadcasts."""
+    from g_data_pipeline_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    posts = (
+        docs.select(
+            "source", F.explode(word_shingles("text", n=3)).alias("s")
+        )
+        .distinct()
+    )
+    sizes = posts.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = posts.select(F.col("source").alias("src_a"), "s")
+    b = posts.select(F.col("source").alias("src_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("n_shingles").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("n_shingles").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared_shingles",
+            (
+                F.col("shared_shingles").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles"))
+                .cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register("d_pagerank")  # rows-only: aggregation-inside-recursion has no SQL twin
+def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document centrality over the exact near-dup graph (Jaccard >= 0.3
+    word-3-gram edges, symmetrized): the graph-quality-prior primitive
+    (web-crawl curation ranks hosts/pages by link centrality before
+    sampling). Iterative power iteration (operators/graph.py:pagerank);
+    NumPy parity pinned to 1e-9 in tests/test_operators.py."""
+    from g_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from g_data_pipeline_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3, max_shingle_freq=1000
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return pagerank(edges, n_iter=10)

@@ -252,3 +252,36 @@ def test_bucketed_range_join_no_duplicate_pairs(spark):
     )
     assert out.count() == 50
     assert out.select("pid").distinct().count() == 50
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    """Distributed PageRank == dense NumPy power iteration on the same
+    graph (same damping, same dangling handling), to 1e-9. Graph includes a
+    dangling node (3) and an isolated-ish sink to exercise mass
+    redistribution."""
+    import numpy as np
+
+    from g_data_pipeline_spark.operators.graph import pagerank
+
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (4, 3), (2, 3)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {r.id: r.rank for r in pagerank(edges, n_iter=25).collect()}
+
+    ids = sorted({u for uv in edge_list for u in uv})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    M = np.zeros((n, n))
+    for u, v in edge_list:
+        M[idx[v], idx[u]] += 1.0
+    deg = M.sum(axis=0)
+    for j in range(n):
+        if deg[j]:
+            M[:, j] /= deg[j]
+    d = 0.85
+    r = np.full(n, 1.0 / n)
+    for _ in range(25):
+        dangling = r[deg == 0].sum()
+        r = (1 - d) / n + d * (M @ r) + d * dangling / n
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])

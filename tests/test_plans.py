@@ -270,3 +270,20 @@ def test_tfidf_only_broadcast_is_corpus_count(spark):
     # the single-row count may broadcast via BNLJ; anything bigger may not
     assert op_counts(plan).get("BroadcastNestedLoopJoin", 0) <= 1
     assert "WindowGroupLimit" in plan  # top-3 pruned before final shuffle
+
+
+def test_histogram_broadcasts_range_aggregate(spark):
+    """The min/max pre-aggregate is a single row: it must broadcast (BNLJ
+    of a 1-row side is fine); the bucketed count is one shuffle."""
+    plan = plan_of(spark, "p_histogram")
+    assert "CartesianProduct" not in plan
+    c = op_counts(plan)
+    assert c.get("BroadcastNestedLoopJoin", 0) + c.get("BroadcastHashJoin", 0) >= 1
+
+
+def test_moving_avg_single_window_shuffle(spark):
+    """The trailing frame is one Window over the customer partition:
+    exactly one exchange."""
+    plan = plan_of(spark, "w_moving_avg")
+    assert shuffle_count(plan) == 1
+    assert op_counts(plan).get("Window", 0) == 1
