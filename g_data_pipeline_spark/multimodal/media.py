@@ -418,3 +418,79 @@ def decode_audio_features(media: DataFrame, codec: str = "fake") -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    codec: str = "fake",
+) -> DataFrame:
+    """Perceptual average-hash per image -> (media_id, phash int64).
+
+    The aHash recipe: decode -> nearest-neighbor downsample to 8x8 luma ->
+    threshold each cell against the 8x8 mean -> pack the 64 bits into one
+    BIGINT. Byte-identical images always collide; small re-encodes/resizes
+    usually do (the downsample discards exactly the detail they change).
+    Arrow-batched mapInPandas (numpy per batch); the hash output is a plain
+    integer column, so downstream dedup is ordinary relational groupBy —
+    the multimodal twin of text fingerprint_dedup.
+    """
+    if codec == "pil":
+        _require_pil()
+    decode = _image_decoder(codec)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                w, h, px = decode(bytes(content))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(8) * h // 8).clip(0, h - 1)
+                xs = (np.arange(8) * w // 8).clip(0, w - 1)
+                small = arr[np.ix_(ys, xs)].astype(np.float64)
+                bits = (small >= small.mean()).flatten()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # map to signed int64 (top bit set -> negative)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(int(mid))
+                hashes.append(val)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)
+
+
+def image_phash_dedup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    codec: str = "fake",
+) -> DataFrame:
+    """Perceptual image dedup: one survivor (MIN id) per phash bucket ->
+    (media_id, phash, n_copies). The hash is computed once per image
+    (mapInPandas); survivor choice is the standard WindowGroupLimit-pruned
+    rank keyed on the hash — identical scale shape to exact_dedup."""
+    from pyspark.sql import Window
+
+    hashed = image_phash(media, id_col, content_col, codec)
+    w = Window.partitionBy("phash").orderBy(id_col)
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_copies", F.count(F.lit(1)).over(Window.partitionBy("phash"))
+        )
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "phash", F.col("n_copies").cast("long"))
+    )

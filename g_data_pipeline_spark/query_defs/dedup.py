@@ -337,6 +337,15 @@ def d_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.explode(word_shingles("text", n=3)).alias("s")
         )
         .distinct()
+        # Materialize the (much smaller) distinct posts set ONCE: three
+        # branches consume it (pair join sides a/b + per-source sizes).
+        # Catalyst's ReuseExchange covers the identical a/b subtrees, but
+        # the sizes aggregation would otherwise re-scan documents and
+        # re-explode every shingle — at corpus scale that doubles the
+        # dominant cost. localCheckpoint trades executor-storage of the
+        # distinct set for a single explode pass (same pattern as
+        # dedup_clusters / semantic_dedup).
+        .localCheckpoint(eager=True)
     )
     sizes = posts.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = posts.select(F.col("source").alias("src_a"), "s")

@@ -56,3 +56,22 @@ def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     audio = synthetic_audio(docs, "doc_id")
     return decode_audio_features(audio).orderBy("media_id")
+
+
+@register("m_image_phash_dedup", oracle=None)
+def m_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: aHash (8x8 mean-threshold, one BIGINT per
+    image, mapInPandas) -> MIN-id survivor per hash bucket. The corpus is
+    the synthetic image set PLUS a byte-identical planted copy of every
+    4th image (media_id + 1e7) — every copy must collapse onto its
+    original. Rows-only (codec op); survivor/copy-count invariants pinned
+    in tests/test_multimodal.py."""
+    from g_data_pipeline_spark.multimodal.media import image_phash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    images = synthetic_images(docs, "doc_id")
+    copies = images.filter(F.col("media_id") % 4 == 0).withColumn(
+        "media_id", F.col("media_id") + 10_000_000
+    )
+    corpus = images.unionByName(copies)
+    return image_phash_dedup(corpus).orderBy("media_id")

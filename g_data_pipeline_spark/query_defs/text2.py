@@ -175,3 +175,66 @@ def t_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double")
         ).alias("type_token_ratio"),
     )
+
+
+@register(
+    "t_unigram_logprob",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ), occ AS (
+      SELECT doc_id, token FROM toks WHERE token <> ''
+    ), lm AS (
+      SELECT token,
+             CAST(ROUND(ln(COUNT(*) / CAST((SELECT COUNT(*) FROM occ) AS DOUBLE)),
+                        6) * 1e6 AS BIGINT) AS logp_micro
+      FROM occ GROUP BY token
+    )
+    SELECT o.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(lm.logp_micro) AS BIGINT) AS sum_logp_micro,
+           CAST(SUM(lm.logp_micro) AS DOUBLE) / 1e6 / COUNT(*) AS avg_logprob
+    FROM occ o JOIN lm ON o.token = lm.token
+    GROUP BY o.doc_id
+    """,
+)
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram language model — the KenLM-shaped fluency/quality filter
+    (very negative = rare-token soup, near the corpus mode = ordinary
+    prose). Determinism recipe for the float-laden sum: each DISTINCT
+    token's ln(count/total) is rounded to 6 decimals ONCE (boundary risk
+    per vocab entry, not per occurrence), scaled to an exact integer
+    micro-logprob, and per-doc totals are integer sums — only the final
+    mean is a double division. Shuffles: unigram count (token), LM join
+    (token), doc aggregation (doc_id) — all content-keyed; the LM table is
+    vocabulary-sized and broadcasts when small."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    total = occ.agg(F.count(F.lit(1)).alias("t"))
+    lm = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            (F.round(F.log(F.col("c") / F.col("t").cast("double")), 6) * 1e6)
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    return (
+        occ.join(lm, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("logp_micro").cast("long").alias("sum_logp_micro"),
+            (
+                F.sum("logp_micro").cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1))
+            ).alias("avg_logprob"),
+        )
+    )

@@ -109,3 +109,45 @@ def test_audio_real_codec_is_declared_plug_point():
 
     with pytest.raises(NotImplementedError):
         _require_audio_codec()
+
+
+def test_image_phash_dedup_collapses_planted_copies(spark):
+    """Byte-identical planted copies MUST share their original's phash and
+    lose the MIN-id survivor rank. Distinct synthetic images may also
+    collide (they are smooth ramps — exactly the near-uniform content
+    aHash is designed to bucket together), so the invariants are
+    group-level: survivors are originals, group sizes account for every
+    row, survivor = MIN id of its group."""
+    from pyspark.sql import functions as F
+
+    from g_data_pipeline_spark.multimodal.media import (
+        image_phash,
+        image_phash_dedup,
+        synthetic_images,
+    )
+
+    base = spark.range(60).select(F.col("id").alias("doc_id"))
+    images = synthetic_images(base, "doc_id")
+    copies = images.filter(F.col("media_id") % 4 == 0).withColumn(
+        "media_id", F.col("media_id") + 10_000_000
+    )
+    corpus = images.unionByName(copies)
+
+    hashes = {r.media_id: r.phash for r in image_phash(corpus).collect()}
+    assert len(hashes) == 75  # 60 originals + 15 copies
+    for m in range(0, 60, 4):
+        assert hashes[m + 10_000_000] == hashes[m]  # exact copy collides
+
+    out = image_phash_dedup(corpus).collect()
+    survivors = {r.media_id for r in out}
+    assert all(m < 10_000_000 for m in survivors)  # copies never survive
+    assert sum(r.n_copies for r in out) == 75  # total labeling of the corpus
+    by_hash: dict[int, list[int]] = {}
+    for m, hv in hashes.items():
+        by_hash.setdefault(hv, []).append(m)
+    expected = {min(ids): len(ids) for ids in by_hash.values()}
+    assert {r.media_id: r.n_copies for r in out} == expected
+
+    # determinism: hashing twice gives identical values
+    h2 = {r.media_id: r.phash for r in image_phash(corpus).collect()}
+    assert h2 == hashes
