@@ -61,6 +61,8 @@ HEADLINE = [
     "e_funnel_conversion",
     "t_tfidf_topk",
     "d_priority_merge",
+    "t_unigram_logprob",
+    "t_dsir_weights",
 ]
 
 

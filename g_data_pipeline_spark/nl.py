@@ -92,6 +92,34 @@ def rule_based_translate(
             named = _find_named_column(prior, columns)
             if named is not None:
                 break
+    # Sort / top-k phrases -> SORT intent, checked BEFORE the aggregate
+    # keywords: "sort by total price" must not be hijacked by the "total"
+    # (sum) keyword occurring inside the column phrase. \border\b does not
+    # match "orders", so count-style questions fall through unharmed.
+    sort_kw = re.search(
+        r"\b(sort|order|rank|highest|largest|lowest|smallest)\b"
+        r"|\b(?:top|first)\s+\d+",
+        lowered,
+    )
+    if sort_kw:
+        target = named or (numeric_columns[0] if numeric_columns else None)
+        if target is not None:
+            ascending = bool(
+                re.search(r"\b(lowest|smallest|ascending|asc)\b", lowered)
+            )
+            sort_ops: list[ColumnOperation] = [
+                ColumnOperation(type="sort", column=target, ascending=ascending)
+            ]
+            top_n = re.search(r"\b(?:top|first)\s+(\d+)", lowered)
+            if top_n:
+                sort_ops.append(
+                    ColumnOperation(
+                        type="limit", column=target, n=int(top_n.group(1))
+                    )
+                )
+            return StructuredQuery(
+                intent=QueryIntent.SORT, operations=filters + sort_ops
+            )
     for op_type, keywords in _AGG_KEYWORDS:
         if any(k in lowered for k in keywords):
             if op_type in ("mean", "sum"):

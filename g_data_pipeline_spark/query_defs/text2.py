@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 
 from g_data_pipeline_spark.catalog import load_table
 from g_data_pipeline_spark.functions.text import tokens
+from g_data_pipeline_spark.operators.sampling import (
+    hash_bucket_expr,
+    sql_hash_bucket,
+)
 from g_data_pipeline_spark.queries import register
 
 # DuckDB twin of functions.text.tokens(): lower, trim, split on whitespace.
@@ -186,8 +190,8 @@ def t_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, token FROM toks WHERE token <> ''
     ), lm AS (
       SELECT token,
-             CAST(ROUND(ln(COUNT(*) / CAST((SELECT COUNT(*) FROM occ) AS DOUBLE)),
-                        6) * 1e6 AS BIGINT) AS logp_micro
+             CAST(ROUND(ln(COUNT(*) / CAST((SELECT COUNT(*) FROM occ) AS DOUBLE))
+                        * 1e6) AS BIGINT) AS logp_micro
       FROM occ GROUP BY token
     )
     SELECT o.doc_id,
@@ -203,7 +207,7 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram language model — the KenLM-shaped fluency/quality filter
     (very negative = rare-token soup, near the corpus mode = ordinary
     prose). Determinism recipe for the float-laden sum: each DISTINCT
-    token's ln(count/total) is rounded to 6 decimals ONCE (boundary risk
+    token's ln(count/total) is scaled to an integer micro-logprob with ONE rounding (boundary risk
     per vocab entry, not per occurrence), scaled to an exact integer
     micro-logprob, and per-doc totals are integer sums — only the final
     mean is a double division. Shuffles: unigram count (token), LM join
@@ -220,7 +224,7 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select(
             "token",
-            (F.round(F.log(F.col("c") / F.col("t").cast("double")), 6) * 1e6)
+            F.round(F.log(F.col("c") / F.col("t").cast("double")) * 1e6)
             .cast("long")
             .alias("logp_micro"),
         )
@@ -236,5 +240,113 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1e6)
                 / F.count(F.lit(1))
             ).alias("avg_logprob"),
+        )
+    )
+
+
+# DuckDB twin of the hashed-unigram bucket (md5 hex -> bigint -> % 4096),
+# mirroring operators/sampling.py's engine-identical md5-bucket recipe.
+_DSIR_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % 4096"
+)
+
+
+@register(
+    "t_dsir_weights",
+    oracle=rf"""
+    WITH occ AS (
+      SELECT doc_id,
+             CASE WHEN ({sql_hash_bucket(['doc_id'], seed='dsir-domain')})
+                       < 250000 THEN 1 ELSE 0 END AS is_target,
+             unnest({_SQL_TOKS}) AS token
+      FROM documents
+    ), occ2 AS (
+      SELECT doc_id, is_target, {_DSIR_BUCKET_SQL} AS b
+      FROM occ WHERE token <> ''
+    ), lr AS (
+      SELECT b,
+             CAST(ROUND(ln(
+               ((SUM(is_target) + 1.0)
+                / ((SELECT COUNT(*) FROM occ2 WHERE is_target = 1) + 4096.0))
+               / ((SUM(1 - is_target) + 1.0)
+                  / ((SELECT COUNT(*) FROM occ2 WHERE is_target = 0) + 4096.0))
+             ) * 1e6) AS BIGINT) AS lr_micro
+      FROM occ2 GROUP BY b
+    )
+    SELECT o.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(lr.lr_micro) AS BIGINT) AS sum_lr_micro,
+           CAST(SUM(lr.lr_micro) AS DOUBLE) / 1e6 / COUNT(*) AS avg_log_ratio
+    FROM occ2 o JOIN lr ON o.b = lr.b
+    WHERE o.is_target = 0
+    GROUP BY o.doc_id
+    """,
+)
+def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each RAW document by
+    how target-like its hashed-unigram distribution is. A deterministic 25%
+    of documents (md5 split, the sampling-op recipe) plays the target
+    domain; tokens hash into 4096 buckets; each bucket's add-one-smoothed
+    log probability ratio ln(p_target/p_raw) is rounded ONCE to an integer
+    micro-score; a raw document's weight is the exact integer sum of its
+    occurrences' bucket scores (mean exposed as one double division —
+    same determinism recipe as t_unigram_logprob). High avg_log_ratio =
+    resample into training. Shuffles: bucket stats (4096 rows), bucket
+    join (keyed), doc aggregation — the bucket table always broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_target = F.when(
+        hash_bucket_expr(["doc_id"], seed="dsir-domain") < 250_000, 1
+    ).otherwise(0)
+    occ = (
+        docs.select(
+            "doc_id",
+            is_target.alias("is_target"),
+            F.explode(tokens("text")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id",
+            "is_target",
+            (
+                F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
+                % 4096
+            ).alias("b"),
+        )
+    )
+    totals = occ.agg(
+        F.sum("is_target").alias("t_total"),
+        F.sum(1 - F.col("is_target")).alias("r_total"),
+    )
+    lr = (
+        occ.groupBy("b")
+        .agg(
+            F.sum("is_target").alias("t_cnt"),
+            F.sum(1 - F.col("is_target")).alias("r_cnt"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.col("t_cnt") + 1.0) / (F.col("t_total") + 4096.0))
+                    / ((F.col("r_cnt") + 1.0) / (F.col("r_total") + 4096.0))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        occ.filter(F.col("is_target") == 0)
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micro").cast("long").alias("sum_lr_micro"),
+            (
+                F.sum("lr_micro").cast("double") / F.lit(1e6) / F.count(F.lit(1))
+            ).alias("avg_log_ratio"),
         )
     )

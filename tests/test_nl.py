@@ -112,3 +112,37 @@ def test_history_ignored_when_current_query_names_column():
         "sum of age", COLS, NUM, history=["average score"]
     )
     assert sq.operations[0].column == "age"
+
+
+def test_sort_phrase_translates_to_sort_intent():
+    sq = rule_based_translate(
+        "sort by total price", ["o_orderkey", "o_totalprice"], ["o_totalprice"]
+    )
+    assert sq.intent == QueryIntent.SORT
+    assert sq.operations[0].type == "sort"
+    assert sq.operations[0].column == "o_totalprice"
+    assert sq.operations[0].ascending is False  # default: biggest first
+
+
+def test_top_n_phrase_adds_limit():
+    sq = rule_based_translate(
+        "top 5 orders by total price", ["o_orderkey", "o_totalprice"], ["o_totalprice"]
+    )
+    assert sq.intent == QueryIntent.SORT
+    types = [op.type for op in sq.operations]
+    assert types == ["sort", "limit"]
+    assert sq.operations[1].n == 5
+
+
+def test_lowest_phrase_sorts_ascending():
+    sq = rule_based_translate(
+        "lowest total price first", ["o_totalprice"], ["o_totalprice"]
+    )
+    assert sq.intent == QueryIntent.SORT
+    assert sq.operations[0].ascending is True
+
+
+def test_sort_without_target_falls_back_to_describe():
+    # no named column and no numeric columns -> nothing to sort on
+    sq = rule_based_translate("sort these somehow", ["name"], [])
+    assert sq.intent == QueryIntent.DESCRIBE
