@@ -1,0 +1,161 @@
+"""Distributed BPE tokenizer: corpus-statistics training + Arrow-batched
+encoding.
+
+The standard byte-pair-encoding training recipe (Sennrich et al. 2016;
+GPT-2's tokenizer trains the same way) is a hybrid:
+
+1. **Distributed pass** — word frequency table. One groupBy over the
+   corpus; the result is vocabulary-sized, orders of magnitude smaller
+   than the corpus. A ``top_words`` cap keeps the driver table bounded at
+   any corpus size (rank by count, ties by word — deterministic); BPE
+   statistics are dominated by frequent words, so the cap costs little.
+2. **Driver-side merge learning** — classic BPE over the compact
+   (word -> count) dict: repeatedly merge the most frequent adjacent
+   symbol pair. Pure Python over ~10⁴ rows; the corpus is never touched
+   again. Ties break lexicographically, so the learned merge list is a
+   deterministic function of the word counts.
+3. **Distributed encode** — broadcast the merge ranks; apply to every
+   document via ``mapInPandas`` (Arrow-batched, per-batch word cache so
+   each distinct word in a batch is segmented once). Tokenization is the
+   canonical Python-library stage of real pipelines (HF tokenizers); the
+   plumbing here — broadcast model, batched apply, scalar outputs — is the
+   part that must be Spark-correct.
+
+End-of-word marker ``</w>`` distinguishes "low" in "lowest" from final
+"low", per the original paper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from g_data_pipeline_spark.functions.text import tokens
+
+EOW = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str, top_words: int = 50_000) -> list[tuple[str, int]]:
+    """Distributed pass: (word, count) rows, capped at ``top_words`` by
+    (count desc, word asc) — deterministic under any partitioning."""
+    wc = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(top_words)
+    )
+    return [(r.w, r.c) for r in wc.collect()]
+
+
+def _pair_stats(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    stats: dict[tuple[str, str], int] = {}
+    for syms, cnt in vocab.items():
+        for i in range(len(syms) - 1):
+            pair = (syms[i], syms[i + 1])
+            stats[pair] = stats.get(pair, 0) + cnt
+    return stats
+
+
+def _merge_vocab(
+    vocab: dict[tuple[str, ...], int], pair: tuple[str, str]
+) -> dict[tuple[str, ...], int]:
+    merged = pair[0] + pair[1]
+    out: dict[tuple[str, ...], int] = {}
+    for syms, cnt in vocab.items():
+        new: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+                new.append(merged)
+                i += 2
+            else:
+                new.append(syms[i])
+                i += 1
+        out[tuple(new)] = out.get(tuple(new), 0) + cnt
+    return out
+
+
+def learn_bpe(
+    counts: list[tuple[str, int]], num_merges: int = 200
+) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a (word, count) table. Returns the
+    ordered merge list. Deterministic: best pair by (count desc, pair asc).
+    Stops early when no pair occurs twice."""
+    vocab = {tuple(w) + (EOW,): c for w, c in counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        stats = _pair_stats(vocab)
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        merges.append(best[0])
+        vocab = _merge_vocab(vocab, best[0])
+    return merges
+
+
+def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to one word (greedy lowest-rank-first — the
+    standard BPE inference loop)."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i < 0:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Encode documents -> (id, n_words, n_bpe_tokens, n_unmerged):
+    per-document BPE token counts (the token-budget numbers that drive
+    packing/sharding). ``n_unmerged`` counts single-character symbols — a
+    high share means the merge table does not cover the document's script
+    (the out-of-domain signal). Broadcast model; Arrow-batched; per-batch
+    word cache."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_bpe_tokens", T.LongType()),
+            T.StructField("n_unmerged", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = str(text or "").lower().split()
+                n_tok = n_unm = 0
+                for w in words:
+                    seg = cache.get(w)
+                    if seg is None:
+                        seg = segment_word(w, ranks)
+                        cache[w] = seg
+                    n_tok += len(seg)
+                    n_unm += sum(1 for s in seg if len(s) == 1)
+                rows.append((int(did), len(words), n_tok, n_unm))
+            yield pd.DataFrame(
+                rows, columns=["id", "n_words", "n_bpe_tokens", "n_unmerged"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)

@@ -350,3 +350,25 @@ def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_log_ratio"),
         )
     )
+
+
+@register("t_bpe_tokenize")  # rows-only: iterative merge learning has no SQL twin
+def t_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization end-to-end (Sennrich 2016 / GPT-2 recipe): one
+    distributed word-count pass -> driver-side merge learning over the
+    compact vocabulary table (200 merges, deterministic tie-breaks) ->
+    broadcast-model Arrow-batched encode. Output is the per-document token
+    budget (n_words, n_bpe_tokens, n_unmerged) that drives packing and
+    sharding. Rows-only; pure-Python parity + determinism pinned in
+    tests/test_tokenizer.py."""
+    from g_data_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        learn_bpe,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = learn_bpe(word_counts(docs, "text", top_words=20_000), 200)
+    return bpe_encode(docs, "doc_id", "text", merges).withColumnRenamed(
+        "id", "doc_id"
+    )

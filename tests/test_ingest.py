@@ -181,3 +181,63 @@ def test_land_orc_round_trip(spark, tmp_path):
     assert "bucket_id" in landed.columns  # names normalized
     assert landed.count() == 500
     assert sorted(r.id for r in landed.collect()) == list(range(500))
+
+
+def test_zorder_compact_tightens_boxes_on_both_columns(spark, tmp_path):
+    """Z-order clustering must give every output file a tight bounding box
+    on BOTH clustered columns, where single-key range sorting is tight on
+    the sort key but spans the full range of the other column — the
+    multi-column file-skipping property."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    from g_data_pipeline_spark.sources.compact import zorder_compact
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    zdest = str(tmp_path / "zorder")
+    sdest = str(tmp_path / "singlesort")
+    n = 8
+    zorder_compact(spark, src, zdest, ["l_quantity", "l_extendedprice"], n_files=n)
+
+    df = spark.read.parquet(src)
+    (
+        df.repartitionByRange(n, "l_quantity")
+        .sortWithinPartitions("l_quantity")
+        .write.mode("overwrite")
+        .parquet(sdest)
+    )
+
+    full = df.agg(
+        (F.max("l_quantity") - F.min("l_quantity")).alias("q"),
+        (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("p"),
+    ).collect()[0]
+
+    def mean_widths(dest):
+        qs, ps = [], []
+        for f in globmod.glob(f"{dest}/part-*.parquet"):
+            r = (
+                spark.read.parquet(f)
+                .agg(
+                    (F.max("l_quantity") - F.min("l_quantity")).alias("q"),
+                    (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("p"),
+                )
+                .collect()[0]
+            )
+            qs.append(float(r.q))
+            ps.append(float(r.p))
+        return sum(qs) / len(qs), sum(ps) / len(ps), len(qs)
+
+    zq, zp, zn = mean_widths(zdest)
+    sq, sp, sn = mean_widths(sdest)
+    assert zn == n and sn == n
+    # single-key sort: price boxes span ~the full price range
+    assert sp > 0.9 * float(full.p)
+    # z-order: BOTH dimensions clustered — each box covers well under the
+    # full range on both columns, and price boxes beat single-sort's
+    assert zq < 0.75 * float(full.q)
+    assert zp < 0.75 * float(full.p)
+    assert zp < sp
+
+    # row-parity: clustering rewrites, never drops
+    assert spark.read.parquet(zdest).count() == df.count()

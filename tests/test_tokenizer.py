@@ -1,0 +1,110 @@
+"""BPE tokenizer: merge-learning correctness on a crafted corpus, encode
+parity with a pure-Python single-process reference, and determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.operators.tokenizer import (
+    EOW,
+    bpe_encode,
+    learn_bpe,
+    segment_word,
+    word_counts,
+)
+
+
+def test_learn_bpe_merges_frequent_pairs_first():
+    # "ab" appears in every word and dominates; then "ab"+"c" from abc.
+    counts = [("abc", 10), ("abd", 6), ("ab", 3)]
+    merges = learn_bpe(counts, num_merges=3)
+    assert merges[0] == ("a", "b")
+    assert ("ab", "c") in merges
+
+
+def test_learn_bpe_deterministic_tiebreak():
+    # two pairs tie on count -> lexicographically smaller pair wins
+    counts = [("xy", 5), ("pq", 5)]
+    merges = learn_bpe(counts, num_merges=1)
+    assert merges[0] == ("p", "q")
+
+
+def test_segment_word_applies_ranks_in_order():
+    merges = [("l", "o"), ("lo", "w"), ("low", EOW)]
+    ranks = {m: i for i, m in enumerate(merges)}
+    assert segment_word("low", ranks) == ["low" + EOW]
+    # "lowest": "low" merges but never attaches EOW (est intervenes)
+    seg = segment_word("lowest", ranks)
+    assert seg[0] == "low"
+    assert seg[-1] == EOW
+
+
+def test_word_counts_cap_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "b b b a a c")], ["doc_id", "text"]
+    )
+    top2 = word_counts(df, "text", top_words=2)
+    assert top2 == [("b", 3), ("a", 2)]
+
+
+def test_bpe_encode_matches_pure_python_reference(spark):
+    rows = [
+        (0, "low lower lowest"),
+        (1, "new newer newest low"),
+        (2, ""),
+        (3, "zzz unseen glyphs"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    counts = word_counts(df, "text")
+    merges = learn_bpe(counts, num_merges=30)
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    got = {
+        r.id: (r.n_words, r.n_bpe_tokens, r.n_unmerged)
+        for r in bpe_encode(df, "doc_id", "text", merges).collect()
+    }
+    for did, text in rows:
+        words = text.lower().split()
+        n_tok = n_unm = 0
+        for w in words:
+            seg = segment_word(w, ranks)
+            n_tok += len(seg)
+            n_unm += sum(1 for s in seg if len(s) == 1)
+        assert got[did] == (len(words), n_tok, n_unm), did
+    # blank doc is total-labeled with zeros, not dropped
+    assert got[2] == (0, 0, 0)
+
+
+def test_bpe_end_to_end_on_documents(spark):
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    counts = word_counts(docs, "text", top_words=2000)
+    merges = learn_bpe(counts, num_merges=100)
+    out = bpe_encode(docs, "doc_id", "text", merges)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_bpe_tokens").alias("tok"),
+        F.sum("n_words").alias("words"),
+    ).collect()[0]
+    assert agg.rows == docs.count()  # total labeling
+    # merges compress: fewer than pure char+EOW tokens, at least one per word
+    assert agg.words <= agg.tok
+    chars_plus_eow = docs.select(
+        F.sum(
+            F.aggregate(
+                F.transform(
+                    F.split(F.trim(F.lower("text")), r"\s+"),
+                    lambda w: F.length(w) + 1,
+                ),
+                F.lit(0),
+                lambda a, x: a + x,
+            )
+        )
+    ).collect()[0][0]
+    assert agg.tok < chars_plus_eow
+    # determinism: re-learning from the same corpus gives the same merges
+    assert learn_bpe(word_counts(docs, "text", top_words=2000), 100) == merges
