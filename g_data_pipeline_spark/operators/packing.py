@@ -26,6 +26,7 @@ def pack_sequences(
     text_col: str,
     group_col: str,
     capacity: int = 512,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing per ``group_col`` stream: documents are
     ordered by ``id_col`` within each group, token counts are prefix-summed,
@@ -44,7 +45,14 @@ def pack_sequences(
     ``hash(id) % k`` first — each bucket packs independently and bins get a
     bucket prefix. One shuffle total (the window's partition-by).
     """
-    n_tok = token_count(text_col).cast("long")
+    # tokens_col: pre-computed token budgets (e.g. BPE counts from
+    # operators.tokenizer) override the default whitespace count — packing
+    # should spend the same currency the trainer will.
+    n_tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else token_count(text_col).cast("long")
+    )
     w = (
         Window.partitionBy(group_col)
         .orderBy(id_col)

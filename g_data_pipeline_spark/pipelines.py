@@ -55,3 +55,78 @@ def curate_documents(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__fp")
     )
+
+
+def export_training_shards(
+    df: DataFrame,
+    dest: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    min_tokens: int = 10,
+    bpe_merges: int = 100,
+    seq_len: int = 512,
+) -> DataFrame:
+    """The full training-data export: curate -> span-dedup -> BPE token
+    budgets -> sequence packing -> deterministic sharding -> sharded
+    parquet write. Returns the per-shard manifest (shard, n_docs, n_bins,
+    total_tokens) AFTER the write completes.
+
+    Composition notes (each stage is an existing operator — this function
+    only wires them):
+    - curate_documents: quality filter + exact dedup; rows die BEFORE any
+      expensive downstream shuffle (Catalyst sees one lazy plan).
+    - span_dedup (operators.dedup): corpus-level repeated-span removal on
+      the surviving text.
+    - bpe (operators.tokenizer): word-count pass + driver merge learning,
+      then token budgets per doc — the packing currency.
+    - pack_sequences (operators.packing): concat-and-chunk into seq_len
+      bins per source stream.
+    - shard = md5-bucket of the doc id (operators.sampling recipe):
+      layout/engine-invariant, balanced, and the parquet partition key, so
+      per-shard training readers get partition pruning for free.
+    """
+    from g_data_pipeline_spark.operators.dedup import span_dedup
+    from g_data_pipeline_spark.operators.packing import pack_sequences
+    from g_data_pipeline_spark.operators.sampling import hash_bucket_expr
+    from g_data_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        learn_bpe,
+        word_counts,
+    )
+
+    curated = curate_documents(df, id_col, text_col, min_tokens=min_tokens)
+    deduped = span_dedup(
+        curated.select(id_col, F.col(text_col)), id_col, text_col
+    ).filter(F.col("spans_kept") > 0)
+    merges = learn_bpe(
+        word_counts(deduped, "dedup_text", top_words=20_000), bpe_merges
+    )
+    budgets = bpe_encode(deduped, id_col, "dedup_text", merges)
+    packed = pack_sequences(
+        budgets.select(
+            F.col("id").alias(id_col),
+            F.lit("").alias("__text_unused"),
+            F.col("n_bpe_tokens").alias("bpe_tokens"),
+            F.lit("all").alias("stream"),
+        ),
+        id_col=id_col,
+        text_col="__text_unused",
+        group_col="stream",
+        capacity=seq_len,
+        tokens_col="bpe_tokens",
+    )
+    sharded = packed.withColumn(
+        "shard", (hash_bucket_expr([id_col], seed="export-v1") % n_shards)
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(dest)
+    out = sharded.sparkSession.read.parquet(dest)
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("bin_id").alias("n_bins"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
