@@ -38,7 +38,16 @@ class LLMClient(Protocol):
 
 
 class LLMUnavailable(RuntimeError):
-    """All transport attempts failed (network error, 5xx, timeout)."""
+    """The model could not be used. Base class covers transient transport
+    failure (network error, 5xx, timeout — retrying later may succeed);
+    see :class:`LLMRequestRejected` for the persistent 4xx case."""
+
+
+class LLMRequestRejected(LLMUnavailable):
+    """The server answered with a non-retryable 4xx (bad credentials, bad
+    request). Retrying will NOT help — this is a configuration error, not
+    an outage. Subclasses LLMUnavailable so callers that only degrade
+    gracefully keep working, while monitoring can tell the cases apart."""
 
 
 class HttpLLMClient:
@@ -101,7 +110,9 @@ class HttpLLMClient:
                 return payload["choices"][0]["message"]["content"]
             except urllib.error.HTTPError as exc:
                 if exc.code < 500 and exc.code != 429:
-                    raise LLMUnavailable(f"HTTP {exc.code}: {exc.reason}") from exc
+                    raise LLMRequestRejected(
+                        f"HTTP {exc.code}: {exc.reason}"
+                    ) from exc
                 last_err = exc  # 5xx / 429: retry
             except (urllib.error.URLError, TimeoutError, OSError) as exc:
                 last_err = exc
@@ -164,7 +175,7 @@ class HttpLLMClient:
             if not rows:
                 return "The query returned no data."
             return (
-                f"Summary unavailable (model unreachable); the query "
+                f"Summary unavailable (LLM error); the query "
                 f"returned {len(rows)} row(s)."
             )
 

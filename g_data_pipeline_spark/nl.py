@@ -92,16 +92,23 @@ def rule_based_translate(
             named = _find_named_column(prior, columns)
             if named is not None:
                 break
-    # Sort / top-k phrases -> SORT intent, checked BEFORE the aggregate
-    # keywords: "sort by total price" must not be hijacked by the "total"
-    # (sum) keyword occurring inside the column phrase. \border\b does not
-    # match "orders", so count-style questions fall through unharmed.
-    sort_kw = re.search(
-        r"\b(sort|order|rank|highest|largest|lowest|smallest)\b"
-        r"|\b(?:top|first)\s+\d+",
+    # Sort / top-k phrases -> SORT intent. Precedence: an EXPLICIT sort
+    # verb ("sort", "order by", "rank by", "top 5") outranks aggregate
+    # keywords (so "sort by total price" is not hijacked by "total"->sum),
+    # but weak sort words ("highest", "lowest", bare "rank") never outrank
+    # an aggregate verb ("average revenue per order" stays a mean, even
+    # though questions often contain "order"/"highest" as nouns).
+    strong_sort = re.search(
+        r"\bsort\b|\b(?:order|rank)\s+by\b|\b(?:top|first)\s+\d+", lowered
+    )
+    weak_sort = re.search(
+        r"\b(rank|highest|largest|lowest|smallest|ascending|descending)\b",
         lowered,
     )
-    if sort_kw:
+    has_agg_kw = any(
+        k in lowered for _, kws in _AGG_KEYWORDS for k in kws
+    )
+    if strong_sort or (weak_sort and not has_agg_kw):
         target = named or (numeric_columns[0] if numeric_columns else None)
         if target is not None:
             ascending = bool(

@@ -46,15 +46,31 @@ def pagerank(
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
+    # With no dangling vertices (every id has out-edges — always true for a
+    # symmetrized near-dup graph), the per-iteration dangling-mass scan is
+    # provably zero: skip its driver round-trip entirely.
+    has_dangling = (
+        nodes.join(out_deg, nodes.id == out_deg.src, "left_anti").limit(1).count()
+        > 0
+    )
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    pending_unpersist = []
     for i in range(n_iter):
         with_deg = ranks.join(out_deg, ranks.id == out_deg.src, "left")
-        # mass of dangling nodes, redistributed uniformly this iteration
-        dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
+        if has_dangling:
+            # the dangling collect AND the eventual ranks materialization
+            # both consume with_deg — cache it; released after the next
+            # checkpoint truncates the lineage that reads it
+            with_deg = with_deg.persist()
+            pending_unpersist.append(with_deg)
+            dangling = (
+                with_deg.filter(F.col("deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+        else:
+            dangling = 0.0
         contribs = (
             with_deg.filter(F.col("deg").isNotNull())
             .select("id", (F.col("rank") / F.col("deg")).alias("share"))
@@ -75,4 +91,7 @@ def pagerank(
         )
         if i % 3 == 2 or i == n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
+            for df_ in pending_unpersist:
+                df_.unpersist()
+            pending_unpersist.clear()
     return ranks

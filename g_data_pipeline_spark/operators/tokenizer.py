@@ -138,13 +138,20 @@ def bpe_encode(
     )
 
     def batches(it):
+        import re as _re
+
         import pandas as pd
 
+        # Tokenize EXACTLY like the training pass (functions.text.tokens:
+        # Java \s+ over lowercased text — ASCII whitespace only). Python's
+        # str.split() uses Unicode whitespace and would segment words the
+        # merge table never saw (e.g. around U+00A0).
+        ws = _re.compile(r"\s+", _re.ASCII)
         cache: dict[str, list[str]] = {}
         for pdf in it:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                words = str(text or "").lower().split()
+                words = [w for w in ws.split(str(text or "").lower()) if w]
                 n_tok = n_unm = 0
                 for w in words:
                     seg = cache.get(w)

@@ -96,9 +96,14 @@ def export_training_shards(
     )
 
     curated = curate_documents(df, id_col, text_col, min_tokens=min_tokens)
-    deduped = span_dedup(
-        curated.select(id_col, F.col(text_col)), id_col, text_col
-    ).filter(F.col("spans_kept") > 0)
+    deduped = (
+        span_dedup(curated.select(id_col, F.col(text_col)), id_col, text_col)
+        .filter(F.col("spans_kept") > 0)
+        # Two actions consume this subtree (the word-count collect below and
+        # the sharded write): checkpoint so the curate+span-dedup lineage —
+        # the dominant cost — runs once, not twice.
+        .localCheckpoint(eager=True)
+    )
     merges = learn_bpe(
         word_counts(deduped, "dedup_text", top_words=20_000), bpe_merges
     )

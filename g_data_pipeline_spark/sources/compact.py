@@ -77,6 +77,13 @@ def zorder_value(cols: list[str], bits: int = 16):
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"z-order of {n} columns x {bits} bits needs {n * bits} bit "
+            "positions; a BIGINT holds 63 (Spark shiftleft masks the shift "
+            "count mod 64 and bit 63 is the sign) — lower bits to "
+            f"<= {63 // n}"
+        )
     one = F.lit(1).cast("long")
     z = F.lit(0).cast("long")
     for j in range(bits):
@@ -114,6 +121,9 @@ def zorder_compact(
     EVERY clustered column (asserted in tests/test_ingest.py)."""
     from pyspark.sql import functions as F
 
+    # keep the interleave inside a BIGINT's 63 usable bits for any column
+    # count (zorder_value raises otherwise)
+    bits = min(bits, 63 // max(1, len(cluster_by)))
     df = spark.read.parquet(src)
     rng = df.agg(
         *[F.min(c).alias(f"lo_{c}") for c in cluster_by],

@@ -272,9 +272,8 @@ def exactly_once_parquet_sink(
     batch readers just read ``path`` (the synthetic ``__batch_id`` column
     prunes away under column pruning).
 
-    Returns once the AvailableNow trigger has drained all input. The
-    per-batch writer is exposed as ``exactly_once_parquet_sink.write_batch``
-    for tests to invoke a simulated replay directly.
+    Returns the per-batch writer function once the AvailableNow trigger has
+    drained all input, so tests can invoke a simulated replay directly.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -241,3 +241,12 @@ def test_zorder_compact_tightens_boxes_on_both_columns(spark, tmp_path):
 
     # row-parity: clustering rewrites, never drops
     assert spark.read.parquet(zdest).count() == df.count()
+
+
+def test_zorder_value_rejects_bit_overflow():
+    import pytest as _pytest
+
+    from g_data_pipeline_spark.sources.compact import zorder_value
+
+    with _pytest.raises(ValueError, match="63"):
+        zorder_value(["a", "b", "c", "d", "e"], bits=16)

@@ -79,12 +79,18 @@ def test_retry_on_500_then_success(llm_server):
 
 
 def test_no_retry_on_400(llm_server):
+    from g_data_pipeline_spark.llm import LLMRequestRejected
+
     url, script = llm_server
     script.responses = [(400, 0.0, "bad request")]
     c = HttpLLMClient(url, timeout_s=5, max_attempts=2)
     with pytest.raises(ValueError):
         c.translate("q", [], [])
     assert len(script.requests) == 1  # 4xx is not retried
+    # and the raw transport error is the distinguishable rejected class
+    script.responses = [(401, 0.0, "unauthorized")]
+    with pytest.raises(LLMRequestRejected):
+        c._chat([{"role": "user", "content": "x"}])
 
 
 def test_timeout_exhausts_attempts_then_translate_valueerror(llm_server):

@@ -136,10 +136,34 @@ def test_top_n_phrase_adds_limit():
 
 def test_lowest_phrase_sorts_ascending():
     sq = rule_based_translate(
-        "lowest total price first", ["o_totalprice"], ["o_totalprice"]
+        "lowest price first", ["price"], ["price"]
     )
     assert sq.intent == QueryIntent.SORT
     assert sq.operations[0].ascending is True
+
+
+def test_agg_verb_outranks_weak_sort_words():
+    """'average revenue per order' is a mean, not a sort — noun uses of
+    order/highest must not hijack aggregate questions (regression pinned
+    from review)."""
+    sq = rule_based_translate(
+        "average revenue per order", ["order_id", "revenue"], ["revenue"]
+    )
+    assert sq.intent == QueryIntent.AGGREGATE
+    assert sq.operations[0].type == "mean"
+    sq2 = rule_based_translate(
+        "how many orders have the highest priority",
+        ["order_id", "priority"],
+        [],
+    )
+    assert sq2.intent == QueryIntent.AGGREGATE
+
+
+def test_explicit_sort_verb_outranks_agg_keyword():
+    sq = rule_based_translate(
+        "order by total price", ["o_totalprice"], ["o_totalprice"]
+    )
+    assert sq.intent == QueryIntent.SORT
 
 
 def test_sort_without_target_falls_back_to_describe():

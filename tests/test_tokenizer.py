@@ -53,6 +53,7 @@ def test_bpe_encode_matches_pure_python_reference(spark):
         (1, "new newer newest low"),
         (2, ""),
         (3, "zzz unseen glyphs"),
+        (4, "low\u00a0lower"),  # NBSP: ONE word on both sides (ASCII \s+)
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     counts = word_counts(df, "text")
@@ -63,8 +64,11 @@ def test_bpe_encode_matches_pure_python_reference(spark):
         r.id: (r.n_words, r.n_bpe_tokens, r.n_unmerged)
         for r in bpe_encode(df, "doc_id", "text", merges).collect()
     }
+    import re as _re
+
+    ws = _re.compile(r"\s+", _re.ASCII)
     for did, text in rows:
-        words = text.lower().split()
+        words = [w for w in ws.split(text.lower()) if w]
         n_tok = n_unm = 0
         for w in words:
             seg = segment_word(w, ranks)
