@@ -287,3 +287,22 @@ def test_moving_avg_single_window_shuffle(spark):
     plan = plan_of(spark, "w_moving_avg")
     assert shuffle_count(plan) == 1
     assert op_counts(plan).get("Window", 0) == 1
+
+
+def test_grouped_median_single_shuffle(spark):
+    """Grouped exact percentiles are one hash aggregation: a single
+    exchange keyed on the group columns, no joins."""
+    plan = plan_of(spark, "p_grouped_median")
+    assert shuffle_count(plan) == 1
+    assert "Join" not in plan
+
+
+def test_dsir_lm_table_broadcasts(spark):
+    """The DSIR per-bucket log-ratio table is 4096 rows: the occurrence
+    join against it must broadcast, never shuffle the occurrences side for
+    the join; no cartesian beyond the single-row totals broadcast."""
+    plan = plan_of(spark, "t_dsir_weights")
+    assert "CartesianProduct" not in plan
+    c = op_counts(plan)
+    assert c.get("BroadcastHashJoin", 0) >= 1
+    assert c.get("SortMergeJoin", 0) == 0
