@@ -336,3 +336,51 @@ def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_ts").alias("n_click_after_view"),
         F.count("p_ts").alias("n_purchase_after_click"),
     )
+
+
+@register(
+    "e_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('week', f.cohort_week,
+                           date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    counted per subsequent active week offset — THE product-analytics
+    retention query. Two keyed shuffles (per-user first week, then the
+    distinct (user, offset) reduction + cohort aggregation); exact integer
+    outputs. Week buckets via date_trunc on both engines (Monday-start ISO
+    weeks in Spark and DuckDB alike)."""
+    events = load_table(spark, sf_dir, "events")
+    # .cast("date"): Spark date_trunc returns TIMESTAMP where DuckDB's
+    # returns DATE — align the output type with the oracle
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = (
+        events.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(week, F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
