@@ -20,6 +20,7 @@ methods; nothing else in the service changes.
 from __future__ import annotations
 
 import json
+import time
 from typing import Any, Protocol
 
 
@@ -58,9 +59,13 @@ class HttpLLMClient:
     128,155,176-206`` two attempts then canned fallback):
 
     - per-attempt socket timeout (``timeout_s``),
-    - ``max_attempts`` tries with no backoff wait between them (matching the
-      reference's immediate retry), retrying on network errors, timeouts,
-      HTTP 5xx and 429 — NOT on other 4xx (a bad request stays bad),
+    - ``max_attempts`` tries, retrying on network errors, timeouts, HTTP
+      5xx and 429 — NOT on other 4xx (a bad request stays bad). 5xx/network
+      retries wait nothing (matching the reference's immediate retry); 429
+      is a rate limit, where an instant retry is near-guaranteed to fail
+      again, so the client honors the server's ``Retry-After`` seconds when
+      present (capped at ``rate_limit_wait_cap_s``) and otherwise pauses
+      ``rate_limit_wait_s``,
     - ``translate`` raises ``ValueError`` when the transport is down or the
       model returns unusable output, which routes callers onto the
       rule-based translator (service.py's documented fallback),
@@ -80,12 +85,16 @@ class HttpLLMClient:
         model: str = "gpt-4o",
         timeout_s: float = 15.0,
         max_attempts: int = 2,
+        rate_limit_wait_s: float = 0.5,
+        rate_limit_wait_cap_s: float = 10.0,
     ):
         self.base_url = base_url.rstrip("/")
         self.api_key = api_key
         self.model = model
         self.timeout_s = timeout_s
         self.max_attempts = max_attempts
+        self.rate_limit_wait_s = rate_limit_wait_s
+        self.rate_limit_wait_cap_s = rate_limit_wait_cap_s
 
     # -- transport ---------------------------------------------------------
 
@@ -100,7 +109,7 @@ class HttpLLMClient:
         if self.api_key:
             headers["Authorization"] = f"Bearer {self.api_key}"
         last_err: Exception | None = None
-        for _ in range(self.max_attempts):
+        for attempt in range(self.max_attempts):
             req = urllib.request.Request(
                 f"{self.base_url}/chat/completions", data=body, headers=headers
             )
@@ -114,6 +123,13 @@ class HttpLLMClient:
                         f"HTTP {exc.code}: {exc.reason}"
                     ) from exc
                 last_err = exc  # 5xx / 429: retry
+                if exc.code == 429 and attempt + 1 < self.max_attempts:
+                    # Rate limit: retrying instantly would fail again.
+                    try:
+                        wait = float(exc.headers.get("Retry-After"))
+                    except (TypeError, ValueError):
+                        wait = self.rate_limit_wait_s
+                    time.sleep(min(max(wait, 0.0), self.rate_limit_wait_cap_s))
             except (urllib.error.URLError, TimeoutError, OSError) as exc:
                 last_err = exc
             except (KeyError, IndexError, ValueError) as exc:

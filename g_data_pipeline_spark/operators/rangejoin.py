@@ -58,9 +58,13 @@ def bucketed_range_join(
     start_b = (F.unix_micros(F.col(start_ts)) / width_us).cast("long")
     # half-open end: the last covered bucket holds end - 1 microsecond
     end_b = ((F.unix_micros(F.col(end_ts)) - 1) / width_us).cast("long")
-    i = intervals.withColumn(
-        "__bucket", F.explode(F.sequence(start_b, end_b))
+    # Empty/inverted intervals (end <= start) would otherwise make sequence()
+    # emit a DESCENDING bucket list — correct output (the exact predicate
+    # filters every candidate) but wasted fan-out. Clamp them to no buckets.
+    buckets = F.when(end_b >= start_b, F.sequence(start_b, end_b)).otherwise(
+        F.array().cast("array<long>")
     )
+    i = intervals.withColumn("__bucket", F.explode(buckets))
     return (
         p.join(i, "__bucket")
         .filter(

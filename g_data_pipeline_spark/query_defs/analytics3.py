@@ -255,7 +255,12 @@ def v_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy matching by edit distance (prefix-40 Levenshtein over a small
-    id block) — the string-similarity member of the dedup family."""
+    id block) — the string-similarity member of the dedup family.
+
+    Demo of F.levenshtein only, NOT the scale path: the crossJoin is made
+    safe solely by the doc_id < 30 slice. At corpus scale, string
+    similarity goes through the banded SimHash/MinHash family
+    (operators/dedup.py) — sub-quadratic bucketed joins, never all-pairs."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
     a = docs.select(
         F.col("doc_id").alias("id_a"), F.substring("text", 1, 40).alias("t_a")

@@ -244,7 +244,7 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS (
       SELECT doc_id, source, text, n_chars FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, 'mirror' AS source, text, n_chars
+      SELECT -doc_id - 1 AS doc_id, 'mirror' AS source, text, n_chars
       FROM documents WHERE doc_id % 5 = 0
     )
     SELECT doc_id, source, n_chars FROM (
@@ -264,7 +264,9 @@ def d_priority_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-dump training corpus (curated mirror beats raw crawl). The
     synthetic corpus has no natural cross-source duplicates, so a 'mirror'
     copy of every 5th document is planted (higher priority than the
-    original, doc_id + 1e6) and must win its pair. One shuffle, keyed on
+    original; planted id = -doc_id - 1, which can never collide with a real
+    non-negative doc_id at ANY scale factor — an additive offset would) and
+    must win its pair. One shuffle, keyed on
     the content fingerprint; survivor choice is a WindowGroupLimit-pruned
     rank, same scale shape as exact_dedup (operators/dedup.py:39)."""
     from g_data_pipeline_spark.functions.text import fingerprint_md5
@@ -273,7 +275,7 @@ def d_priority_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text", "n_chars"
     )
     planted = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.lit("mirror").alias("source"),
         "text",
         "n_chars",

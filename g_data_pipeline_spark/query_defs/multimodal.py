@@ -63,9 +63,12 @@ def m_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup: aHash (8x8 mean-threshold, one BIGINT per
     image, mapInPandas) -> MIN-id survivor per hash bucket. The corpus is
     the synthetic image set PLUS a byte-identical planted copy of every
-    4th image (media_id + 1e7) — every copy must collapse onto its
-    original. Rows-only (codec op); survivor/copy-count invariants pinned
-    in tests/test_multimodal.py."""
+    4th image (media_id + 1e7; the MIN-id survivor rule requires planted
+    ids ABOVE the originals, so the offset is load-bearing — valid while
+    max(media_id) < 1e7, i.e. every sf* fixture; demo plant only, not a
+    production path) — every copy must collapse onto its original.
+    Rows-only (codec op); survivor/copy-count invariants pinned in
+    tests/test_multimodal.py."""
     from g_data_pipeline_spark.multimodal.media import image_phash_dedup
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")

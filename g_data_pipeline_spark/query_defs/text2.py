@@ -119,7 +119,14 @@ def t_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     character), ~0.95 is normal prose — the log-free cousin of character
     entropy, chosen because it is EXACTLY deterministic: integer sums, one
     double multiply + divide at the end. Blank documents produce no rows
-    (no characters to measure)."""
+    (no characters to measure).
+
+    BMP-only assumption (documented deviation): Spark's split(text, '')
+    yields UTF-16 code units (a surrogate pair becomes two cells) while
+    DuckDB's string_split splits on code points. Identical only while the
+    corpus is BMP text — true of every synthetic fixture. For a corpus
+    with emoji/rare-CJK, split via a code-point-safe regexp_extract_all on
+    '.' mirrored on both engines."""
     docs = load_table(spark, sf_dir, "documents")
     chars = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
@@ -207,9 +214,9 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram language model — the KenLM-shaped fluency/quality filter
     (very negative = rare-token soup, near the corpus mode = ordinary
     prose). Determinism recipe for the float-laden sum: each DISTINCT
-    token's ln(count/total) is scaled to an integer micro-logprob with ONE rounding (boundary risk
-    per vocab entry, not per occurrence), scaled to an exact integer
-    micro-logprob, and per-doc totals are integer sums — only the final
+    token's ln(count/total) is scaled to an exact integer micro-logprob
+    with ONE rounding (boundary risk per vocab entry, not per occurrence),
+    and per-doc totals are integer sums — only the final
     mean is a double division. Shuffles: unigram count (token), LM join
     (token), doc aggregation (doc_id) — all content-keyed; the LM table is
     vocabulary-sized and broadcasts when small."""

@@ -21,11 +21,15 @@ class _Script:
     """Mutable behavior script the handler consults per request."""
 
     def __init__(self):
-        self.responses: list[tuple[int, float, str]] = []  # (status, delay_s, text)
+        # (status, delay_s, text) or (status, delay_s, text, extra_headers)
+        self.responses: list[tuple] = []
         self.requests: list[dict] = []
 
-    def next(self) -> tuple[int, float, str]:
-        return self.responses.pop(0) if self.responses else (200, 0.0, "ok")
+    def next(self) -> tuple[int, float, str, dict]:
+        item = self.responses.pop(0) if self.responses else (200, 0.0, "ok")
+        status, delay, text = item[:3]
+        extra = item[3] if len(item) > 3 else {}
+        return status, delay, text, extra
 
 
 @pytest.fixture()
@@ -36,7 +40,7 @@ def llm_server():
         def do_POST(self):  # noqa: N802 (http.server API)
             n = int(self.headers.get("Content-Length", 0))
             script.requests.append(json.loads(self.rfile.read(n)))
-            status, delay, text = script.next()
+            status, delay, text, extra = script.next()
             if delay:
                 time.sleep(delay)
             body = json.dumps(
@@ -45,6 +49,8 @@ def llm_server():
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in extra.items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -101,6 +107,32 @@ def test_timeout_exhausts_attempts_then_translate_valueerror(llm_server):
     with pytest.raises(ValueError):  # routes caller to rule-based fallback
         c.translate("q", [], [])
     assert time.monotonic() - t0 < 3  # both attempts bounded by timeout
+
+
+def test_429_waits_before_retry(llm_server):
+    """A rate-limit response must NOT be retried instantly (that converts
+    429 into a single-attempt failure); default pause applies when the
+    server sends no Retry-After."""
+    url, script = llm_server
+    script.responses = [(429, 0.0, "slow down"), (200, 0.0, "ok now")]
+    c = HttpLLMClient(url, timeout_s=5, max_attempts=2, rate_limit_wait_s=0.3)
+    t0 = time.monotonic()
+    assert c.summarize("q", [{"a": 1}]) == "ok now"
+    assert time.monotonic() - t0 >= 0.3
+    assert len(script.requests) == 2
+
+
+def test_429_honors_retry_after_header(llm_server):
+    url, script = llm_server
+    script.responses = [
+        (429, 0.0, "slow down", {"Retry-After": "0.4"}),
+        (200, 0.0, "recovered"),
+    ]
+    c = HttpLLMClient(url, timeout_s=5, max_attempts=2, rate_limit_wait_s=0.0)
+    t0 = time.monotonic()
+    assert c.summarize("q", [{"a": 1}]) == "recovered"
+    assert time.monotonic() - t0 >= 0.4  # server-requested wait, not default
+    assert len(script.requests) == 2
 
 
 def test_summarize_degrades_to_canned_fallback(llm_server):

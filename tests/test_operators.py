@@ -254,6 +254,51 @@ def test_bucketed_range_join_no_duplicate_pairs(spark):
     assert out.select("pid").distinct().count() == 50
 
 
+def test_bucketed_range_join_empty_interval_no_fanout(spark):
+    """Inverted/empty intervals (end <= start) must expand to ZERO buckets —
+    not a descending F.sequence fan-out that the exact predicate then has
+    to discard (correct but wasted candidate rows)."""
+    from datetime import datetime
+
+    from g_data_pipeline_spark.operators.rangejoin import bucketed_range_join
+
+    T = datetime
+    points = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0, 0))], ["pid", "p_ts"]
+    )
+    intervals = spark.createDataFrame(
+        [
+            # empty: end == start
+            (1, T(2024, 1, 1, 10, 0, 0), T(2024, 1, 1, 10, 0, 0)),
+            # inverted: end < start (descending sequence without the clamp)
+            (2, T(2024, 1, 1, 12, 0, 0), T(2024, 1, 1, 9, 0, 0)),
+            # control: a real interval containing the point
+            (3, T(2024, 1, 1, 9, 0, 0), T(2024, 1, 1, 11, 0, 0)),
+        ],
+        ["iid", "w_start", "w_end"],
+    )
+    out = bucketed_range_join(
+        points, intervals, "p_ts", "w_start", "w_end", bucket_width="15 minutes"
+    )
+    assert [(r.pid, r.iid) for r in out.collect()] == [(1, 3)]
+    # plan-level: the join runs with NO post-join filter candidates from the
+    # degenerate intervals — drop the exact predicate by widening the point
+    # far away; a clamped build side joins nothing, an unclamped one would
+    # still emit bucket rows for interval 2's descending sequence.
+    far = spark.createDataFrame(
+        [(9, T(2024, 1, 1, 9, 30, 0))], ["pid", "p_ts"]
+    )
+    out2 = bucketed_range_join(
+        far,
+        intervals.filter("iid in (1, 2)"),
+        "p_ts",
+        "w_start",
+        "w_end",
+        bucket_width="15 minutes",
+    )
+    assert out2.count() == 0
+
+
 def test_pagerank_matches_dense_power_iteration(spark):
     """Distributed PageRank == dense NumPy power iteration on the same
     graph (same damping, same dangling handling), to 1e-9. Graph includes a
