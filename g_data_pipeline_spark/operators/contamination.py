@@ -1,0 +1,140 @@
+"""Cross-source contamination measurement: for each document, what
+fraction of its word n-gram shingles also occurs in each OTHER source.
+
+The doc-level sibling of ``query_defs/dedup.py``'s source-pair overlap
+matrix, and the per-document evidence behind decontamination decisions
+(``operators/dedup.py::decontaminate`` removes; this MEASURES, so a
+curation run can rank and audit before it deletes). The reference has no
+corpus operators at all (SURVEY.md §2 "Not implemented"); both paths here
+are Spark-first compositions.
+
+Two paths, one semantics:
+
+- :func:`cross_source_contamination` — EXACT: joins every distinct
+  (doc, shingle) post against the distinct (source, shingle) directory.
+  Join keyed on shingle content; a shingle fans out to at most n_sources
+  rows independent of corpus row count (same argument as the source
+  overlap matrix) — correct at any scale, but the join volume is every
+  post in the corpus.
+- :func:`sampled_contamination` — the sketch option: per document, keep
+  only the k shingles with the smallest ``xxhash64`` (a bottom-k MinHash
+  sample — uniform over the doc's shingle set, deterministic, no RNG).
+  The directory join then sees at most k rows per document instead of
+  every shingle, cutting join volume by |doc|/k while the hit fraction
+  over the sample is an unbiased estimate of the exact containment.
+  WindowGroupLimit prunes the per-doc top-k before the shuffle; accuracy
+  vs the exact path is pinned by tests/test_contamination.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.functions.text import word_shingles
+
+
+def shingle_posts(
+    df: DataFrame, id_col: str, source_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct (id, source, shingle) posting rows — one row per distinct
+    word n-gram per document. Documents with fewer than ``n`` tokens
+    contribute nothing (word_shingles yields an empty array)."""
+    return df.select(
+        id_col, source_col, F.explode(word_shingles(text_col, n)).alias("s")
+    ).distinct()
+
+
+def _directory(posts: DataFrame, source_col: str) -> DataFrame:
+    """Distinct (source, shingle) membership directory."""
+    return posts.select(
+        F.col(source_col).alias("other_source"), "s"
+    ).distinct()
+
+
+def _hit_fractions(
+    doc_side: DataFrame,
+    directory: DataFrame,
+    sizes: DataFrame,
+    id_col: str,
+    source_col: str,
+    size_col: str,
+    frac_col: str,
+) -> DataFrame:
+    hits = (
+        doc_side.join(directory, "s")
+        .filter(F.col("other_source") != F.col(source_col))
+        .groupBy(id_col, source_col, "other_source")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    return hits.join(sizes, id_col).select(
+        id_col,
+        source_col,
+        "other_source",
+        size_col,
+        "shared_shingles",
+        (
+            F.col("shared_shingles").cast("double") / F.col(size_col)
+        ).alias(frac_col),
+    )
+
+
+def cross_source_contamination(
+    df: DataFrame, id_col: str, source_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact per-document containment in every other source:
+    ``[id, source, other_source, n_shingles, shared_shingles,
+    contamination]`` where contamination = shared / n_shingles (the
+    fraction of the doc's distinct shingles that the other source also
+    contains — length-normalized, so long documents aren't inflated).
+    Pairs with zero overlap are absent (sparse output). Shuffles: the
+    posting distinct, the shingle-keyed directory join, the per-doc
+    aggregation — all content-keyed, never all-pairs."""
+    posts = shingle_posts(df, id_col, source_col, text_col, n)
+    sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return _hit_fractions(
+        posts,
+        _directory(posts, source_col),
+        sizes,
+        id_col,
+        source_col,
+        "n_shingles",
+        "contamination",
+    )
+
+
+def sampled_contamination(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Bottom-k MinHash estimate of :func:`cross_source_contamination`:
+    ``[id, source, other_source, n_sampled, shared_shingles,
+    est_contamination]``. Each document contributes only its k
+    smallest-hashed shingles to the directory join (unbiased uniform
+    sample of its shingle set); ``est_contamination`` = hits / n_sampled.
+    Documents with <= k shingles are scored exactly. The directory itself
+    stays exact — the sketch thins the (much larger) per-document side."""
+    posts = shingle_posts(df, id_col, source_col, text_col, n)
+    w = Window.partitionBy(id_col).orderBy(
+        F.xxhash64("s", F.lit(seed)), F.col("s")
+    )
+    sampled = (
+        posts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    sizes = sampled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sampled"))
+    return _hit_fractions(
+        sampled,
+        _directory(posts, source_col),
+        sizes,
+        id_col,
+        source_col,
+        "n_sampled",
+        "est_contamination",
+    )

@@ -306,3 +306,33 @@ def test_dsir_lm_table_broadcasts(spark):
     c = op_counts(plan)
     assert c.get("BroadcastHashJoin", 0) >= 1
     assert c.get("SortMergeJoin", 0) == 0
+
+
+def test_quality_classifier_model_broadcasts(spark):
+    """The hashed weight table is bounded at n_buckets rows by
+    construction: the scoring join must broadcast it (the corpus side
+    never shuffles for the join); no cartesian beyond the 1-row totals
+    broadcast."""
+    plan = plan_of(spark, "t_quality_classifier")
+    assert "CartesianProduct" not in plan
+    c = op_counts(plan)
+    assert c.get("BroadcastHashJoin", 0) >= 1
+    assert c.get("SortMergeJoin", 0) == 0
+
+
+def test_contamination_fraction_keyed_joins_only(spark):
+    """Contamination joins are keyed on shingle content and doc id — never
+    a cartesian / nested-loop shape (there is no 1-row broadcast in this
+    query at all)."""
+    plan = plan_of(spark, "d_contamination_fraction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_sketch_prunes_topk_before_join(spark):
+    """The bottom-k sample must plan as a WindowGroupLimit (per-doc top-k
+    truncated before the shuffle) and keep every join keyed."""
+    plan = plan_of(spark, "d_contamination_sketch")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
