@@ -15,23 +15,33 @@ The app is a plain WSGI callable over :class:`DataPipelineService` — any
 WSGI server hosts it (``wsgiref.simple_server`` for local use, gunicorn/etc
 in production); tests drive it in-process with synthetic environs, no ports.
 
-Divergences from the reference, documented: upload jobs are processed
-inline (synchronously) by default rather than via the reference's
-background-worker queue (``main.rs:72-107`` — 32-deep mpsc, one worker);
-pass ``process_inline=False`` to get queue semantics (job stays QUEUED until
-``service.process_job`` is called, exactly what a worker loop would do).
+Upload processing modes:
+
+- default: inline (synchronous) — the job completes before /upload returns;
+  simplest for tests and small files (documented divergence).
+- ``process_inline=False, worker=JobWorker(service).start()`` — the
+  reference's actual lifecycle (``main.rs:72-107``): /upload enqueues onto
+  the 32-deep bounded queue and returns immediately; a single background
+  thread drains it; /insights answers 202 until the worker completes the
+  job; a full queue answers 503 (the bounded channel's backpressure).
+- ``process_inline=False`` without a worker — manual queue semantics (the
+  job stays QUEUED until ``service.process_job`` is called by the caller).
 """
 
 from __future__ import annotations
 
 import json
+import queue
 import re
 from email.parser import BytesParser
 from email.policy import default as default_email_policy
-from typing import Any, Callable
+from typing import TYPE_CHECKING, Any, Callable
 from urllib.parse import parse_qs
 
 from g_data_pipeline_spark.service import DataPipelineService
+
+if TYPE_CHECKING:  # import cycle guard: worker imports service only
+    from g_data_pipeline_spark.worker import JobWorker
 
 _INSIGHTS_RE = re.compile(r"^/insights/([0-9a-fA-F-]+)$")
 
@@ -52,9 +62,15 @@ def _parse_multipart_file(content_type: str, body: bytes) -> tuple[str, bytes] |
 class PipelineApp:
     """WSGI adapter over DataPipelineService."""
 
-    def __init__(self, service: DataPipelineService, process_inline: bool = True):
+    def __init__(
+        self,
+        service: DataPipelineService,
+        process_inline: bool = True,
+        worker: "JobWorker | None" = None,
+    ):
         self.service = service
         self.process_inline = process_inline
+        self.worker = worker
 
     # -- WSGI entry --------------------------------------------------------
 
@@ -107,6 +123,16 @@ class PipelineApp:
         job_id = self.service.upload_csv(data, filename)
         if self.process_inline:
             self.service.process_job(job_id)
+        elif self.worker is not None:
+            try:
+                self.worker.submit(job_id)
+            except queue.Full:
+                # bounded-channel backpressure (main.rs:74): shed load
+                # rather than buffer unboundedly
+                return "503 Service Unavailable", {
+                    "error": "job queue full, retry later",
+                    "job_id": job_id,
+                }
         return "200 OK", {"job_id": job_id}
 
     def _insights(self, job_id: str) -> tuple[str, dict[str, Any]]:

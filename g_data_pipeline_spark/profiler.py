@@ -22,6 +22,13 @@ shuffle, unavoidable for exact counts).
   ``percentile_approx``. Exact mode matches the reference and the DuckDB
   oracle (linear interpolation, SURVEY.md §4.3.5); approx is the scale
   escape hatch documented in SURVEY.md §7.
+- ``percentile_method="auto"`` (the DEFAULT) resolves to one of the above
+  from the optimizer's size estimate BEFORE any job runs: inputs at or
+  under ``auto_percentile_max_bytes`` (default 4 GiB) get the exact
+  reference semantics; larger inputs get the sketch — so a user who never
+  touches the knob gets exact answers on test-sized data and never pays a
+  full per-column value sort on a 100 TB table by accident. The
+  oracle-gated queries pin ``exact`` explicitly and are unaffected.
 - ``deterministic=True`` computes mean/stddev/corr from exact decimal
   accumulators (see functions.deterministic) so results are bit-reproducible
   across partitionings and engines; default uses Spark's numerically-stable
@@ -53,6 +60,13 @@ from pyspark.sql import types as T
 from g_data_pipeline_spark.functions.deterministic import davg, dsum
 
 NUMERIC_STATS = ("min", "max", "mean", "median", "std_dev", "percentile_25", "percentile_75")
+
+#: Above this optimizer-estimated input size, percentile_method="auto"
+#: chooses the GK sketch over exact percentiles: exact F.percentile holds
+#: every value of a column in one aggregation buffer, so its memory bill is
+#: proportional to input rows — fine at gigabytes, a reducer OOM (or a
+#: multi-job order-statistics bill in "distributed" mode) at 100 TB.
+AUTO_PERCENTILE_MAX_BYTES = 4 * 1024**3
 
 
 @dataclass
@@ -107,6 +121,26 @@ def percentile_expr(col: str, percentile_method: str = "exact") -> Column:
     if percentile_method == "exact":
         return F.percentile(c, pcts)
     return F.percentile_approx(c, pcts)
+
+
+def resolve_auto_percentile_method(
+    df: DataFrame, max_bytes: int = AUTO_PERCENTILE_MAX_BYTES
+) -> str:
+    """Resolve ``percentile_method="auto"`` -> "exact" | "approx" from the
+    Catalyst size estimate of ``df``'s optimized plan (file sizes after
+    pruning — no job is run to decide). RDD-backed in-memory relations have
+    no stats and report the ``spark.sql.defaultSizeInBytes`` sentinel
+    (Long.MaxValue); those resolve to "exact" — they already fit in cluster
+    memory, while the 100 TB inputs this guard exists for are file-backed
+    scans with real size stats. Deliberately coarse: the only wrong choice
+    at the boundary is a slightly slower exact answer or a slightly
+    approximate fast one, never an error."""
+    size = int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    if size >= 1 << 62:  # unknown-size sentinel
+        return "exact"
+    return "exact" if size <= max_bytes else "approx"
 
 
 def numeric_stat_exprs(
@@ -217,10 +251,11 @@ def profile(
     top_k: int = 10,
     deterministic: bool = False,
     distinct_method: str = "exact",
-    percentile_method: str = "exact",
+    percentile_method: str = "auto",
     include_correlations: bool = True,
     include_top_values: bool = True,
     passes: str = "split",
+    auto_percentile_max_bytes: int = AUTO_PERCENTILE_MAX_BYTES,
 ) -> dict[str, Any]:
     """Full P1-P13 profile as a JSON-shaped dict (numbers stay numeric;
     string formatting belongs at the API edge — SURVEY.md §4.3.6).
@@ -232,6 +267,12 @@ def profile(
     total when split. "fused" keeps the single-scan plan — the right choice
     when scan cost dominates compile cost (very wide tables at 100 TB,
     or a cached input)."""
+    if percentile_method == "auto":
+        # Resolve BEFORE the plan-cache key so the cache is keyed on the
+        # concrete mode actually planned.
+        percentile_method = resolve_auto_percentile_method(
+            df, auto_percentile_max_bytes
+        )
     classes = classify_columns(df)
     cols = df.columns
 

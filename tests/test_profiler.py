@@ -119,6 +119,36 @@ def test_approx_modes_run_and_are_close(people, people_pd):
     )
 
 
+def test_percentile_auto_switch_both_ways(spark, tmp_path):
+    """percentile_method="auto" (the default) must resolve exact below the
+    size threshold and approx above it — observable end-to-end: exact p50
+    of [1,2,3,4] is the interpolated 2.5, which the GK sketch can never
+    return (it reports an actual element)."""
+    from g_data_pipeline_spark.profiler import resolve_auto_percentile_method
+
+    # file-backed scan: real size stats drive the choice
+    path = str(tmp_path / "vals")
+    spark.createDataFrame([(float(i),) for i in (1, 2, 3, 4)], ["v"]).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert resolve_auto_percentile_method(df) == "exact"  # a few hundred bytes
+    assert resolve_auto_percentile_method(df, max_bytes=1) == "approx"
+
+    exact = profile(df, include_top_values=False, include_correlations=False)
+    assert exact["column_statistics"][0]["median"] == 2.5  # exact path ran
+
+    approx = profile(
+        df,
+        include_top_values=False,
+        include_correlations=False,
+        auto_percentile_max_bytes=1,
+    )
+    assert approx["column_statistics"][0]["median"] in (2.0, 3.0)  # sketch ran
+
+    # RDD-backed in-memory relation: unknown-size sentinel -> exact
+    local = spark.createDataFrame([(1.0,), (2.0,)], ["v"])
+    assert resolve_auto_percentile_method(local, max_bytes=1) == "exact"
+
+
 def test_format_insights_presentation_layer(people):
     p = profile(people, include_top_values=False)
     out = format_insights(p)
