@@ -63,6 +63,20 @@ HEADLINE = [
     "d_priority_merge",
     "t_unigram_logprob",
     "t_dsir_weights",
+    # round-4 additions: the heavy curation flagships (BPE tokenize, span
+    # dedup, sequence packing, incremental dedup) so the LLM-pipeline set
+    # is perf-tracked round-over-round, plus the new round-4 operators.
+    # NOTE: t_bpe_tokenize pays its driver-side merge learning (a Spark
+    # word-count job + pure-Python loop) when the DataFrame is BUILT; the
+    # timed repeats below measure the distributed encode phase. The full
+    # build+learn+encode cost is covered by tests/test_tokenizer.py timings.
+    "t_bpe_tokenize",
+    "d_span_dedup",
+    "t_pack_sequences",
+    "d_incremental_dedup",
+    "d_contamination_fraction",
+    "t_quality_classifier",
+    "d_survivorship_report",
 ]
 
 
