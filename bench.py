@@ -77,6 +77,13 @@ HEADLINE = [
     "d_contamination_fraction",
     "t_quality_classifier",
     "d_survivorship_report",
+    # round-4 wave-2 additions: lakehouse/pipeline-lifecycle flagships
+    # (first recorded cost becomes their baseline).
+    "a_cdc_merge",
+    "a_scd2_history",
+    "e_attribution",
+    "a_gap_fill",
+    "v_kmeans_assign",
 ]
 
 

@@ -567,3 +567,55 @@ def semantic_dedup(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
+
+
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    cell_col: str = "cell",
+    cent_vec: str = "c_vec",
+) -> DataFrame:
+    """K-means assignment step against a DataFrame codebook: every corpus
+    vector scored against every centroid (codebook broadcast — the corpus
+    never shuffles), argmax cosine per vector with ties to the lowest cell
+    id. Returns (corpus_id, cell, cos).
+
+    This is the inner loop of Lloyd's iteration and of IVF coarse
+    quantization when the codebook arrives as data rather than driver-side
+    literals (train_centroids/_nearest_centroid_expr cover the literal
+    form). Codebooks are k x dim — thousands of cells fit comfortably
+    under the broadcast threshold at any corpus size.
+
+    ZERO-shuffle scoring: the codebook is collapsed to a single
+    array-of-structs row and broadcast, so the per-vector argmax is a pure
+    row-local ``transform`` + ``array_max`` (struct comparison on
+    (cos, -cell) = max cosine, ties to the LOWEST cell id) — the corpus
+    neither shuffles nor fans out k rows per vector. Assumes non-zero-norm
+    vectors (a null cosine would poison the struct max)."""
+    codebook = F.broadcast(
+        centroids.agg(
+            F.collect_list(
+                F.struct(
+                    F.col(cell_col).cast("long").alias("cell"),
+                    F.col(cent_vec).alias("vec"),
+                )
+            ).alias("__cb")
+        )
+    )
+    joined = corpus.select(corpus_id, corpus_vec).crossJoin(codebook)
+    best = F.array_max(
+        F.transform(
+            F.col("__cb"),
+            lambda c: F.struct(
+                cosine_sim(F.col(corpus_vec), c["vec"]).alias("cos"),
+                (-c["cell"]).alias("negcell"),
+            ),
+        )
+    )
+    return joined.select(
+        corpus_id,
+        (-best["negcell"]).alias(cell_col),
+        best["cos"].alias("cos"),
+    )

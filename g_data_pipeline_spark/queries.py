@@ -98,6 +98,16 @@ _DRIVER_WINDOW = (
     "d_contamination_fraction",
     "t_quality_classifier",
     "d_survivorship_report",
+    # Round-4 wave 2: lakehouse/pipeline-lifecycle operators. The 7 slots
+    # come from demoting 7 core re-confirmations that already hold
+    # multiple green rows (r1/r2+r3 — see ROTATION.md per-query ledger).
+    "a_cdc_merge",
+    "a_scd2_history",
+    "e_attribution",
+    "a_gap_fill",
+    "v_kmeans_assign",
+    "w_first_last_nth",
+    "t_curriculum_bins",
     # -- (3) Freshness re-confirmation: entries whose ONLY green row is
     # round 1 (three rounds old) — the 24 r1-only analytics/window/set
     # queries from the ledger.
@@ -127,17 +137,14 @@ _DRIVER_WINDOW = (
     "sql_correlated_subquery",
     # -- (4) SURVEY §2 core re-confirmation (reference-parity surface keeps
     # a green row every round) + a_salted_agg topping the window to 50.
+    # Demoted to _ANALYTICS_HEAD for the wave-2 slots (each holds 3 green
+    # rows r1/r2+r3): r2_filter_eq, r4_filter_ne, r8_agg_count,
+    # r8b_filtered_count, r6b_grouped_mean, r7b_grouped_sum,
+    # r9_group_by_count.
     "r1_projection",
-    "r2_filter_eq",
     "r3_filter_ordering_and_r5_conjunction",
-    "r4_filter_ne",
     "r6_agg_mean",
     "r7_agg_sum",
-    "r8_agg_count",
-    "r8b_filtered_count",
-    "r6b_grouped_mean",
-    "r7b_grouped_sum",
-    "r9_group_by_count",
     "r10_sort_r11_describe_cap",
     "r11_visualize_cap",
     "q1_pricing_summary",
@@ -149,6 +156,15 @@ _DRIVER_WINDOW = (
 # entries demoted from the round-3 window, all driver-green in r3
 # (ROTATION.md); bench.py and driver_sim still grade them every run.
 _ANALYTICS_HEAD = (
+    # Demoted from the r4 window for the wave-2 lakehouse slots — all
+    # triple-green (ROTATION.md), still graded every driver_sim/bench run.
+    "r2_filter_eq",
+    "r4_filter_ne",
+    "r8_agg_count",
+    "r8b_filtered_count",
+    "r6b_grouped_mean",
+    "r7b_grouped_sum",
+    "r9_group_by_count",
     "v_mean_pool",
     "v_quantize_int8",
     "d_dedup_clusters",

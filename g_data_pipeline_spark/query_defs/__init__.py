@@ -11,6 +11,7 @@ from g_data_pipeline_spark.query_defs import curation  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation2  # noqa: F401
 from g_data_pipeline_spark.query_defs import dedup  # noqa: F401
 from g_data_pipeline_spark.query_defs import events  # noqa: F401
+from g_data_pipeline_spark.query_defs import lakehouse  # noqa: F401
 from g_data_pipeline_spark.query_defs import multimodal  # noqa: F401
 from g_data_pipeline_spark.query_defs import reference_surface  # noqa: F401
 from g_data_pipeline_spark.query_defs import similarity  # noqa: F401

@@ -1,0 +1,421 @@
+"""Lakehouse / pipeline-lifecycle queries (round 4, wave 2): CDC MERGE
+(latest-wins upsert/delete apply), SCD type-2 history, marketing
+attribution, time-grid gap filling, fixed-centroid k-means assignment,
+full-frame window-function coverage, and curriculum binning.
+
+None of these exist in the reference (immutable CSV uploads, no time or
+array types — SURVEY.md §1.2/§2.2); they are the standard operations a
+re-landing data pipeline needs on top of the reference's query surface.
+
+Determinism policy: same as queries.py module docstring — doubles either
+pass through untouched (single parquet-read value, or one arithmetic op),
+or go through scaled-long sums (functions/deterministic.py); every window
+ordering carries an id tie-break so both engines sort identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.catalog import load_table
+from g_data_pipeline_spark.functions.deterministic import dsum, sql_dsum
+from g_data_pipeline_spark.functions.text import token_count
+from g_data_pipeline_spark.functions.vectors import cosine_sim, sql_cosine_sim
+from g_data_pipeline_spark.operators.cdc import merge_latest, scd2_history
+from g_data_pipeline_spark.operators.resample import gap_fill
+from g_data_pipeline_spark.operators.similarity import assign_to_centroids
+from g_data_pipeline_spark.queries import register
+
+_SQL_NTOK = r"len(string_split_regex(trim(lower(text)), '\s+'))"
+
+
+def _cdc_changes(base: DataFrame) -> DataFrame:
+    """Deterministic synthetic CDC feed over the orders snapshot: a +100
+    repricing for every key ending in 0, a LATER +200 repricing for keys
+    ending in 00/20/.. (latest must win), a delete for keys ending in 5,
+    and a brand-new negative-key insert cloned from keys ending in 7
+    (collision-free: base orderkeys are positive)."""
+    upd1 = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit(1).cast("long").alias("change_seq"),
+        F.lit("U").alias("op"),
+    )
+    upd2 = base.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(200.0)).alias("o_totalprice"),
+        F.lit(2).cast("long").alias("change_seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = base.filter(F.col("o_orderkey") % 10 == 5).select(
+        "o_orderkey",
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(1).cast("long").alias("change_seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 10 == 7).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit(1).cast("long").alias("change_seq"),
+        F.lit("I").alias("op"),
+    )
+    return upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+
+
+_CDC_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    ), changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice,
+             CAST(1 AS BIGINT) AS change_seq, 'U' AS op
+      FROM base WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 200.0,
+             CAST(2 AS BIGINT), 'U'
+      FROM base WHERE o_orderkey % 20 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL, NULL, NULL, CAST(1 AS BIGINT), 'D'
+      FROM base WHERE o_orderkey % 10 = 5
+      UNION ALL
+      SELECT -o_orderkey, o_custkey, 'N', o_totalprice, CAST(1 AS BIGINT), 'I'
+      FROM base WHERE o_orderkey % 10 = 7
+    ), unioned AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(0 AS BIGINT) AS change_seq, 'U' AS op
+      FROM base
+      UNION ALL SELECT * FROM changes
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY o_orderkey
+               ORDER BY change_seq DESC, op DESC) AS rn
+      FROM unioned
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
+@register("a_cdc_merge", oracle=_CDC_ORACLE)
+def a_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply (Delta ``MERGE INTO`` / Iceberg-upsert semantics as
+    a pure DataFrame op): base snapshot + change feed (U/I/D with sequence
+    numbers) -> post-merge snapshot, latest sequence wins per key, winning
+    deletes drop the key. One shuffle on the merge key; the latest-wins
+    rank is WindowGroupLimit-pruned (top-1 per key computed map-side), so
+    the shuffle never carries a key's full change history — the shape that
+    survives a 100 TB re-land. operators/cdc.py:merge_latest."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return merge_latest(base, _cdc_changes(base), key="o_orderkey")
+
+
+@register(
+    "a_scd2_history",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             COALESCE(event_type <> LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), TRUE) AS chg
+      FROM events
+    ), starts AS (
+      SELECT user_id, event_type, ts, event_id FROM flagged WHERE chg
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_no,
+           CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_current
+    FROM starts
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def a_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event log: consecutive events
+    with the same event_type per user collapse into one version row with
+    [valid_from, valid_to) validity, version numbers, and a current flag.
+    Change-capture lag, interval lead, and numbering share one (user_id)
+    partitioning -> a single shuffle however long the history.
+    operators/cdc.py:scd2_history."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return scd2_history(
+        events, key="user_id", ts_col="ts", attr_col="event_type",
+        tie_col="event_id",
+    )
+
+
+@register(
+    "e_attribution",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+      FROM events
+      WHERE event_type IN ('click', 'view', 'signup', 'purchase')
+    ), tagged AS (
+      SELECT *,
+             last_value(CASE WHEN is_conv = 0 THEN event_type END
+                        IGNORE NULLS) OVER w AS lt_type,
+             last_value(CASE WHEN is_conv = 0 THEN ts END
+                        IGNORE NULLS) OVER w AS lt_ts
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, is_conv, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CASE WHEN lt_ts >= ts - INTERVAL 7 DAY THEN lt_type
+                ELSE 'direct' END AS channel,
+           COUNT(*) AS n_conversions,
+           {sql_dsum("value")} AS attributed_value
+    FROM tagged WHERE is_conv = 1
+    GROUP BY 1
+    """,
+)
+def e_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent touch event (click/view/signup) at-or-before the
+    purchase and within a 7-day lookback, else to the 'direct' channel;
+    output is per-channel conversion count and deterministic revenue sum.
+    The as-of lookup is the asof.py UNION + ordered-window construction
+    (one shuffle on user_id, no range-join blowup); at equal timestamps
+    the touch sorts before the conversion (the >= convention)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "signup", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_conv"),
+        F.when(
+            F.col("event_type") != "purchase", F.col("event_type")
+        ).alias("touch_type"),
+        F.when(F.col("event_type") != "purchase", F.col("ts")).alias(
+            "touch_ts"
+        ),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(), F.col("is_conv").asc(), F.col("event_id").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = tagged.withColumns(
+        {
+            "lt_type": F.last("touch_type", ignorenulls=True).over(w),
+            "lt_ts": F.last("touch_ts", ignorenulls=True).over(w),
+        }
+    )
+    conv = attributed.filter(F.col("is_conv") == 1).select(
+        F.when(
+            F.col("lt_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+            F.col("lt_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "value",
+    )
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        dsum("value").alias("attributed_value"),
+    )
+
+
+@register(
+    "a_gap_fill",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value, date_trunc('hour', ts) AS bucket
+      FROM events WHERE user_id < 30
+    ), ranked AS (
+      SELECT user_id, bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev
+    ), pb AS (
+      SELECT user_id, bucket, COUNT(*) AS n_events,
+             MAX(CASE WHEN rn = 1 THEN value END) AS lv
+      FROM ranked GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM ev GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM span
+    ), joined AS (
+      SELECT g.user_id, g.bucket,
+             COALESCE(pb.n_events, 0) AS n_events, pb.lv
+      FROM grid g LEFT JOIN pb USING (user_id, bucket)
+    )
+    SELECT user_id, bucket, CAST(n_events AS BIGINT) AS n_events,
+           last_value(lv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM joined
+    """,
+)
+def a_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled series per user (users < 30 bound the output):
+    dense min->max hour grid with per-bucket event counts (0 on gaps) and
+    last-observation-carried-forward values. The grid fans out from a
+    per-key 2-timestamp aggregate — never from raw events — so grid cost
+    is span/step per key, independent of event volume.
+    operators/resample.py:gap_fill."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return gap_fill(
+        events, key="user_id", ts_col="ts", value_col="value",
+        step="1 hour", trunc_unit="hour", tie_col="event_id",
+    )
+
+
+@register(
+    "v_kmeans_assign",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cell, embedding AS c_vec
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT a.vec_id, c.cell,
+             {sql_cosine_sim("a.embedding", "c.c_vec")} AS cos
+      FROM embeddings a CROSS JOIN c
+    ), best AS (
+      SELECT vec_id, cell, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cell ASC) AS rn
+      FROM scored
+    )
+    SELECT cell, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(ROUND(cos * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_cos_micro,
+           CAST(SUM(CAST(ROUND(cos * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+             / COUNT(*) AS avg_cos
+    FROM best WHERE rn = 1
+    GROUP BY cell
+    """,
+)
+def v_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step with a fixed deterministic codebook (the
+    first 8 embeddings): every corpus vector goes to its max-cosine cell
+    (ties to the lowest cell id), output is per-cell population and mean
+    similarity via exact integer micro-cosines. The codebook side is
+    broadcast (plan-pinned) — the corpus never shuffles for scoring, which
+    is the IVF-training inner loop shape at any corpus size.
+    operators/similarity.py:assign_to_centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_vec")
+    )
+    best = assign_to_centroids(emb, cents)
+    return best.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.round(F.col("cos") * F.lit(1e6)).cast("long"))
+        .cast("long")
+        .alias("sum_cos_micro"),
+    ).select(
+        "cell",
+        "n_vecs",
+        "sum_cos_micro",
+        (
+            F.col("sum_cos_micro").cast("double") / F.lit(1e6)
+            / F.col("n_vecs")
+        ).alias("avg_cos"),
+    )
+
+
+@register(
+    "w_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key,
+           last_value(o_orderkey) OVER w AS last_key,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders
+    FROM orders WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-frame window navigation coverage: first_value / nth_value(2) /
+    last_value / count over an UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING
+    frame per customer (SURVEY.md §2 window-function surface; the frame
+    shape the running-total/moving-avg queries don't exercise). Ordering
+    carries the orderkey tie-break so both engines agree on date ties."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+            F.last("o_orderkey").over(w).alias("last_key"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "t_curriculum_bins",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS n_tokens
+      FROM documents WHERE trim(text) <> ''
+    ), binned AS (
+      SELECT doc_id, n_tokens,
+             CAST(NTILE(8) OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+               AS bin
+      FROM sized
+    )
+    SELECT bin, COUNT(*) AS n_docs,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM binned GROUP BY bin
+    """,
+)
+def t_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning length bins: split the corpus into 8 equal-count
+    tiers by token count (NTILE with doc_id tie-break) and report each
+    tier's document count and token budget — the schedule table a
+    length-curriculum trainer consumes. Exact global NTILE implies one
+    single-partition window; that is fine for the bounded gated query —
+    the 100 TB path is range-partitioned binning off approx percentile
+    cut points (operators/percentiles.py), which needs no total sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
+    binned = sized.withColumn("bin", F.ntile(8).over(w).cast("long"))
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )

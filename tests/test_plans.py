@@ -336,3 +336,53 @@ def test_contamination_sketch_prunes_topk_before_join(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_merge_rank_pruned_single_shuffle(spark):
+    """merge_latest: ONE shuffle on the merge key, and the latest-wins
+    row_number is WindowGroupLimit-pruned (top-1 per key computed map-side
+    pre-shuffle) so a key's change history never crosses the wire whole."""
+    plan = plan_of(spark, "a_cdc_merge")
+    assert "WindowGroupLimit" in plan
+    assert shuffle_count(plan) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_shuffle_window_stack(spark):
+    """scd2_history: change-capture lag, interval lead, and version
+    numbering all share the (user_id) partitioning -> one shuffle."""
+    plan = plan_of(spark, "a_scd2_history")
+    assert shuffle_count(plan) == 1
+
+
+def test_attribution_single_shuffle(spark):
+    """e_attribution: the as-of carry window and the per-channel aggregate
+    are the only exchanges (user window + tiny final agg); no join at all
+    on the event volume."""
+    plan = plan_of(spark, "e_attribution")
+    assert op_counts(plan).get("Exchange", 0) <= 2
+    assert "Join" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_kmeans_assign_zero_shuffle_scoring(spark):
+    """assign_to_centroids: codebook collapses to ONE broadcast row; the
+    per-vector argmax is a row-local array expression — the corpus is
+    scored with NO exchange except the final per-cell aggregate, and no
+    per-centroid row fan-out (no window, no rank)."""
+    plan = plan_of(spark, "v_kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row codebook cross join
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # argmax is array_max, not a rank window
+    # corpus scan -> broadcast join -> project -> final agg: the only
+    # exchanges are the codebook collect (1 row) and the 8-cell aggregate
+    assert shuffle_count(plan) <= 2
+
+
+def test_gap_fill_grid_from_aggregate_not_events(spark):
+    """gap_fill: the dense grid explodes out of a per-key (min,max)
+    aggregate, never from raw events — plan has exactly one Generate
+    (explode) fed by a HashAggregate, and the LOCF window rides the same
+    key partitioning as the grid join."""
+    plan = plan_of(spark, "a_gap_fill")
+    assert op_counts(plan).get("Generate", 0) == 1
+    assert "CartesianProduct" not in plan
