@@ -108,6 +108,7 @@ _DRIVER_WINDOW = (
     "v_kmeans_assign",
     "w_first_last_nth",
     "t_curriculum_bins",
+    "a_iqr_outliers",
     # -- (3) Freshness re-confirmation: entries whose ONLY green row is
     # round 1 (three rounds old) — the 24 r1-only analytics/window/set
     # queries from the ledger.
@@ -140,11 +141,10 @@ _DRIVER_WINDOW = (
     # Demoted to _ANALYTICS_HEAD for the wave-2 slots (each holds 3 green
     # rows r1/r2+r3): r2_filter_eq, r4_filter_ne, r8_agg_count,
     # r8b_filtered_count, r6b_grouped_mean, r7b_grouped_sum,
-    # r9_group_by_count.
+    # r9_group_by_count, r7_agg_sum (r6_agg_mean stays for the family).
     "r1_projection",
     "r3_filter_ordering_and_r5_conjunction",
     "r6_agg_mean",
-    "r7_agg_sum",
     "r10_sort_r11_describe_cap",
     "r11_visualize_cap",
     "q1_pricing_summary",
@@ -160,6 +160,7 @@ _ANALYTICS_HEAD = (
     # triple-green (ROTATION.md), still graded every driver_sim/bench run.
     "r2_filter_eq",
     "r4_filter_ne",
+    "r7_agg_sum",
     "r8_agg_count",
     "r8b_filtered_count",
     "r6b_grouped_mean",

@@ -419,3 +419,78 @@ def t_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").alias("max_tokens"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
     )
+
+
+@register(
+    "a_iqr_outliers",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             QUANTILE_CONT(l_extendedprice, 0.25) AS q1,
+             QUANTILE_CONT(l_extendedprice, 0.75) AS q3
+      FROM lineitem GROUP BY 1
+    ), bb AS (
+      SELECT l_returnflag, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM b
+    )
+    SELECT l.l_returnflag,
+           MIN(q1) AS q1, MIN(q3) AS q3,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l.l_extendedprice < lo
+                           OR l.l_extendedprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN l.l_extendedprice < lo
+                           OR l.l_extendedprice > hi
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS outlier_frac
+    FROM lineitem l JOIN bb USING (l_returnflag)
+    GROUP BY 1
+    """,
+)
+def a_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier report per segment: exact q1/q3 per returnflag,
+    1.5-IQR fences, and the count/fraction of rows outside them — the
+    standard numeric-cleaning gate before training-set export. Two scans:
+    a per-group exact-percentile aggregate (3 rows) broadcast back onto
+    the fact scan — the fences never shuffle the fact table, which is the
+    right shape at any scale (swap the percentile kernel for the GK sketch
+    in operators/percentiles.py when exactness isn't required)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
+    )
+    b = li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("x"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("x"), F.lit(0.75)).alias("q3"),
+    )
+    bounds = b.select(
+        "l_returnflag",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    is_out = (F.col("x") < F.col("lo")) | (F.col("x") > F.col("hi"))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(is_out, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            "q1",
+            "q3",
+            "n_rows",
+            "n_outliers",
+            (
+                F.col("n_outliers").cast("double") / F.col("n_rows")
+            ).alias("outlier_frac"),
+        )
+    )

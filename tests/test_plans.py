@@ -386,3 +386,13 @@ def test_gap_fill_grid_from_aggregate_not_events(spark):
     plan = plan_of(spark, "a_gap_fill")
     assert op_counts(plan).get("Generate", 0) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_iqr_outliers_fences_broadcast(spark):
+    """a_iqr_outliers: the 3-row fence table joins back broadcast — the
+    fact scan never shuffles for the join (its only exchanges are the two
+    per-group aggregates)."""
+    plan = plan_of(spark, "a_iqr_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

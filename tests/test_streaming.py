@@ -323,3 +323,74 @@ def test_exactly_once_sink_idempotent_on_replay(spark, events_json_dir, tmp_path
     write_batch(batch0, 0)
     after = spark.read.parquet(out)
     assert after.count() == n_expected  # no duplicates, nothing lost
+
+
+def test_streaming_merge_sink_matches_batch_merge_and_replays(
+    spark, tmp_path
+):
+    """streaming_merge_sink: applying a change feed in micro-batches lands
+    the same final snapshot as one batch merge_latest over the whole feed
+    (sequence numbers make latest-wins order-independent), and replaying an
+    epoch (same batch_id) is idempotent."""
+    import json as _json
+
+    from g_data_pipeline_spark.operators.cdc import merge_latest
+    from g_data_pipeline_spark.streaming.pipelines import (
+        read_merge_snapshot,
+        streaming_merge_sink,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = [
+        {"k": 1, "v": "a2", "change_seq": 1, "op": "U"},
+        {"k": 2, "v": None, "change_seq": 2, "op": "D"},
+        {"k": 4, "v": "d", "change_seq": 3, "op": "I"},
+        {"k": 1, "v": "a3", "change_seq": 4, "op": "U"},
+    ]
+    src = tmp_path / "changes"
+    src.mkdir()
+    # two files -> at least the chance of multiple micro-batches; semantics
+    # must not depend on the batch split (seq numbers carry the order)
+    for i, chunk in enumerate((changes[:2], changes[2:])):
+        with open(src / f"c{i}.json", "w") as fh:
+            for row in chunk:
+                fh.write(_json.dumps(row) + "\n")
+    stream = (
+        spark.readStream.schema("k long, v string, change_seq long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    target = str(tmp_path / "snap")
+    apply_batch = streaming_merge_sink(
+        stream, base, target, str(tmp_path / "ckpt"), key="k"
+    )
+
+    got = {
+        r["k"]: r["v"] for r in read_merge_snapshot(spark, target).collect()
+    }
+    all_changes = spark.createDataFrame(
+        [(c["k"], c["v"], c["change_seq"], c["op"]) for c in changes],
+        ["k", "v", "change_seq", "op"],
+    )
+    want = {
+        r["k"]: r["v"] for r in merge_latest(base, all_changes, "k").collect()
+    }
+    assert got == want == {1: "a3", 3: "c", 4: "d"}
+
+    # replay the LAST epoch: same batch_id must reproduce, not double-apply
+    last_batch = spark.createDataFrame(
+        [(c["k"], c["v"], c["change_seq"], c["op"]) for c in changes[2:]],
+        ["k", "v", "change_seq", "op"],
+    )
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in __import__("os").listdir(target)
+        if d.startswith("v=")
+    )
+    apply_batch(last_batch, versions[-1])
+    got2 = {
+        r["k"]: r["v"] for r in read_merge_snapshot(spark, target).collect()
+    }
+    assert got2 == want
