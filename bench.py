@@ -84,6 +84,8 @@ HEADLINE = [
     "e_attribution",
     "a_gap_fill",
     "v_kmeans_assign",
+    "a_iqr_outliers",
+    "t_curriculum_bins",
 ]
 
 

@@ -109,6 +109,8 @@ _DRIVER_WINDOW = (
     "w_first_last_nth",
     "t_curriculum_bins",
     "a_iqr_outliers",
+    "a_skew_report",
+    "a_group_sample",
     # -- (3) Freshness re-confirmation: entries whose ONLY green row is
     # round 1 (three rounds old) — the 24 r1-only analytics/window/set
     # queries from the ledger.
@@ -141,12 +143,13 @@ _DRIVER_WINDOW = (
     # Demoted to _ANALYTICS_HEAD for the wave-2 slots (each holds 3 green
     # rows r1/r2+r3): r2_filter_eq, r4_filter_ne, r8_agg_count,
     # r8b_filtered_count, r6b_grouped_mean, r7b_grouped_sum,
-    # r9_group_by_count, r7_agg_sum (r6_agg_mean stays for the family).
+    # r9_group_by_count, r7_agg_sum (r6_agg_mean stays for the family),
+    # r3_filter_ordering_and_r5_conjunction + r11_visualize_cap (last two
+    # demotions; r1_projection/r6_agg_mean/r10_sort keep one in-window rep
+    # per core family).
     "r1_projection",
-    "r3_filter_ordering_and_r5_conjunction",
     "r6_agg_mean",
     "r10_sort_r11_describe_cap",
-    "r11_visualize_cap",
     "q1_pricing_summary",
     "p_numeric_stats",
     "a_salted_agg",
@@ -159,8 +162,10 @@ _ANALYTICS_HEAD = (
     # Demoted from the r4 window for the wave-2 lakehouse slots — all
     # triple-green (ROTATION.md), still graded every driver_sim/bench run.
     "r2_filter_eq",
+    "r3_filter_ordering_and_r5_conjunction",
     "r4_filter_ne",
     "r7_agg_sum",
+    "r11_visualize_cap",
     "r8_agg_count",
     "r8b_filtered_count",
     "r6b_grouped_mean",

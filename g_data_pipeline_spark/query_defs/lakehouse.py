@@ -24,6 +24,10 @@ from g_data_pipeline_spark.functions.text import token_count
 from g_data_pipeline_spark.functions.vectors import cosine_sim, sql_cosine_sim
 from g_data_pipeline_spark.operators.cdc import merge_latest, scd2_history
 from g_data_pipeline_spark.operators.resample import gap_fill
+from g_data_pipeline_spark.operators.sampling import (
+    hash_bucket_expr,
+    sql_hash_bucket,
+)
 from g_data_pipeline_spark.operators.similarity import assign_to_centroids
 from g_data_pipeline_spark.queries import register
 
@@ -493,4 +497,85 @@ def a_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_outliers").cast("double") / F.col("n_rows")
             ).alias("outlier_frac"),
         )
+    )
+
+
+@register(
+    "a_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           MAX(n) AS max_key_rows,
+           QUANTILE_CONT(n, 0.5) AS p50_key_rows,
+           QUANTILE_CONT(n, 0.99) AS p99_key_rows,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) AS top1_share,
+           CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+             AS skew_factor
+    FROM per_key
+    """,
+)
+def a_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis for a prospective shuffle key (here
+    events.user_id): key count, hottest-key row count, exact p50/p99 key
+    sizes, the hottest key's share of all rows, and max/mean skew factor —
+    the report that decides between a plain shuffle, AQE skew splitting,
+    and explicit salting (operators/skew.py). Two aggregations: the
+    per-key count shuffles on the key under test (exactly what the real
+    query would do), then a single-row reduce over one row per key."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.percentile(F.col("n").cast("double"), F.lit(0.5)).alias(
+            "p50_key_rows"
+        ),
+        F.percentile(F.col("n").cast("double"), F.lit(0.99)).alias(
+            "p99_key_rows"
+        ),
+        (F.max("n").cast("double") / F.sum("n")).alias("top1_share"),
+        (
+            F.max("n").cast("double")
+            / (F.sum("n").cast("double") / F.count(F.lit(1)))
+        ).alias("skew_factor"),
+    )
+
+
+@register(
+    "a_group_sample",
+    oracle=f"""
+    SELECT doc_id, source, rank FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {sql_hash_bucket(['doc_id'], seed='inspect')},
+                        doc_id) AS BIGINT) AS rank
+      FROM documents)
+    WHERE rank <= 3
+    """,
+)
+def a_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group inspection sample: 3 documents per source,
+    chosen by md5 hash order (layout/partitioning-invariant — the same 3
+    docs on any engine, any run, any file order; a seeded ORDER BY
+    random() is neither). The per-group rank is WindowGroupLimit-pruned,
+    so each map partition forwards at most 3 rows per source — the
+    sampling pass costs one group-keyed shuffle of k rows per group per
+    partition, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket_expr(["doc_id"], seed="inspect").asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
     )

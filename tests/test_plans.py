@@ -396,3 +396,11 @@ def test_iqr_outliers_fences_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_group_sample_rank_limit_pushdown(spark):
+    """a_group_sample: the per-source rank-3 is WindowGroupLimit-pruned —
+    each map partition forwards at most 3 rows per source."""
+    plan = plan_of(spark, "a_group_sample")
+    assert "WindowGroupLimit" in plan
+    assert shuffle_count(plan) == 1
