@@ -111,6 +111,27 @@ _DRIVER_WINDOW = (
     "a_iqr_outliers",
     "a_skew_report",
     "a_group_sample",
+    # Round-4 wave 3: event-sequence analytics, snapshot diff, equi-depth
+    # histogram, weighted sampling, embedding-norm stats. The 7 slots come
+    # from demoting 7 freshness re-confirmations that already hold an r1
+    # green row (s_except, s_union_distinct, s_intersect, s_distinct_pairs,
+    # g_pivot, w_ntile_rank_dense, w_range_frame — first-green for new
+    # coverage outranks a refresh; they queue for r5, see ROTATION.md).
+    "e_transition_matrix",
+    "e_dwell_time",
+    "e_zscore_anomaly",
+    "a_snapshot_diff",
+    "a_equidepth_histogram",
+    "t_weighted_sample",
+    "v_norm_stats",
+    # Round-4 wave 4: data-quality expectations, record linkage,
+    # sessionization. Slots from demoting 3 multi-green core entries
+    # (r1_projection, r6_agg_mean, r10_sort_r11_describe_cap — each holds
+    # 2-3 green rows; q1/p_numeric_stats/a_salted_agg stay as the core
+    # reps). See ROTATION.md.
+    "a_expectations_report",
+    "a_record_linkage",
+    "e_sessionize",
     # -- (3) Freshness re-confirmation: entries whose ONLY green row is
     # round 1 (three rounds old) — the 24 r1-only analytics/window/set
     # queries from the ledger.
@@ -128,15 +149,8 @@ _DRIVER_WINDOW = (
     "w_running_total",
     "w_topk_per_group",
     "w_lag_delta",
-    "w_ntile_rank_dense",
-    "w_range_frame",
     "g_rollup",
     "g_cube",
-    "g_pivot",
-    "s_except",
-    "s_union_distinct",
-    "s_intersect",
-    "s_distinct_pairs",
     "sql_correlated_subquery",
     # -- (4) SURVEY §2 core re-confirmation (reference-parity surface keeps
     # a green row every round) + a_salted_agg topping the window to 50.
@@ -147,9 +161,6 @@ _DRIVER_WINDOW = (
     # r3_filter_ordering_and_r5_conjunction + r11_visualize_cap (last two
     # demotions; r1_projection/r6_agg_mean/r10_sort keep one in-window rep
     # per core family).
-    "r1_projection",
-    "r6_agg_mean",
-    "r10_sort_r11_describe_cap",
     "q1_pricing_summary",
     "p_numeric_stats",
     "a_salted_agg",
@@ -161,6 +172,18 @@ _DRIVER_WINDOW = (
 _ANALYTICS_HEAD = (
     # Demoted from the r4 window for the wave-2 lakehouse slots — all
     # triple-green (ROTATION.md), still graded every driver_sim/bench run.
+    # Demoted from the r4 window for the wave-3 slots — each holds an r1
+    # green row (ROTATION.md round-5 queue), still graded every sim run.
+    "w_ntile_rank_dense",
+    "w_range_frame",
+    "g_pivot",
+    "s_except",
+    "s_union_distinct",
+    "s_intersect",
+    "s_distinct_pairs",
+    "r1_projection",
+    "r6_agg_mean",
+    "r10_sort_r11_describe_cap",
     "r2_filter_eq",
     "r3_filter_ordering_and_r5_conjunction",
     "r4_filter_ne",

@@ -404,3 +404,100 @@ def test_group_sample_rank_limit_pushdown(spark):
     plan = plan_of(spark, "a_group_sample")
     assert "WindowGroupLimit" in plan
     assert shuffle_count(plan) == 1
+
+
+def test_transition_matrix_windows_after_agg(spark):
+    """e_transition_matrix: the row-normalizing window runs on the tiny
+    (from,to) aggregate, never on raw events — two Window-able exchanges
+    plus the pair agg, no joins."""
+    plan = plan_of(spark, "e_transition_matrix")
+    assert "Join" not in plan
+    assert op_counts(plan).get("Window", 0) == 2  # lead + normalizer
+    assert shuffle_count(plan) == 3  # user seq, pair agg, from_type window
+
+
+def test_dwell_time_single_sequencing_shuffle(spark):
+    """e_dwell_time: one user-partition window for the lag, one map-side
+    combined bucket aggregate — all-integer pipeline, no joins."""
+    plan = plan_of(spark, "e_dwell_time")
+    assert "Join" not in plan
+    assert op_counts(plan).get("Window", 0) == 1
+    assert shuffle_count(plan) == 2
+    assert "HashAggregate" in plan
+
+
+def test_zscore_stats_broadcast(spark):
+    """e_zscore_anomaly: the 5-row moment table joins back broadcast; the
+    fact scan never shuffles for the join."""
+    plan = plan_of(spark, "e_zscore_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_keyed_join_no_cartesian(spark):
+    """a_snapshot_diff: the full-outer diff is a keyed sort-merge join
+    (neither snapshot is broadcastable at scale; Spark's BHJ cannot do
+    full-outer anyway) — never a nested-loop/cartesian."""
+    plan = plan_of(spark, "a_snapshot_diff")
+    assert "SortMergeJoin FullOuter" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_equidepth_cuts_broadcast(spark):
+    """a_equidepth_histogram: the 1-row decile-cut aggregate broadcasts
+    (BNLJ of a single-row side), the binning agg is map-side combined."""
+    plan = plan_of(spark, "a_equidepth_histogram")
+    assert "CartesianProduct" not in plan
+    c = op_counts(plan)
+    assert c.get("BroadcastNestedLoopJoin", 0) + c.get("BroadcastHashJoin", 0) >= 1
+    assert "HashAggregate" in plan
+
+
+def test_weighted_sample_zero_shuffle(spark):
+    """t_weighted_sample: pure filter + projection — embarrassingly
+    parallel, zero exchanges."""
+    plan = plan_of(spark, "t_weighted_sample")
+    assert shuffle_count(plan) == 0
+    assert "Join" not in plan
+
+
+def test_norm_stats_single_shuffle(spark):
+    """v_norm_stats: one map-side-combined per-label aggregate; the norm
+    is a scaled-long fold inside the project, no join, no extra pass."""
+    plan = plan_of(spark, "v_norm_stats")
+    assert "Join" not in plan
+    assert shuffle_count(plan) == 1
+
+
+def test_expectations_three_pass_shape(spark):
+    """a_expectations_report: four row-level rules fuse into one aggregate
+    pass (conditional counts — no per-rule scans), uniqueness is a keyed
+    agg, the FK check is a broadcast left-anti join; no cartesian
+    anywhere."""
+    plan = plan_of(spark, "a_expectations_report")
+    assert "CartesianProduct" not in plan
+    c = op_counts(plan)
+    # FK anti join broadcasts the distinct parent-key side at this scale.
+    assert c.get("BroadcastHashJoin", 0) >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_record_linkage_blocked_not_allpairs(spark):
+    """a_record_linkage: candidates come from an equi-join on the blocking
+    key — never a nested-loop all-pairs product."""
+    plan = plan_of(spark, "a_record_linkage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    c = op_counts(plan)
+    assert c.get("BroadcastHashJoin", 0) + c.get("SortMergeJoin", 0) >= 1
+
+
+def test_sessionize_single_shuffle(spark):
+    """e_sessionize: both windows and the per-session aggregate share the
+    user_id clustering — Catalyst satisfies all three from ONE exchange."""
+    plan = plan_of(spark, "e_sessionize")
+    assert "Join" not in plan
+    assert shuffle_count(plan) == 1
+    assert op_counts(plan).get("Window", 0) == 2
