@@ -86,6 +86,13 @@ HEADLINE = [
     "v_kmeans_assign",
     "a_iqr_outliers",
     "t_curriculum_bins",
+    # round-4 wave-3/4 additions: event-sequence + validation/identity
+    # flagships (first recorded cost becomes their baseline).
+    "e_transition_matrix",
+    "e_sessionize",
+    "a_snapshot_diff",
+    "a_record_linkage",
+    "a_expectations_report",
 ]
 
 
