@@ -93,6 +93,12 @@ HEADLINE = [
     "a_snapshot_diff",
     "a_record_linkage",
     "a_expectations_report",
+    "a_groupwise_regression",
+    "e_cumulative_users",
+    "t_oov_rate",
+    "t_train_val_test_split",
+    "a_salted_join",
+    "e_event_dedup_first",
 ]
 
 

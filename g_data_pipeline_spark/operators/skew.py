@@ -59,5 +59,10 @@ def salted_join(
         "__salt",
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
     )
-    out = f_salted.join(d_replicated, [key, "__salt"], how)
+    # The operator's premise is a dim too big to broadcast: pin the join
+    # to sort-merge so the plan is the salted-shuffle shape at ANY scale
+    # (without the hint, Catalyst broadcasts small test dims, and then the
+    # salt is pure overhead — if the dim fits a broadcast, use a plain
+    # broadcast join instead of this operator).
+    out = f_salted.join(d_replicated.hint("merge"), [key, "__salt"], how)
     return out.drop("__salt")

@@ -9,6 +9,7 @@ from g_data_pipeline_spark.query_defs import analytics5  # noqa: F401
 from g_data_pipeline_spark.query_defs import analytics6  # noqa: F401
 from g_data_pipeline_spark.query_defs import analytics7  # noqa: F401
 from g_data_pipeline_spark.query_defs import analytics8  # noqa: F401
+from g_data_pipeline_spark.query_defs import analytics9  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation2  # noqa: F401
 from g_data_pipeline_spark.query_defs import dedup  # noqa: F401

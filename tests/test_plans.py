@@ -501,3 +501,57 @@ def test_sessionize_single_shuffle(spark):
     assert "Join" not in plan
     assert shuffle_count(plan) == 1
     assert op_counts(plan).get("Window", 0) == 2
+
+
+def test_groupwise_regression_single_shuffle(spark):
+    """a_groupwise_regression: all five OLS moments in ONE map-side
+    combined aggregate — a single exchange, no joins, no iteration."""
+    plan = plan_of(spark, "a_groupwise_regression")
+    assert "Join" not in plan
+    assert shuffle_count(plan) == 1
+    assert "HashAggregate" in plan
+
+
+def test_cumulative_users_window_on_aggregate(spark):
+    """e_cumulative_users: the running total windows over the per-day
+    aggregate (days), never the raw events — one fact shuffle (user
+    first-seen), one tiny per-day agg, one single-partition window."""
+    plan = plan_of(spark, "e_cumulative_users")
+    assert "Join" not in plan
+    assert op_counts(plan).get("Window", 0) == 1
+    assert shuffle_count(plan) == 3
+
+
+def test_oov_vocab_broadcasts(spark):
+    """t_oov_rate: the top-K vocab joins the exploded token stream
+    broadcast — the token stream never shuffles for the join."""
+    plan = plan_of(spark, "t_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_report_single_shuffle(spark):
+    """t_train_val_test_split: hash-bucket assignment is a pure
+    projection; the report is one small aggregate."""
+    plan = plan_of(spark, "t_train_val_test_split")
+    assert "Join" not in plan
+    assert shuffle_count(plan) == 1
+
+
+def test_salted_join_no_broadcast_no_cartesian(spark):
+    """a_salted_join: the whole point is a non-broadcast keyed join on
+    (key, salt) — the dim replication is an explode projection, never a
+    nested-loop product."""
+    plan = plan_of(spark, "a_salted_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_event_dedup_rank_limit_pushdown(spark):
+    """e_event_dedup_first: the keep-first rank is WindowGroupLimit-pruned
+    map-side, so a hot key's duplicates never all cross the shuffle."""
+    plan = plan_of(spark, "e_event_dedup_first")
+    assert "WindowGroupLimit" in plan
+    assert shuffle_count(plan) == 1
