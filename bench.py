@@ -133,6 +133,12 @@ def run() -> None:
             _force(df)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # The headline now spans 50+ entries in ONE JVM: dropped broadcast
+        # vars / codegen classes from earlier entries linger until a major
+        # GC and were measured inflating later entries up to 3x vs a fresh
+        # JVM. A forced GC between entries keeps each measurement close to
+        # its isolated cost without restarting the session.
+        spark.sparkContext._jvm.System.gc()
 
     # End-to-end profile of the fact table (the reference's flagship
     # computation — SURVEY.md §2.3): full numeric profile + top-k values.

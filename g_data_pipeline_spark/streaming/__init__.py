@@ -4,6 +4,7 @@ from g_data_pipeline_spark.streaming.pipelines import (
     enrich_events_stream,
     run_available_now,
     running_user_totals_stream,
+    sessionize_stream,
     sessionized_counts_stream,
     sliding_counts_stream,
     stream_events_from_json,
@@ -16,6 +17,7 @@ __all__ = [
     "enrich_events_stream",
     "run_available_now",
     "running_user_totals_stream",
+    "sessionize_stream",
     "sessionized_counts_stream",
     "sliding_counts_stream",
     "stream_events_from_json",

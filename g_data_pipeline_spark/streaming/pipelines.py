@@ -387,3 +387,69 @@ def read_merge_snapshot(spark: SparkSession, path: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {path}")
     return spark.read.parquet(os.path.join(path, f"v={versions[-1]}"))
+
+
+def sessionize_stream(
+    stream: DataFrame, gap_us: int = 30 * 60 * 1_000_000
+) -> DataFrame:
+    """CUSTOM STATEFUL session-id assignment via applyInPandasWithState —
+    the streaming twin of the batch ``e_sessionize`` query: a >gap_us
+    silence starts a new session, and every event is emitted with its
+    (user_id, session_idx). State per user is two longs (last event time,
+    current session index); Spark checkpoints and redistributes it on
+    rescale.
+
+    Ordering contract: events are sorted (ts, event_id) WITHIN each
+    micro-batch before assignment, so single-batch (availableNow) replays
+    match batch exactly; cross-batch late events would need a
+    watermark-buffered variant (same state schema, delayed emission) —
+    the standard streaming-sessionization caveat."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("session_idx", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("idx", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last_us, idx = state.get if state.exists else (-1, 0)
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values(["ts", "event_id"])
+        # robust across pandas datetime64 storage units (ns vs us)
+        us = rows["ts"].values.astype("datetime64[us]").astype("int64")
+        out_ids, out_idx = [], []
+        for eid, u in zip(rows["event_id"].tolist(), us.tolist()):
+            if last_us < 0 or u - last_us > gap_us:
+                idx += 1
+            last_us = u
+            out_ids.append(int(eid))
+            out_idx.append(int(idx))
+        state.update((int(last_us), int(idx)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(out_ids),
+                "event_id": out_ids,
+                "session_idx": out_idx,
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -394,3 +394,40 @@ def test_streaming_merge_sink_matches_batch_merge_and_replays(
         r["k"]: r["v"] for r in read_merge_snapshot(spark, target).collect()
     }
     assert got2 == want
+
+
+def test_streaming_sessionize_matches_batch(spark, events_json_dir):
+    """sessionize_stream (applyInPandasWithState): single-batch replay must
+    assign every event the same session_idx as the batch window-function
+    assignment (30-min gap)."""
+    from pyspark.sql import Window
+
+    from g_data_pipeline_spark.streaming import sessionize_stream
+
+    stream = stream_events_from_json(spark, events_json_dir)
+    got = {
+        (r.user_id, r.event_id): r.session_idx
+        for r in run_available_now(
+            sessionize_stream(stream), "t_sessionize", "append"
+        ).collect()
+    }
+
+    events = load_table(spark, SF_DIR_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expected = {
+        (r.user_id, r.event_id): r.session_idx
+        for r in events.select(
+            "user_id",
+            "event_id",
+            F.sum(new_s).over(run).cast("long").alias("session_idx"),
+        ).collect()
+    }
+    assert got == expected
