@@ -89,8 +89,13 @@ HEADLINE = [
     # round-4 wave-3/4 additions: event-sequence + validation/identity
     # flagships (first recorded cost becomes their baseline).
     "e_transition_matrix",
+    "e_dwell_time",
+    "e_zscore_anomaly",
     "e_sessionize",
     "a_snapshot_diff",
+    "a_equidepth_histogram",
+    "t_weighted_sample",
+    "v_norm_stats",
     "a_record_linkage",
     "a_expectations_report",
     "a_groupwise_regression",
@@ -99,6 +104,12 @@ HEADLINE = [
     "t_train_val_test_split",
     "a_salted_join",
     "e_event_dedup_first",
+    # p_distributed_percentiles is excluded: its kernel runs at DataFrame
+    # BUILD time (bounded driver bookkeeping), so timed repeats of the
+    # returned literal row would measure nothing.
+    "d_minhash_estimate_pairs",
+    "p_grouped_median_pandas",
+    "t_text_normalize",
 ]
 
 

@@ -14,9 +14,11 @@ from g_data_pipeline_spark.query_defs import curation  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation2  # noqa: F401
 from g_data_pipeline_spark.query_defs import dedup  # noqa: F401
 from g_data_pipeline_spark.query_defs import events  # noqa: F401
+from g_data_pipeline_spark.query_defs import grouped_gate  # noqa: F401
 from g_data_pipeline_spark.query_defs import lakehouse  # noqa: F401
 from g_data_pipeline_spark.query_defs import multimodal  # noqa: F401
 from g_data_pipeline_spark.query_defs import reference_surface  # noqa: F401
+from g_data_pipeline_spark.query_defs import sketches  # noqa: F401
 from g_data_pipeline_spark.query_defs import similarity  # noqa: F401
 from g_data_pipeline_spark.query_defs import text  # noqa: F401
 from g_data_pipeline_spark.query_defs import text2  # noqa: F401

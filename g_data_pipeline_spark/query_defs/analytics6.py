@@ -77,10 +77,21 @@ def p_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape hatches (approx/distributed)."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.percentile(price, F.lit(0.5)).alias("median_price"),
-        F.percentile(price, F.lit(0.9)).alias("p90_price"),
-        F.count(F.lit(1)).alias("n_rows"),
+    # one array-percentile buffer per group (two scalar F.percentile exprs
+    # would hold the group's values twice — see a_equidepth_histogram)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.percentile(price, F.array(F.lit(0.5), F.lit(0.9))).alias("ps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("ps")[0].alias("median_price"),
+            F.col("ps")[1].alias("p90_price"),
+            "n_rows",
+        )
     )
 
 

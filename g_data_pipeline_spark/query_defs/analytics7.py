@@ -317,12 +317,12 @@ def a_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("x")
     )
     price = F.col("x").cast("double")
+    # ONE array-percentile aggregate: nine separate F.percentile exprs
+    # each buffer the whole column (9x the memory — OOMed a 1g-driver
+    # session at sf0.1); the array form holds the values once.
     cuts = li.agg(
-        *[
-            F.percentile(price, F.lit(p)).alias(f"c{i}")
-            for i, p in enumerate(_CUTS, start=1)
-        ]
-    )
+        F.percentile(price, F.array(*[F.lit(p) for p in _CUTS])).alias("cs")
+    ).select(*[F.col("cs")[i].alias(f"c{i + 1}") for i in range(len(_CUTS))])
     decile = F.lit(1)
     for i in range(1, 10):
         decile = decile + (F.col("x") > F.col(f"c{i}")).cast("bigint")

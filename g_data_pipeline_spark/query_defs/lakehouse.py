@@ -464,9 +464,14 @@ def a_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
     )
+    # one array-percentile buffer per group (two scalar F.percentile exprs
+    # would hold the group's values twice — see a_equidepth_histogram)
     b = li.groupBy("l_returnflag").agg(
-        F.percentile(F.col("x"), F.lit(0.25)).alias("q1"),
-        F.percentile(F.col("x"), F.lit(0.75)).alias("q3"),
+        F.percentile(F.col("x"), F.array(F.lit(0.25), F.lit(0.75))).alias("qs")
+    ).select(
+        "l_returnflag",
+        F.col("qs")[0].alias("q1"),
+        F.col("qs")[1].alias("q3"),
     )
     bounds = b.select(
         "l_returnflag",

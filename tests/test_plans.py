@@ -555,3 +555,28 @@ def test_event_dedup_rank_limit_pushdown(spark):
     plan = plan_of(spark, "e_event_dedup_first")
     assert "WindowGroupLimit" in plan
     assert shuffle_count(plan) == 1
+
+
+def test_minhash_estimate_keyed_joins_only(spark):
+    """d_minhash_estimate_pairs: signature build is row-wise array
+    expressions (no explode for the sig), pair candidates come from the
+    DF-cutoff inverted index, signatures join back keyed on doc id —
+    never a cartesian/nested-loop."""
+    plan = plan_of(spark, "d_minhash_estimate_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouped_median_pandas_arrow_shape(spark):
+    """p_grouped_median_pandas: the grouped-map pandas kernel rides the
+    ordinary groupBy shuffle (FlatMapGroupsInPandas, one exchange)."""
+    plan = plan_of(spark, "p_grouped_median_pandas")
+    assert "FlatMapGroupsInPandas" in plan
+    assert shuffle_count(plan) == 1
+
+
+def test_text_normalize_zero_shuffle(spark):
+    """t_text_normalize: pure projection — zero exchanges."""
+    plan = plan_of(spark, "t_text_normalize")
+    assert shuffle_count(plan) == 0
+    assert "Join" not in plan
