@@ -110,6 +110,7 @@ HEADLINE = [
     "d_minhash_estimate_pairs",
     "p_grouped_median_pandas",
     "t_text_normalize",
+    "a_yoy_growth",
 ]
 
 

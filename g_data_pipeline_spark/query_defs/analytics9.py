@@ -1,11 +1,11 @@
-"""Analytics wave 9 (round 4, waves 5-6): group-wise linear regression
-(closed-form OLS from exact moment sums), cumulative-adoption curves,
-OOV-rate against a corpus-derived vocabulary, deterministic
-train/val/test splitting, salted-join result parity, and
-windowed event dedup (keep-first).
+"""Analytics wave 9 (round 4, waves 5-6 and 9): group-wise linear
+regression (closed-form OLS from exact moment sums), cumulative-adoption
+curves, OOV-rate against a corpus-derived vocabulary, deterministic
+train/val/test splitting, salted-join result parity, windowed event dedup
+(keep-first), and MoM/YoY growth reporting.
 
 Registered AFTER the round-4 driver window froze (the window's 50 slots
-are all first-green candidates this round); these six queue for the r5
+are all first-green candidates this round); these queue for the r5
 window per ROTATION.md rule 3's queue clause — sim-gated now.
 
 Determinism: regression moments are exact scaled-long sums cast to double
@@ -335,4 +335,57 @@ def e_event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("user_id", "event_type", "bucket_5min", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month / year-over-year growth (wave 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT month, revenue_cents, n_orders,
+           revenue_cents - LAG(revenue_cents, 1) OVER w AS mom_delta_cents,
+           revenue_cents - LAG(revenue_cents, 12) OVER w AS yoy_delta_cents
+    FROM monthly
+    WINDOW w AS (ORDER BY month)
+    """,
+)
+def a_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue deltas: one monthly
+    aggregate over the fact table (exact cent sums), then LAG(1)/LAG(12)
+    over the tiny month table — the reporting staple whose windows must
+    run on the AGGREGATE, never the raw facts (the single-partition
+    ordered window sees one row per month at any scale). All-integer
+    outputs; missing prior periods yield NULL deltas on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue_cents",
+        "n_orders",
+        (F.col("revenue_cents") - F.lag("revenue_cents", 1).over(w)).alias(
+            "mom_delta_cents"
+        ),
+        (F.col("revenue_cents") - F.lag("revenue_cents", 12).over(w)).alias(
+            "yoy_delta_cents"
+        ),
     )

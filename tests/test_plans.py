@@ -580,3 +580,12 @@ def test_text_normalize_zero_shuffle(spark):
     plan = plan_of(spark, "t_text_normalize")
     assert shuffle_count(plan) == 0
     assert "Join" not in plan
+
+
+def test_yoy_growth_window_on_aggregate(spark):
+    """a_yoy_growth: LAG(1)/LAG(12) run over the per-month aggregate
+    (one row per month), never the raw orders."""
+    plan = plan_of(spark, "a_yoy_growth")
+    assert "Join" not in plan
+    assert op_counts(plan).get("Window", 0) == 1
+    assert shuffle_count(plan) == 2  # month agg + single-partition window
