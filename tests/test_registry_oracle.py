@@ -72,3 +72,44 @@ def test_driver_window_outputs_are_scalar_only(spark):
         if bad:
             offenders[name] = bad
     assert offenders == {}
+
+
+# Round-4 post-window registrations queued for the r5 driver window
+# (ROTATION.md "Round-5 rotation queue"). Pinned here so every queue entry
+# is promotion-eligible BEFORE the repack: oracle present + scalar-only
+# output (the two window rules that burned slots in round 2).
+R5_QUEUE = (
+    "a_groupwise_regression",
+    "e_cumulative_users",
+    "t_oov_rate",
+    "t_train_val_test_split",
+    "a_salted_join",
+    "e_event_dedup_first",
+    "d_minhash_estimate_pairs",
+    "p_distributed_percentiles",
+    "p_grouped_median_pandas",
+    "t_text_normalize",
+    "a_yoy_growth",
+)
+
+
+def test_r5_queue_entries_window_eligible(spark):
+    """Every r5-queue entry must already satisfy both window rules, so the
+    round-5 repack is a pure pin-list edit with no failure risk."""
+    from tests.conftest import SF_DIR_SMOKE
+
+    problems = {}
+    for name in R5_QUEUE:
+        spec = REGISTRY.get(name)
+        if spec is None or spec.oracle is None:
+            problems[name] = "missing or rows-only"
+            continue
+        df = spec.fn(spark, SF_DIR_SMOKE)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad:
+            problems[name] = f"non-scalar columns: {bad}"
+    assert problems == {}
