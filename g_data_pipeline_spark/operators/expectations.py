@@ -75,10 +75,10 @@ def row_level_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
     )
     # Pivot the 1-row aggregate into (rule, n_checked, n_violations) rows
     # driver-free: stack() on the single-row result (tiny, no shuffle of
-    # the fact table).
-    pairs = ", ".join(
-        f"'{r.name}', __v{i}" for i, r in enumerate(rules)
-    )
+    # the fact table). Rule names are spliced into SQL — escape quotes
+    # (matches() accepts arbitrary labels).
+    escaped = [r.name.replace("'", "\\'") for r in rules]
+    pairs = ", ".join(f"'{name}', __v{i}" for i, name in enumerate(escaped))
     return agg.selectExpr(
         f"stack({len(rules)}, {pairs}) AS (rule, n_violations)", "__n"
     ).select(
@@ -90,9 +90,18 @@ def row_level_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
 def unique_report(df: DataFrame, cols: list[str]) -> DataFrame:
     """Uniqueness: rows minus distinct keys, via a keyed count aggregate
-    (one shuffle on the key — never a driver-side distinct)."""
+    (one shuffle on the key — never a driver-side distinct).
+
+    NULL keys are EXCLUDED from the check (SQL COUNT(DISTINCT) semantics —
+    Spark's groupBy would otherwise count a NULL group as one distinct key
+    and diverge from a ``COUNT(*) - COUNT(DISTINCT col)`` oracle); pair
+    with :func:`not_null` to flag the NULLs themselves. ``n_checked`` is
+    therefore the non-NULL row count."""
     label = f"unique({','.join(cols)})"
-    per_key = df.groupBy(*[F.col(c) for c in cols]).agg(
+    non_null = df
+    for c in cols:
+        non_null = non_null.filter(F.col(c).isNotNull())
+    per_key = non_null.groupBy(*[F.col(c) for c in cols]).agg(
         F.count(F.lit(1)).alias("__n")
     )
     return per_key.agg(

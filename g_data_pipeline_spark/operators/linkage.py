@@ -67,7 +67,7 @@ def link_customers_demo(df: DataFrame, max_lev: int, max_cents: int) -> DataFram
         block_cols=["c_nationkey", "name_sfx"],
         payload_cols=["c_name", "bal_cents"],
     )
-    lev = F.levenshtein(F.col("c_name_a"), F.col("c_name_b"))
+    lev = edit_distance_score("c_name_a", "c_name_b")
     cents = F.abs(F.col("bal_cents_a") - F.col("bal_cents_b"))
     return (
         pairs.select(

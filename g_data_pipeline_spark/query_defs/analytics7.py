@@ -142,10 +142,11 @@ def e_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), thr AS (
       SELECT event_type, n_events,
              CAST(ROUND((((CAST(s1 AS DOUBLE) / 1e6) / n_events)
-                         + 2 * SQRT((((CAST(s2 AS DOUBLE) / 1e6) / n_events)
+                         + 2 * SQRT(GREATEST(
+                                    (((CAST(s2 AS DOUBLE) / 1e6) / n_events)
                                      - ((CAST(s1 AS DOUBLE) / 1e6) / n_events)
                                        * ((CAST(s1 AS DOUBLE) / 1e6) / n_events))
-                                    * n_events / (n_events - 1))) * 1e6)
+                                    * n_events / (n_events - 1), 0.0))) * 1e6)
                   AS BIGINT) AS thr_micro
       FROM stats
     )
@@ -178,7 +179,12 @@ def e_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_events")
     mean = (F.col("s1").cast("double") / F.lit(1e6)) / n
     ex2 = (F.col("s2").cast("double") / F.lit(1e6)) / n
-    std = F.sqrt((ex2 - mean * mean) * n / (n - F.lit(1)))
+    # Clamp at 0: the rounded-moment variance estimate can dip epsilon-
+    # negative for a near-constant group, where Spark sqrt gives NaN but
+    # DuckDB sqrt RAISES — a gate crash, not just a mismatch.
+    std = F.sqrt(
+        F.greatest((ex2 - mean * mean) * n / (n - F.lit(1)), F.lit(0.0))
+    )
     thr = stats.select(
         "event_type",
         "n_events",
@@ -350,8 +356,11 @@ _SQL_NTOK = r"len(string_split_regex(trim(lower(text)), '\s+'))"
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, source,
-             CAST({_SQL_NTOK} AS BIGINT) AS ntok,
-             LEAST(1000000, CAST({_SQL_NTOK} AS BIGINT) * 12500)
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE CAST({_SQL_NTOK} AS BIGINT) END AS ntok,
+             LEAST(1000000,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST({_SQL_NTOK} AS BIGINT) END * 12500)
                AS weight_micro
       FROM documents
     )

@@ -354,20 +354,24 @@ def e_event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
       GROUP BY 1
     )
-    SELECT month, revenue_cents, n_orders,
-           revenue_cents - LAG(revenue_cents, 1) OVER w AS mom_delta_cents,
-           revenue_cents - LAG(revenue_cents, 12) OVER w AS yoy_delta_cents
-    FROM monthly
-    WINDOW w AS (ORDER BY month)
+    SELECT m.month, m.revenue_cents, m.n_orders,
+           m.revenue_cents - p1.revenue_cents AS mom_delta_cents,
+           m.revenue_cents - p12.revenue_cents AS yoy_delta_cents
+    FROM monthly m
+    LEFT JOIN monthly p1
+      ON p1.month = CAST(m.month - INTERVAL 1 MONTH AS DATE)
+    LEFT JOIN monthly p12
+      ON p12.month = CAST(m.month - INTERVAL 12 MONTH AS DATE)
     """,
 )
 def a_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month and year-over-year revenue deltas: one monthly
-    aggregate over the fact table (exact cent sums), then LAG(1)/LAG(12)
-    over the tiny month table — the reporting staple whose windows must
-    run on the AGGREGATE, never the raw facts (the single-partition
-    ordered window sees one row per month at any scale). All-integer
-    outputs; missing prior periods yield NULL deltas on both engines."""
+    aggregate over the fact table (exact cent sums), then CALENDAR
+    self-joins on month-minus-1/minus-12 over the tiny month table — not
+    LAG(1)/LAG(12), which silently compares against the wrong month when
+    any month in the series is empty. The joins are broadcast (one row
+    per month at any scale); a missing prior period yields a NULL delta
+    on both engines. All-integer outputs."""
     orders = load_table(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
@@ -377,15 +381,24 @@ def a_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w = Window.orderBy("month")
-    return monthly.select(
-        "month",
-        "revenue_cents",
-        "n_orders",
-        (F.col("revenue_cents") - F.lag("revenue_cents", 1).over(w)).alias(
-            "mom_delta_cents"
-        ),
-        (F.col("revenue_cents") - F.lag("revenue_cents", 12).over(w)).alias(
-            "yoy_delta_cents"
-        ),
+    p1 = monthly.select(
+        F.add_months(F.col("month"), 1).alias("month"),
+        F.col("revenue_cents").alias("prev1"),
+    )
+    p12 = monthly.select(
+        F.add_months(F.col("month"), 12).alias("month"),
+        F.col("revenue_cents").alias("prev12"),
+    )
+    return (
+        monthly.join(F.broadcast(p1), "month", "left")
+        .join(F.broadcast(p12), "month", "left")
+        .select(
+            "month",
+            "revenue_cents",
+            "n_orders",
+            (F.col("revenue_cents") - F.col("prev1")).alias("mom_delta_cents"),
+            (F.col("revenue_cents") - F.col("prev12")).alias(
+                "yoy_delta_cents"
+            ),
+        )
     )

@@ -53,17 +53,22 @@ def p_grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         v = pdf["x"].sort_values().to_numpy()
         n = len(v)
         h = (n - 1) * 0.5
         lo = float(v[int(h)])
         hi = float(v[min(int(h) + 1, n - 1)])
         med = lo + (h - int(h)) * (hi - lo)
+        # floor(x + 0.5), NOT Python round(): round() is banker's
+        # (round(2.5) == 2) while DuckDB ROUND is half-away-from-zero —
+        # a .5-boundary median would diverge (CLAUDE.md micro-score rule).
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
                 "n_rows": [n],
-                "median_micro": [int(round(med * 1e6))],
+                "median_micro": [int(math.floor(med * 1e6 + 0.5))],
             }
         )
 

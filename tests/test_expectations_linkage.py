@@ -85,3 +85,25 @@ def test_blocked_pairs_each_unordered_pair_once(spark):
     assert all(r["id_a"] < r["id_b"] for r in pairs)
     by_pair = {(r["id_a"], r["id_b"]): (r["payload_a"], r["payload_b"]) for r in pairs}
     assert by_pair[(1, 2)] == ("x", "y")
+
+
+def test_unique_report_excludes_null_keys(spark):
+    """NULL keys are excluded (COUNT(DISTINCT) semantics) so the report
+    matches a COUNT(*)-COUNT(DISTINCT col) SQL twin; not_null flags them."""
+    df = spark.createDataFrame(
+        [(None,), (None,), (1,), (1,), (2,)], "k bigint"
+    )
+    rep = _report_dict(unique_report(df, ["k"]))
+    assert rep["unique(k)"] == (3, 1)  # 3 non-null rows, one dup
+
+
+def test_row_level_report_escapes_quoted_labels(spark):
+    """Rule labels are spliced into a stack() SQL string — quotes must not
+    break the expression."""
+    df = spark.createDataFrame([("a",), ("b",)], "name string")
+    rep = _report_dict(
+        row_level_report(
+            df, [matches("name", "^[a-z]$", label="o'brien check")]
+        )
+    )
+    assert rep["o'brien check"] == (2, 0)

@@ -582,10 +582,11 @@ def test_text_normalize_zero_shuffle(spark):
     assert "Join" not in plan
 
 
-def test_yoy_growth_window_on_aggregate(spark):
-    """a_yoy_growth: LAG(1)/LAG(12) run over the per-month aggregate
-    (one row per month), never the raw orders."""
+def test_yoy_growth_joins_on_aggregate(spark):
+    """a_yoy_growth: the calendar self-joins (month-1 / month-12) are
+    broadcast joins over the per-month aggregate — the raw orders shuffle
+    once for the month agg and never for the joins."""
     plan = plan_of(spark, "a_yoy_growth")
-    assert "Join" not in plan
-    assert op_counts(plan).get("Window", 0) == 1
-    assert shuffle_count(plan) == 2  # month agg + single-partition window
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
