@@ -111,6 +111,7 @@ HEADLINE = [
     "p_grouped_median_pandas",
     "t_text_normalize",
     "a_yoy_growth",
+    "e_item_cooccurrence",
 ]
 
 

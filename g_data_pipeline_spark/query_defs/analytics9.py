@@ -1,8 +1,9 @@
-"""Analytics wave 9 (round 4, waves 5-6 and 9): group-wise linear
+"""Analytics wave 9 (round 4, waves 5-6 and 9-10): group-wise linear
 regression (closed-form OLS from exact moment sums), cumulative-adoption
 curves, OOV-rate against a corpus-derived vocabulary, deterministic
 train/val/test splitting, salted-join result parity, windowed event dedup
-(keep-first), and MoM/YoY growth reporting.
+(keep-first), MoM/YoY growth reporting, and market-basket item
+co-occurrence with lift.
 
 Registered AFTER the round-4 driver window froze (the window's 50 slots
 are all first-green candidates this round); these queue for the r5
@@ -400,5 +401,88 @@ def a_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue_cents") - F.col("prev12")).alias(
                 "yoy_delta_cents"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item co-occurrence / lift (wave 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e_item_cooccurrence",
+    oracle=r"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
+      FROM events
+      WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+    ), item_counts AS (
+      SELECT item, COUNT(*) AS cnt FROM ui GROUP BY item
+    ), total AS (
+      SELECT COUNT(DISTINCT user_id) AS n_users FROM ui
+    ), co AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_co
+      FROM ui a JOIN ui b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT c.item_a, c.item_b, c.n_co,
+           CAST(ROUND((CAST(c.n_co AS DOUBLE) * CAST(t.n_users AS DOUBLE))
+                      / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE))
+                      * 1e6) AS BIGINT) AS lift_micro
+    FROM co c
+    JOIN item_counts ia ON ia.item = c.item_a
+    JOIN item_counts ib ON ib.item = c.item_b
+    CROSS JOIN total t
+    WHERE c.n_co >= 5
+    """,
+)
+def e_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket item co-occurrence with lift (the item-item
+    recommender / association-mining primitive): distinct (user, item)
+    pairs from the event props, a self-join keyed on user_id for
+    co-occurrence counts, and lift = P(a,b)/(P(a)P(b)) from exact integer
+    counts. Scale shape: the self-join is co-partitioned on user_id and
+    quadratic ONLY in per-user basket size — the production knob is a
+    basket cap (top-N recent items per user) before the join; item counts
+    and the 1-row user total broadcast back onto the tiny co-occurrence
+    aggregate. Support floor n_co >= 5 bounds the output. All-integer
+    inputs, one micro-rounding."""
+    events = load_table(spark, sf_dir, "events")
+    item = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+    ui = (
+        events.select("user_id", item.alias("item_s"))
+        .filter(F.col("item_s") != "")
+        .select("user_id", F.col("item_s").cast("bigint").alias("item"))
+        .distinct()
+    )
+    a = ui.select("user_id", F.col("item").alias("item_a"))
+    b = ui.select("user_id", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 5)
+    )
+    counts = ui.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    total = ui.agg(F.count_distinct("user_id").alias("n_users"))
+    ia = counts.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    ib = counts.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    lift = (
+        (F.col("n_co").cast("double") * F.col("n_users").cast("double"))
+        / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double"))
+    )
+    return (
+        co.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "n_co",
+            F.round(lift * F.lit(1e6)).cast("bigint").alias("lift_micro"),
         )
     )

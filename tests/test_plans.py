@@ -590,3 +590,14 @@ def test_yoy_growth_joins_on_aggregate(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_item_cooccurrence_user_keyed_join(spark):
+    """e_item_cooccurrence: the pair generation is an equi-join on
+    user_id (quadratic only within baskets); the count/total lookups are
+    broadcast onto the tiny co-occurrence aggregate."""
+    plan = plan_of(spark, "e_item_cooccurrence")
+    assert "CartesianProduct" not in plan
+    c = op_counts(plan)
+    assert c.get("BroadcastHashJoin", 0) >= 2  # item count lookups
+    # the 1-row total may plan as BNLJ (fine) but never a real cartesian

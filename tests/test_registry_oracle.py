@@ -90,6 +90,7 @@ R5_QUEUE = (
     "p_grouped_median_pandas",
     "t_text_normalize",
     "a_yoy_growth",
+    "e_item_cooccurrence",
 )
 
 
