@@ -413,11 +413,14 @@ def a_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "e_item_cooccurrence",
     oracle=r"""
-    WITH ui AS (
+    WITH ui_all AS (
       SELECT DISTINCT user_id,
              CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
       FROM events
       WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+    ), ui AS (
+      SELECT user_id, item FROM ui_all
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) <= 500
     ), item_counts AS (
       SELECT item, COUNT(*) AS cnt FROM ui GROUP BY item
     ), total AS (
@@ -452,11 +455,22 @@ def e_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs, one micro-rounding."""
     events = load_table(spark, sf_dir, "events")
     item = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
-    ui = (
+    ui_all = (
         events.select("user_id", item.alias("item_s"))
         .filter(F.col("item_s") != "")
         .select("user_id", F.col("item_s").cast("bigint").alias("item"))
         .distinct()
+    )
+    # Basket cap (the production skew knob): keep a bounded, DETERMINISTIC
+    # subset per user before the quadratic self-join, so one scraper-bot
+    # user with a million items can't mint 10^12 pair rows. Rank-500 is a
+    # no-op on this data (baskets are far smaller) but pins the shape:
+    # WindowGroupLimit prunes the rank map-side.
+    w_cap = Window.partitionBy("user_id").orderBy("item")
+    ui = (
+        ui_all.withColumn("__rk", F.row_number().over(w_cap))
+        .filter(F.col("__rk") <= 500)
+        .drop("__rk")
     )
     a = ui.select("user_id", F.col("item").alias("item_a"))
     b = ui.select("user_id", F.col("item").alias("item_b"))

@@ -601,3 +601,4 @@ def test_item_cooccurrence_user_keyed_join(spark):
     c = op_counts(plan)
     assert c.get("BroadcastHashJoin", 0) >= 2  # item count lookups
     # the 1-row total may plan as BNLJ (fine) but never a real cartesian
+    assert "WindowGroupLimit" in plan  # basket cap pruned map-side
