@@ -112,6 +112,7 @@ HEADLINE = [
     "t_text_normalize",
     "a_yoy_growth",
     "e_item_cooccurrence",
+    "d_simhash_estimate_pairs",
 ]
 
 

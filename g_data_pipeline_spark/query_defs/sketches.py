@@ -1,11 +1,13 @@
-"""Sketch-graduation queries (round 4, wave 7): an oracle-gated MinHash
-Jaccard ESTIMATOR (md5 permutation family — reproducible in DuckDB, unlike
-the xxhash64 production family in operators/dedup.py), and an oracle query
-for the distributed exact-percentile kernel (the profiler's 100 TB path).
+"""Sketch-graduation queries (round 4, waves 7 and 11): oracle-gated
+MinHash and SimHash ESTIMATORS (md5 hash families — reproducible in
+DuckDB, unlike the xxhash64 production families in operators/dedup.py),
+and an oracle query for the distributed exact-percentile kernel (the
+profiler's 100 TB path).
 
-Both graduate previously test-only scale machinery to the driver's
+All graduate previously test-only scale machinery to the driver's
 hash-equality gate: the MinHash estimate is checked component-by-component
-against the same signatures computed in SQL, and the range-partitioned
+against the same signatures computed in SQL, the SimHash vote/sign/XOR/
+popcount algebra is checked at the bit level, and the range-partitioned
 order-statistics median must equal QUANTILE_CONT bit-for-bit.
 
 Registered post-window (r5 rotation queue, ROTATION.md).
@@ -184,4 +186,127 @@ def p_distributed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(vals[0.25], vals[0.5], vals[0.75])],
         "p25 double, median double, p75 double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash estimator (wave 11): md5 bit family, oracle-gated
+# ---------------------------------------------------------------------------
+
+_SH_BITS = 32
+
+_SQL_SIMHASH_SETS = r"""
+    ssets AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+'))
+               AS toks
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3
+    )
+"""
+
+_SQL_FP = f"""
+    fp AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN list_sum(list_transform(hs,
+                              h -> ((h // (1::BIGINT << j)) % 2) * 2 - 1)) > 0
+                            THEN (1::BIGINT << j) ELSE 0 END
+                       for j in range(0, {_SH_BITS})]) AS f
+      FROM (SELECT doc_id,
+                   list_transform(toks,
+                     t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT))
+                     AS hs
+            FROM ssets)
+    )
+"""
+
+
+@register(
+    "d_simhash_estimate_pairs",
+    oracle=f"""
+    WITH {_SQL_SETS}, {_SQL_SIMHASH_SETS}, {_SQL_FP}, posts_all AS (
+      SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets WHERE len(sh) > 0
+    ), freq AS (
+      SELECT s, COUNT(*) AS df FROM posts_all GROUP BY s
+    ), posts AS (
+      SELECT p.* FROM posts_all p JOIN freq f ON p.s = f.s WHERE f.df <= 1000
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sz AS size_a, b.sz AS size_b, COUNT(*) AS common
+      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), hits AS (
+      SELECT id_a, id_b, common, size_a + size_b - common AS un
+      FROM pairs
+      WHERE common / CAST(size_a + size_b - common AS DOUBLE) >= 0.5
+    )
+    SELECT h.id_a, h.id_b,
+           CAST(ROUND(h.common / CAST(h.un AS DOUBLE) * 1e6) AS BIGINT)
+             AS exact_micro,
+           CAST(bit_count(xor(fa.f, fb.f)) AS BIGINT) AS hamming
+    FROM hits h
+    JOIN fp fa ON fa.doc_id = h.id_a
+    JOIN fp fb ON fb.doc_id = h.id_b
+    """,
+)
+def d_simhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash similarity estimator, oracle-gated end-to-end at the BIT
+    level: a {_SH_BITS}-bit fingerprint per document (for each bit
+    position, the sign of the sum of +/-1 votes from each distinct
+    token's md5 bit), then the Hamming distance for every exact-Jaccard
+    >= 0.5 pair — near-identical docs show tiny Hamming distances. The
+    production SimHash (operators/dedup.py, xxhash64) stays rows-only;
+    THIS query pins the vote/sign/XOR/popcount algebra cross-engine
+    (shifts, parity, bit_count must agree bit-for-bit). Fingerprints are
+    row-wise expressions (no explode); pairs come from the DF-cutoff
+    inverted index; fingerprint lookups join keyed on doc id."""
+    docs = load_table(spark, sf_dir, "documents")
+    from g_data_pipeline_spark.functions.text import tokens as toks_fn
+
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=1000
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard") * F.lit(1e6)).cast("bigint").alias(
+            "exact_micro"
+        ),
+    )
+
+    base = docs.select(
+        "doc_id", F.array_distinct(toks_fn(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    hs = F.transform(
+        F.col("toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    )
+
+    def bit_term(j: int):
+        vote = F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        return F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    fp = base.withColumn("hs", hs).select(
+        "doc_id",
+        sum([bit_term(j) for j in range(1, _SH_BITS)], bit_term(0)).alias("f"),
+    )
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("f").alias("f_a"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("f").alias("f_b"))
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "exact_micro",
+            F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
     )

@@ -602,3 +602,12 @@ def test_item_cooccurrence_user_keyed_join(spark):
     assert c.get("BroadcastHashJoin", 0) >= 2  # item count lookups
     # the 1-row total may plan as BNLJ (fine) but never a real cartesian
     assert "WindowGroupLimit" in plan  # basket cap pruned map-side
+
+
+def test_simhash_estimate_keyed_joins_only(spark):
+    """d_simhash_estimate_pairs: fingerprints are row-wise bit expressions
+    (no explode); fingerprint lookups join keyed on doc id — never a
+    cartesian/nested-loop."""
+    plan = plan_of(spark, "d_simhash_estimate_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

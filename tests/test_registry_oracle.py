@@ -91,6 +91,7 @@ R5_QUEUE = (
     "t_text_normalize",
     "a_yoy_growth",
     "e_item_cooccurrence",
+    "d_simhash_estimate_pairs",
 )
 
 
