@@ -113,6 +113,7 @@ HEADLINE = [
     "a_yoy_growth",
     "e_item_cooccurrence",
     "d_simhash_estimate_pairs",
+    "e_ab_test",
 ]
 
 

@@ -500,3 +500,84 @@ def e_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lift * F.lit(1e6)).cast("bigint").alias("lift_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B test: two-proportion z-test (wave 12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e_ab_test",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), wide AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+             CAST(SUM(converted) FILTER (WHERE variant = 0) AS BIGINT) AS c_a,
+             CAST(COUNT(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b,
+             CAST(SUM(converted) FILTER (WHERE variant = 1) AS BIGINT) AS c_b
+      FROM conv
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CASE WHEN (CAST(c_a AS DOUBLE) + c_b) / (n_a + n_b) > 0
+                 AND (CAST(c_a AS DOUBLE) + c_b) / (n_a + n_b) < 1
+           THEN CAST(ROUND(((CAST(c_a AS DOUBLE) / n_a)
+                            - (CAST(c_b AS DOUBLE) / n_b))
+                           / SQRT(((CAST(c_a AS DOUBLE) + c_b) / (n_a + n_b))
+                                  * (1 - (CAST(c_a AS DOUBLE) + c_b)
+                                         / (n_a + n_b))
+                                  * (1.0 / n_a + 1.0 / n_b)) * 1e6)
+                     AS BIGINT) END AS z_micro
+    FROM wide
+    """,
+)
+def e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment (variant = user_id
+    parity, conversion = any purchase event): per-user conversion flags,
+    conditional-count aggregation into one wide row, and the pooled-
+    variance z statistic from EXACT integer counts — one fact shuffle
+    (user agg) plus a 2-group conditional aggregate, no joins. The double
+    arithmetic (two divisions, one sqrt) is written with identical
+    operand order on both engines and micro-scaled with ONE rounding.
+    The experimentation-analysis primitive every event pipeline ships."""
+    events = load_table(spark, sf_dir, "events")
+    conv = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150.0),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    wide = conv.agg(
+        F.count_if(F.col("variant") == 0).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.count_if(F.col("variant") == 1).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    ca = F.col("c_a").cast("double")
+    cb = F.col("c_b").cast("double")
+    na, nb = F.col("n_a"), F.col("n_b")
+    pool = (ca + F.col("c_b")) / (na + nb)
+    z = ((ca / na) - (cb / nb)) / F.sqrt(
+        pool * (F.lit(1) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    # degenerate experiment (0% or 100% pooled conversion): z is 0/0 —
+    # NULL on both engines, never an ANSI divide-by-zero
+    z_guarded = F.when((pool > 0) & (pool < 1), z)
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(z_guarded * F.lit(1e6)).cast("bigint").alias("z_micro"),
+    )

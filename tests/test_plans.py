@@ -611,3 +611,12 @@ def test_simhash_estimate_keyed_joins_only(spark):
     plan = plan_of(spark, "d_simhash_estimate_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ab_test_two_aggregates_no_join(spark):
+    """e_ab_test: per-user conversion agg + one conditional-count global
+    aggregate — two shuffles, no joins."""
+    plan = plan_of(spark, "e_ab_test")
+    assert "Join" not in plan
+    assert shuffle_count(plan) == 2
+    assert "HashAggregate" in plan

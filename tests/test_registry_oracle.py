@@ -92,6 +92,7 @@ R5_QUEUE = (
     "a_yoy_growth",
     "e_item_cooccurrence",
     "d_simhash_estimate_pairs",
+    "e_ab_test",
 )
 
 
