@@ -104,9 +104,10 @@ HEADLINE = [
     "t_train_val_test_split",
     "a_salted_join",
     "e_event_dedup_first",
-    # p_distributed_percentiles is excluded: its kernel runs at DataFrame
-    # BUILD time (bounded driver bookkeeping), so timed repeats of the
-    # returned literal row would measure nothing.
+    # p_distributed_percentiles is EAGER (spec.eager): its kernel runs at
+    # DataFrame-BUILD time, so the loop below times fresh fn() builds for
+    # it instead of repeats of the returned literal row.
+    "p_distributed_percentiles",
     "d_minhash_estimate_pairs",
     "p_grouped_median_pandas",
     "t_text_normalize",
@@ -140,6 +141,19 @@ def run() -> None:
         # ONE DataFrame per query: warm once (codegen+JIT), then best-of-3
         # (min absorbs GC/scheduler noise, which measured up to 1.5x on the
         # imperative-aggregate profile queries).
+        if spec.eager and spec.name == "p_distributed_percentiles":
+            # Eager entry: the distributed kernel runs inside fn(); timed
+            # repeats of the returned literal row would measure nothing.
+            # Time fresh builds instead (warm once for codegen/JIT).
+            spec.fn(spark, sf_dir)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir)
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+            spark.sparkContext._jvm.System.gc()
+            continue
         df = spec.fn(spark, sf_dir)
         _force(df)
         best = float("inf")

@@ -75,9 +75,12 @@ def row_level_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
     )
     # Pivot the 1-row aggregate into (rule, n_checked, n_violations) rows
     # driver-free: stack() on the single-row result (tiny, no shuffle of
-    # the fact table). Rule names are spliced into SQL — escape quotes
-    # (matches() accepts arbitrary labels).
-    escaped = [r.name.replace("'", "\\'") for r in rules]
+    # the fact table). Rule names are spliced into SQL — escape backslashes
+    # FIRST, then quotes (matches() accepts arbitrary labels, and a regex
+    # echoed into a label would otherwise corrupt the string literal).
+    escaped = [
+        r.name.replace("\\", "\\\\").replace("'", "\\'") for r in rules
+    ]
     pairs = ", ".join(f"'{name}', __v{i}" for i, name in enumerate(escaped))
     return agg.selectExpr(
         f"stack({len(rules)}, {pairs}) AS (rule, n_violations)", "__n"

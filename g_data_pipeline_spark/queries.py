@@ -35,16 +35,27 @@ class QuerySpec:
     fn: SparkQuery
     oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
     doc: str
+    # True when calling fn() EXECUTES distributed work at DataFrame-build
+    # time (e.g. p_distributed_percentiles runs its range-partition kernel
+    # and returns a literal row; t_bpe_tokenize learns merges). Tooling that
+    # only wants to build plans (schema checks, plan pins, bench repeat
+    # loops) must special-case eager entries — repeats of the returned
+    # DataFrame would measure nothing.
+    eager: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
+def register(
+    name: str, oracle: str | None = None, *, eager: bool = False
+) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", eager=eager
+        )
         return fn
 
     return deco
@@ -76,68 +87,48 @@ from g_data_pipeline_spark import query_defs  # noqa: E402,F401
 # registered and graded locally by tests/driver_sim.py (and by the judge's
 # re-run of it).
 _DRIVER_WINDOW = (
-    # -- Round-4 rotation (see ROTATION.md). Rule: window entries MUST have
+    # -- Round-5 rotation (see ROTATION.md). Rule: window entries MUST have
     # an oracle (rows-only entries can never turn green — 8 slots were
     # wasted on them in round 2) and MUST output scalar columns only (the
     # driver's pandas canonicalizer crashes on array/map — the round-2
     # v_mean_pool red row). Both pinned by tests/test_registry_oracle.py.
     #
-    # (1) The r4 queue: the 7 oracle queries registered after the r3 window
-    # froze — the only ones without a green driver row. Confirming these
-    # closes the cumulative ledger: every oracle query driver-green at
-    # least once.
-    "w_moving_avg",
-    "p_grouped_median",
-    "p_histogram",
-    "t_shard_stats",
-    "t_unigram_logprob",
-    "t_dsir_weights",
-    "e_retention_cohorts",
-    # -- (2) Round-4 NEW operators, registered in-window the same round
-    # (the r3 lesson: late registrations cost a round of confirmation).
-    "d_contamination_fraction",
-    "t_quality_classifier",
-    "d_survivorship_report",
-    # Round-4 wave 2: lakehouse/pipeline-lifecycle operators. The 7 slots
-    # come from demoting 7 core re-confirmations that already hold
-    # multiple green rows (r1/r2+r3 — see ROTATION.md per-query ledger).
-    "a_cdc_merge",
-    "a_scd2_history",
-    "e_attribution",
-    "a_gap_fill",
-    "v_kmeans_assign",
-    "w_first_last_nth",
-    "t_curriculum_bins",
-    "a_iqr_outliers",
-    "a_skew_report",
-    "a_group_sample",
-    # Round-4 wave 3: event-sequence analytics, snapshot diff, equi-depth
-    # histogram, weighted sampling, embedding-norm stats. The 7 slots come
-    # from demoting 7 freshness re-confirmations that already hold an r1
-    # green row (s_except, s_union_distinct, s_intersect, s_distinct_pairs,
-    # g_pivot, w_ntile_rank_dense, w_range_frame — first-green for new
-    # coverage outranks a refresh; they queue for r5, see ROTATION.md).
-    "e_transition_matrix",
-    "e_dwell_time",
-    "e_zscore_anomaly",
-    "a_snapshot_diff",
-    "a_equidepth_histogram",
-    "t_weighted_sample",
-    "v_norm_stats",
-    # Round-4 wave 4: data-quality expectations, record linkage,
-    # sessionization. Slots from demoting 3 multi-green core entries
-    # (r1_projection, r6_agg_mean, r10_sort_r11_describe_cap — each holds
-    # 2-3 green rows; q1/p_numeric_stats/a_salted_agg stay as the core
-    # reps). See ROTATION.md.
-    "a_expectations_report",
-    "a_record_linkage",
-    "e_sessionize",
-    # -- (3) Freshness re-confirmation: entries whose ONLY green row is
-    # round 1 (three rounds old) — the 24 r1-only analytics/window/set
-    # queries from the ledger.
-    "j_q3_shipping_priority",
-    "j_q5_local_supplier_volume",
-    "j_q6_forecast_revenue",
+    # (1) The r5 queue: the 14 oracle queries registered after the r4
+    # window froze (sim-green in r4). Confirming these re-closes the
+    # cumulative ledger: every oracle query driver-green at least once.
+    "a_groupwise_regression",
+    "e_cumulative_users",
+    "t_oov_rate",
+    "t_train_val_test_split",
+    "a_salted_join",
+    "e_event_dedup_first",
+    "d_minhash_estimate_pairs",
+    "p_distributed_percentiles",
+    "p_grouped_median_pandas",
+    "t_text_normalize",
+    "a_yoy_growth",
+    "e_item_cooccurrence",
+    "d_simhash_estimate_pairs",
+    "e_ab_test",
+    # -- (2) Freshness refreshes deferred from r4: their only green row is
+    # round 1 (four rounds old).
+    "s_except",
+    "s_union_distinct",
+    "s_intersect",
+    "s_distinct_pairs",
+    "g_pivot",
+    "w_ntile_rank_dense",
+    "w_range_frame",
+    # -- (3) Round-5 NEW operators, registered in-window the round they
+    # land (ROTATION.md rule 3), each swapped one-for-one against a
+    # holdover slot from section (4) below.
+    # Wave 1: FineWeb/C4 line-level curation + HTML→text extraction.
+    "t_line_quality",
+    "d_dup_line_removal",
+    "t_html_to_text",
+    # -- (4) Holdover re-confirmations filling the window to 50: all hold
+    # an r4 green row (the 17 j/w/g entries additionally hold r1 rows).
+    # Swapped out front-to-back as round-5 waves land; see ROTATION.md.
     "j_q7_volume_shipping",
     "j_q10_returned_items",
     "j_q14_promo_revenue",
@@ -152,11 +143,16 @@ _DRIVER_WINDOW = (
     "g_rollup",
     "g_cube",
     "sql_correlated_subquery",
-    # -- (4) SURVEY §2 core representatives (q1 flagship + profiler) +
-    # a_salted_agg topping the window to 50. The other core entries were
-    # demoted to _ANALYTICS_HEAD across the wave-2 and wave-4 repacks
-    # (each holds 2-3 green rows — full demotion ledger in ROTATION.md);
-    # they are still graded every driver_sim/bench run.
+    "d_contamination_fraction",
+    "t_quality_classifier",
+    "d_survivorship_report",
+    "a_cdc_merge",
+    "a_scd2_history",
+    "e_attribution",
+    "a_gap_fill",
+    "v_kmeans_assign",
+    "w_first_last_nth",
+    # -- (5) SURVEY §2 core representatives topping the window to 50.
     "q1_pricing_summary",
     "p_numeric_stats",
     "a_salted_agg",
@@ -166,17 +162,30 @@ _DRIVER_WINDOW = (
 # entries demoted from the round-3 window, all driver-green in r3
 # (ROTATION.md); bench.py and driver_sim still grade them every run.
 _ANALYTICS_HEAD = (
-    # Demoted from the r4 window for the wave-2 lakehouse slots — all
-    # triple-green (ROTATION.md), still graded every driver_sim/bench run.
-    # Demoted from the r4 window for the wave-3 slots — each holds an r1
-    # green row (ROTATION.md round-5 queue), still graded every sim run.
-    "w_ntile_rank_dense",
-    "w_range_frame",
-    "g_pivot",
-    "s_except",
-    "s_union_distinct",
-    "s_intersect",
-    "s_distinct_pairs",
+    # Demoted from the r4 window for the round-5 repack — every one holds
+    # a fresh r4 green row (ROTATION.md), still graded every
+    # driver_sim/bench run.
+    "w_moving_avg",
+    "p_grouped_median",
+    "p_histogram",
+    "t_shard_stats",
+    "t_unigram_logprob",
+    "t_dsir_weights",
+    "e_retention_cohorts",
+    "t_curriculum_bins",
+    "a_iqr_outliers",
+    "a_skew_report",
+    "a_group_sample",
+    "e_transition_matrix",
+    "e_dwell_time",
+    "e_zscore_anomaly",
+    "a_snapshot_diff",
+    "a_equidepth_histogram",
+    "t_weighted_sample",
+    "v_norm_stats",
+    "a_expectations_report",
+    "a_record_linkage",
+    "e_sessionize",
     "r1_projection",
     "r6_agg_mean",
     "r10_sort_r11_describe_cap",

@@ -12,6 +12,7 @@ from g_data_pipeline_spark.query_defs import analytics8  # noqa: F401
 from g_data_pipeline_spark.query_defs import analytics9  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation2  # noqa: F401
+from g_data_pipeline_spark.query_defs import curation3  # noqa: F401
 from g_data_pipeline_spark.query_defs import dedup  # noqa: F401
 from g_data_pipeline_spark.query_defs import events  # noqa: F401
 from g_data_pipeline_spark.query_defs import grouped_gate  # noqa: F401

@@ -142,11 +142,12 @@ def e_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), thr AS (
       SELECT event_type, n_events,
              CAST(ROUND((((CAST(s1 AS DOUBLE) / 1e6) / n_events)
-                         + 2 * SQRT(GREATEST(
+                         + 2 * SQRT(GREATEST(CASE WHEN n_events > 1 THEN
                                     (((CAST(s2 AS DOUBLE) / 1e6) / n_events)
                                      - ((CAST(s1 AS DOUBLE) / 1e6) / n_events)
                                        * ((CAST(s1 AS DOUBLE) / 1e6) / n_events))
-                                    * n_events / (n_events - 1), 0.0))) * 1e6)
+                                    * n_events / (n_events - 1)
+                                    ELSE 0.0 END, 0.0))) * 1e6)
                   AS BIGINT) AS thr_micro
       FROM stats
     )
@@ -181,10 +182,14 @@ def e_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex2 = (F.col("s2").cast("double") / F.lit(1e6)) / n
     # Clamp at 0: the rounded-moment variance estimate can dip epsilon-
     # negative for a near-constant group, where Spark sqrt gives NaN but
-    # DuckDB sqrt RAISES — a gate crash, not just a mismatch.
-    std = F.sqrt(
-        F.greatest((ex2 - mean * mean) * n / (n - F.lit(1)), F.lit(0.0))
-    )
+    # DuckDB sqrt RAISES — a gate crash, not just a mismatch. And guard the
+    # ddof=1 divisor: a single-row group gives 0/0, which Spark's Divide
+    # returns as NULL but DuckDB evaluates as nan — mirrored CASE in the
+    # oracle (same pattern as e_ab_test's pooled-proportion guard).
+    var = F.when(
+        n > F.lit(1), (ex2 - mean * mean) * n / (n - F.lit(1))
+    ).otherwise(F.lit(0.0))
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
     thr = stats.select(
         "event_type",
         "n_events",

@@ -52,16 +52,24 @@ from g_data_pipeline_spark.queries import register
       GROUP BY o_orderstatus
     )
     SELECT o_orderstatus, n,
-           CAST(ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           CAST(ROUND((CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                 <> 0.0
+                       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       ELSE 0.0 END)
                       * 1e6) AS BIGINT) AS slope_micro,
            CAST(ROUND(((CAST(sy AS DOUBLE)
-                        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                     <> 0.0
+                           THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           ELSE 0.0 END)
                           * CAST(sx AS DOUBLE))
                        / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
              AS intercept_micro
@@ -93,7 +101,15 @@ def a_groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = F.col("sy").cast("double")
     sxx = F.col("sxx").cast("double")
     sxy = F.col("sxy").cast("double")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    # Degenerate-group guard (mirrored CASE in the oracle): when every x in
+    # a group is identical the denominator is exactly 0 — Spark's Divide
+    # yields NULL there while DuckDB double division yields inf/nan, which
+    # would crash the BIGINT cast on the gate. Define slope := 0 for that
+    # case on both engines.
+    den = nd * sxx - sx * sx
+    slope = F.when(den != F.lit(0.0), (nd * sxy - sx * sy) / den).otherwise(
+        F.lit(0.0)
+    )
     intercept = (sy - slope * sx) / nd
     return m.select(
         "o_orderstatus",

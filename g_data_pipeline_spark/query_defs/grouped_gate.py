@@ -61,14 +61,18 @@ def p_grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo = float(v[int(h)])
         hi = float(v[min(int(h) + 1, n - 1)])
         med = lo + (h - int(h)) * (hi - lo)
-        # floor(x + 0.5), NOT Python round(): round() is banker's
-        # (round(2.5) == 2) while DuckDB ROUND is half-away-from-zero —
-        # a .5-boundary median would diverge (CLAUDE.md micro-score rule).
+        # Half-away-from-zero, NOT Python round(): round() is banker's
+        # (round(2.5) == 2) while DuckDB ROUND is half-away-from-zero.
+        # floor(|x|*1e6 + 0.5) with the sign restored matches DuckDB for
+        # BOTH signs (bare floor(x + 0.5) is half-UP and diverges at
+        # negative .5 boundaries if this kernel is reused on signed data).
+        scaled = abs(med) * 1e6
+        micro = int(math.copysign(math.floor(scaled + 0.5), med))
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
                 "n_rows": [n],
-                "median_micro": [int(math.floor(med * 1e6 + 0.5))],
+                "median_micro": [micro],
             }
         )
 

@@ -163,6 +163,7 @@ def d_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p_distributed_percentiles",
+    eager=True,  # kernel executes at DataFrame-build time (registry spec flag)
     oracle="""
     SELECT QUANTILE_CONT(l_extendedprice, 0.25) AS p25,
            QUANTILE_CONT(l_extendedprice, 0.5) AS median,

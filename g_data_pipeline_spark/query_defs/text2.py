@@ -97,7 +97,7 @@ def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_char_diversity",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
            CAST(SUM(c) AS BIGINT) AS total_chars,
            COUNT(*) AS distinct_chars,
@@ -105,7 +105,8 @@ def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS gini
     FROM (
       SELECT doc_id, ch, COUNT(*) AS c
-      FROM (SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[\s\S]')) AS ch
             FROM documents)
       WHERE ch <> ''
       GROUP BY doc_id, ch
@@ -121,15 +122,18 @@ def t_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     double multiply + divide at the end. Blank documents produce no rows
     (no characters to measure).
 
-    BMP-only assumption (documented deviation): Spark's split(text, '')
-    yields UTF-16 code units (a surrogate pair becomes two cells) while
-    DuckDB's string_split splits on code points. Identical only while the
-    corpus is BMP text — true of every synthetic fixture. For a corpus
-    with emoji/rare-CJK, split via a code-point-safe regexp_extract_all on
-    '.' mirrored on both engines."""
+    Code-point splitting on BOTH engines: ``regexp_extract_all(text,
+    '[\\s\\S]')`` — Java regex and DuckDB's RE2 both match character
+    classes per CODE POINT, so a surrogate pair (emoji, rare CJK) is one
+    cell on both sides ('.' would work too but excludes \\r on Java while
+    RE2 includes it; the explicit class sidesteps line-terminator
+    divergence entirely)."""
     docs = load_table(spark, sf_dir, "documents")
     chars = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[\s\S]"), 0)
+        ).alias("ch"),
     ).filter(F.col("ch") != "")
     per_char = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
     total = F.sum("c").cast("long")
@@ -359,7 +363,7 @@ def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("t_bpe_tokenize")  # rows-only: iterative merge learning has no SQL twin
+@register("t_bpe_tokenize", eager=True)  # rows-only: iterative merge learning has no SQL twin; eager: merges learned at build time
 def t_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenization end-to-end (Sennrich 2016 / GPT-2 recipe): one
     distributed word-count pass -> driver-side merge learning over the
