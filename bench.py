@@ -115,6 +115,33 @@ HEADLINE = [
     "e_item_cooccurrence",
     "d_simhash_estimate_pairs",
     "e_ab_test",
+    # round-5 additions (first recorded cost becomes their baseline)
+    "t_line_quality",
+    "d_dup_line_removal",
+    "t_html_to_text",
+    "d_cc_star",
+    "d_incremental_bloom",
+    "a_activity_streaks",
+    "e_churn_risk",
+    "e_power_users",
+    "e_interarrival_stats",
+    "e_daily_active_ratio",
+    "e_first_touch_share",
+    "a_mad_outliers",
+    "a_decile_stats",
+    "a_percent_of_total",
+    "a_corr_pairs_moments",
+    "a_histogram_2d",
+    "a_pareto_share",
+    "a_rollup_time",
+    "w_running_max_drawdown",
+    "j_star_join_chain",
+    "t_bigram_logprob",
+    "t_ngram_novelty",
+    "t_lang_balance",
+    "t_case_profile",
+    "d_url_dedup",
+    "v_topic_balance",
 ]
 
 

@@ -569,3 +569,129 @@ def incremental_dedup(
         exact_dedup(fresh, ["__fp"], id_col)
         .select(F.col(id_col), F.col("__fp").alias("fingerprint"))
     )
+
+
+# --------------------------------------------------------------------------
+# Alternating large-star / small-star connected components
+# --------------------------------------------------------------------------
+
+def cc_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+    return_iterations: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) -> (id, cluster_id = MIN member id).
+
+    The scale-safe sibling of :func:`dedup_clusters`: min-label
+    propagation converges in O(graph diameter) rounds — fine for dense
+    near-dup clusters (diameter 2-4), but a LONG DUPLICATE CHAIN
+    (a≈b≈c≈…, each adjacent pair similar) makes diameter O(n). The star
+    alternation contracts such chains in O(log n) rounds:
+
+      large-star: every node points its LARGER neighbors at its
+                  neighborhood minimum     {(v, m(u)) : v ∈ Γ(u), v > u}
+      small-star: every node and its smaller neighbors re-point at the
+                  minimum                  {(v, m(u)) : v ∈ Γ⁻(u) ∪ {u}, v ≠ m(u)}
+
+    Each half-round is one groupBy (vertex-keyed min) + one join (emit) —
+    two shuffles keyed on vertex id, map-side combined, no driver-side
+    state beyond a (count, hash) convergence checksum. Per-iteration
+    persist + localCheckpoint truncates lineage exactly like
+    dedup_clusters. Convergence = small-star fixpoint (edge multiset
+    checksum unchanged); non-convergence raises rather than returning
+    silently mis-clustered labels.
+
+    Use dedup_clusters for dense near-dup graphs (fewer shuffles per
+    round); use cc_star when chains may be long — both are oracle-checked
+    against the same recursive-CTE reachability fixpoint.
+    """
+    verts = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .persist()
+    )
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig: tuple[int, int] | None = None
+    prev_cached: DataFrame | None = None
+    converged = False
+    iterations = 0
+    for i in range(max_iterations):
+        # -- large star: bidirectional neighborhoods, larger neighbors
+        # re-pointed at min(N(u) ∪ {u}).
+        bi = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = bi.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select(
+            "u", F.least(F.col("mn"), F.col("u")).alias("m")
+        )
+        large = (
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # Invariant from here on: u > v for every edge.
+        # -- small star: per u (all neighbors smaller), re-point them and
+        # u itself at the minimum.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        repointed = (
+            large.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = mins2.select(F.col("u"), F.col("m").alias("v"))
+        edges = repointed.union(self_edge).distinct().persist()
+        # Convergence checksum: one tiny action per round (count + an
+        # order-insensitive hash-sum of the edge multiset).
+        # Decimal accumulator: an ANSI-mode long sum of 64-bit hashes
+        # overflows; decimal(38,0) is exact and order-insensitive.
+        sig_row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig_row.n, sig_row.h)
+        iterations = i + 1
+        if i % 3 == 2:
+            edges = edges.localCheckpoint(eager=True)
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = edges
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged and prev_sig is not None and prev_sig[0] > 0:
+        raise RuntimeError(
+            f"cc_star did not converge within {max_iterations} iterations"
+        )
+    # At the fixpoint every edge is (member, root); roots label themselves.
+    labels = (
+        verts.join(
+            edges.groupBy("u").agg(F.min("v").alias("root")),
+            verts.id == F.col("u"),
+            "left",
+        )
+        .select(
+            "id", F.coalesce(F.col("root"), F.col("id")).alias("cluster_id")
+        )
+    )
+    labels = labels.localCheckpoint(eager=True)
+    verts.unpersist()
+    if prev_cached is not None:
+        prev_cached.unpersist()
+    if return_iterations:
+        return labels, iterations
+    return labels

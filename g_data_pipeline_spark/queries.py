@@ -126,33 +126,36 @@ _DRIVER_WINDOW = (
     "t_line_quality",
     "d_dup_line_removal",
     "t_html_to_text",
-    # -- (4) Holdover re-confirmations filling the window to 50: all hold
-    # an r4 green row (the 17 j/w/g entries additionally hold r1 rows).
-    # Swapped out front-to-back as round-5 waves land; see ROTATION.md.
-    "j_q7_volume_shipping",
-    "j_q10_returned_items",
-    "j_q14_promo_revenue",
-    "j_q18_large_orders_having",
-    "j_q19_disjunctive_predicates",
-    "j_semi_join_exists",
-    "j_anti_join_not_exists",
-    "j_left_outer_count",
-    "w_running_total",
-    "w_topk_per_group",
-    "w_lag_delta",
-    "g_rollup",
-    "g_cube",
-    "sql_correlated_subquery",
-    "d_contamination_fraction",
-    "t_quality_classifier",
-    "d_survivorship_report",
-    "a_cdc_merge",
-    "a_scd2_history",
-    "e_attribution",
-    "a_gap_fill",
-    "v_kmeans_assign",
-    "w_first_last_nth",
-    # -- (5) SURVEY §2 core representatives topping the window to 50.
+    # Wave 2: scale-path dedup alternates (star CC, Bloom incremental).
+    "d_cc_star",
+    "d_incremental_bloom",
+    # Wave 3: event engagement/lifecycle analytics.
+    "a_activity_streaks",
+    "e_churn_risk",
+    "e_power_users",
+    "e_interarrival_stats",
+    "e_daily_active_ratio",
+    "e_first_touch_share",
+    # Wave 4: robust stats / distribution / star-join analytics.
+    "a_mad_outliers",
+    "a_decile_stats",
+    "a_percent_of_total",
+    "a_corr_pairs_moments",
+    "a_histogram_2d",
+    "a_pareto_share",
+    "a_rollup_time",
+    "w_running_max_drawdown",
+    "j_star_join_chain",
+    # Wave 5: text LM/novelty/balance reports, URL dedup, topic balance.
+    "t_bigram_logprob",
+    "t_ngram_novelty",
+    "t_lang_balance",
+    "t_case_profile",
+    "d_url_dedup",
+    "v_topic_balance",
+    # -- (4) SURVEY §2 core representatives topping the window to 50.
+    # (The 26 holdover slots this section held at round start were all
+    # consumed one-for-one by waves 1-5 — see ROTATION.md.)
     "q1_pricing_summary",
     "p_numeric_stats",
     "a_salted_agg",

@@ -1,0 +1,68 @@
+"""Round-5 dedup wave 2: scale-path alternates for the two heaviest dedup
+primitives, each gated against the SAME oracle as its sibling (identical
+output contract, different Spark execution strategy — the gate proves the
+alternate path is a drop-in):
+
+- d_cc_star: alternating large-star/small-star connected components
+  (O(log n) rounds) vs d_dedup_clusters' min-label propagation
+  (O(diameter) rounds). Oracle: the recursive-CTE reachability fixpoint.
+- d_incremental_bloom: Bloom-prefiltered incremental dedup (definitely-new
+  batch keys skip the history anti-join) vs d_incremental_dedup's plain
+  anti-join. Oracle: identical — the Bloom changes the plan, never the
+  result (operators/bloom.py module doc has the exactness argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.catalog import load_table
+from g_data_pipeline_spark.queries import REGISTRY, register
+
+# Oracle reuse is by construction, not copy: the siblings registered
+# before this module (query_defs/__init__.py import order) hold the SQL.
+_CC_ORACLE = REGISTRY["d_dedup_clusters"].oracle
+_INCR_ORACLE = REGISTRY["d_incremental_dedup"].oracle
+
+
+@register("d_cc_star", oracle=_CC_ORACLE)
+def d_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact 3-gram Jaccard pair graph via
+    alternating large-star/small-star contraction (Kiveris et al. 2014) —
+    the scale-safe path when duplicate CHAINS are long: O(log n) rounds
+    vs label propagation's O(diameter). Same edge set, same recursive-CTE
+    oracle, same (id, cluster_id=MIN member) output as d_dedup_clusters;
+    the long-chain convergence advantage is pinned in
+    tests/test_ccstar_bloom.py (chain of 64: <= 10 rounds)."""
+    from g_data_pipeline_spark.operators.dedup import (
+        cc_star,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=1000
+    )
+    return cc_star(pairs)
+
+
+@register("d_incremental_bloom", oracle=_INCR_ORACLE)
+def d_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-archive dedup with a native Bloom pre-filter
+    (operators/bloom.py): history fingerprints fold into a bitset word
+    table via ONE map-side-combined bit_or aggregate; Bloom-negative batch
+    docs (definitely new) bypass the exact anti-join, and only the ~1%
+    candidate residue pays it. Output is bit-identical to
+    d_incremental_dedup — the oracle is literally the same SQL — because
+    the residual anti-join re-checks every candidate. Broadcast of the
+    word table is plan-pinned."""
+    from g_data_pipeline_spark.operators.bloom import incremental_dedup_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_dedup_bloom(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        docs.filter(F.col("doc_id") % 4 != 0),
+        "text",
+        "doc_id",
+    )
