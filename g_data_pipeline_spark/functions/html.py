@@ -72,3 +72,28 @@ def tag_count(html: Column) -> Column:
     """Number of tags removed (counted after block-stripping, so a
     script's inner markup-looking content is not miscounted)."""
     return F.size(F.regexp_extract_all(strip_blocks(html), F.lit(TAG_RE), 0))
+
+
+#: Closing block-level tags and <br> become LINE BREAKS in the line-aware
+#: extractor (how WET-style extraction keeps paragraph structure).
+BLOCK_BREAK_RE = (
+    r"(?i)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article)>"
+    r"|<br\s*/?>"
+)
+
+
+def html_to_text_lines(html: Column) -> Column:
+    """Line-preserving extraction: closing block tags / <br> become
+    newlines, everything else follows the :func:`html_to_text` chain, and
+    whitespace collapses WITHIN lines only. This is the variant the
+    line-level curation pass (operators/lines.py) consumes — the
+    flat :func:`html_to_text` collapses '\\n' too and would fuse every
+    paragraph into one line."""
+    out = strip_blocks(html)
+    out = F.regexp_replace(out, BLOCK_BREAK_RE, "\n")
+    out = F.regexp_replace(out, TAG_RE, " ")
+    out = decode_entities(out)
+    out = F.regexp_replace(out, r"[ \t\r\f]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n+", "\n")
+    return F.trim(out)

@@ -135,3 +135,57 @@ def export_training_shards(
         )
         .orderBy("shard")
     )
+
+
+def ingest_web_corpus(
+    raw: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_tokens: int = 10,
+) -> DataFrame:
+    """The web-crawl front half that feeds :func:`curate_documents` —
+    WET-style extraction composed from the round-5 operators, one lazy
+    plan end to end:
+
+        HTML→text, line-preserving (functions.html.html_to_text_lines —
+          block tags become newlines, zero-shuffle regexp chain)
+        → line-quality keep gate (operators.lines — C4 composite flag)
+        → within-document duplicate-line removal (first occurrence wins)
+        → document-level curation (quality filter + lang-id + exact dedup)
+
+    Returns curate_documents' schema over the extracted-and-line-cleaned
+    text. Catalyst sees the whole chain, so the line-quality gate kills
+    boilerplate documents BEFORE the dedup shuffles; the only wide
+    operations are the three keyed aggregates the stage operators
+    document (doc-keyed line stats, (doc, line) first-occurrence, and the
+    final fingerprint window)."""
+    from g_data_pipeline_spark.functions.html import html_to_text_lines
+    from g_data_pipeline_spark.operators.lines import (
+        dedup_lines_exploded,
+        line_quality_report,
+    )
+
+    extracted = raw.select(
+        F.col(id_col), html_to_text_lines(F.col(html_col)).alias("__text")
+    )
+    lines = F.split(F.col("__text"), "\n")
+    keep = line_quality_report(extracted, lines, id_col=id_col).filter(
+        F.col("keep") == 1
+    )
+    gated = extracted.join(keep.select(id_col), id_col, "left_semi")
+    # Rebuild each document from its first-occurrence lines in original
+    # order (same rule remove_duplicate_lines fingerprints).
+    clean = (
+        dedup_lines_exploded(gated, lines, id_col=id_col)
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("text")
+        )
+    )
+    return curate_documents(clean, id_col, "text", min_tokens=min_tokens)
