@@ -91,3 +91,47 @@ def test_activity_streaks_all_user_keyed(spark):
     plan = plan_of(spark, "a_activity_streaks")
     assert "Join" not in plan
     assert op_counts(plan).get("Window", 0) == 1
+
+
+def test_url_dedup_single_exchange_scan_side_canonicalization(spark):
+    """Canonicalization is scan-stage expression work; the only exchange
+    is the canonical-key aggregate."""
+    plan = plan_of(spark, "d_url_dedup")
+    assert shuffle_count(plan) == 1
+    assert "Join" not in plan
+
+
+def test_topic_balance_zero_shuffle_assignment(spark):
+    """Cell assignment never shuffles the corpus (codebook collapsed to a
+    broadcast 1-row array): every join in the plan is broadcast."""
+    plan = plan_of(spark, "v_topic_balance")
+    c = op_counts(plan)
+    assert c.get("SortMergeJoin", 0) == 0
+    assert c.get("BroadcastHashJoin", 0) + c.get(
+        "BroadcastNestedLoopJoin", 0
+    ) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_logprob_content_keyed_only(spark):
+    """Every exchange keys on bigram content or doc_id; the LM join is
+    stats-adaptive (broadcast at test SF). No cartesian anywhere."""
+    plan = plan_of(spark, "t_bigram_logprob")
+    assert "CartesianProduct" not in plan
+    assert op_counts(plan).get("Window", 0) == 0
+
+
+def test_ngram_novelty_reuses_jaccard_index_shape(spark):
+    """Shingle-keyed df join then doc-keyed aggregate — same inverted-
+    index shape as d_ngram_jaccard_pairs, no pair blowup, no cartesian."""
+    plan = plan_of(spark, "t_ngram_novelty")
+    assert "CartesianProduct" not in plan
+
+
+def test_lang_balance_single_pass_plus_broadcast_total(spark):
+    plan = plan_of(spark, "t_lang_balance")
+    c = op_counts(plan)
+    assert c.get("BroadcastNestedLoopJoin", 0) + c.get(
+        "BroadcastHashJoin", 0
+    ) >= 1
+    assert c.get("SortMergeJoin", 0) == 0
