@@ -119,7 +119,12 @@ HEADLINE = [
     "t_line_quality",
     "d_dup_line_removal",
     "t_html_to_text",
-    "d_cc_star",
+    # d_cc_star is excluded like d_dedup_clusters: the contraction loop
+    # is EAGER (runs at build; ~50 s at sf0.1 on local[32], dominated by
+    # per-round fixed job overhead that amortizes at real scale) and
+    # repeats of the checkpointed labels would measure nothing. Its
+    # round-count/latency characteristics are pinned in
+    # tests/test_ccstar_bloom.py instead.
     "d_incremental_bloom",
     "a_activity_streaks",
     "e_churn_risk",
@@ -169,9 +174,14 @@ def run() -> None:
         # (min absorbs GC/scheduler noise, which measured up to 1.5x on the
         # imperative-aggregate profile queries).
         if spec.eager and spec.name == "p_distributed_percentiles":
-            # Eager entry: the distributed kernel runs inside fn(); timed
-            # repeats of the returned literal row would measure nothing.
-            # Time fresh builds instead (warm once for codegen/JIT).
+            # Eager entry whose whole cost is inside fn() (the range-
+            # partition percentile kernel): timed repeats of the returned
+            # literal row would measure nothing — time fresh builds
+            # instead (warm once for codegen/JIT). The other eager
+            # entries (t_bpe_tokenize, d_semantic_dedup) keep the repeats
+            # path: their standing baselines measure the steady-state
+            # distributed phase, and switching methodology would fake a
+            # regression.
             spec.fn(spark, sf_dir)
             best = float("inf")
             for _ in range(3):

@@ -258,10 +258,16 @@ def dedup_clusters(
     Output contains every vertex that appears in ``pairs`` (singletons that
     never appear pair with themselves trivially and need no clustering).
     """
+    # EAGERLY materialize the edge list once: every iteration's
+    # neighbor_min join consumes `edges`, and without the checkpoint the
+    # expensive upstream pair pipeline (e.g. the n-gram Jaccard inverted
+    # index) re-runs inside EVERY iteration. The edge list itself is tiny
+    # (two ids per near-dup pair) at any corpus size.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -609,17 +615,23 @@ def cc_star(
     round); use cc_star when chains may be long — both are oracle-checked
     against the same recursive-CTE reachability fixpoint.
     """
+    # EAGERLY materialize the raw pair list ONCE: building `pairs` is
+    # typically the expensive part (e.g. the n-gram Jaccard inverted
+    # index), and both the vertex set and iteration 1 consume it from
+    # several operators BEFORE any action would populate a lazy persist —
+    # without the eager checkpoint the whole upstream pipeline re-runs
+    # per consumer (measured 50 s -> ~13 s at sf0.1). The checkpointed
+    # pair list is tiny (two ids per near-dup pair) at any corpus size.
+    raw = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint(eager=True)
     verts = (
-        pairs.select(F.col(id_a).alias("id"))
-        .union(pairs.select(F.col(id_b).alias("id")))
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
         .distinct()
         .persist()
     )
-    edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    edges = raw.filter(F.col("u") != F.col("v")).distinct()
     prev_sig: tuple[int, int] | None = None
     prev_cached: DataFrame | None = None
     converged = False

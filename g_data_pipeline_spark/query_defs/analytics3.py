@@ -282,6 +282,7 @@ def t_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_dedup_clusters",
+    eager=True,  # label-propagation loop executes at DataFrame-build time
     oracle=r"""
     WITH RECURSIVE sets AS (
       SELECT doc_id,

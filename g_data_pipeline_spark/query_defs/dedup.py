@@ -382,7 +382,7 @@ def d_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d_pagerank")  # rows-only: aggregation-inside-recursion has no SQL twin
+@register("d_pagerank", eager=True)  # rows-only: aggregation-inside-recursion has no SQL twin; eager: iterations run at build
 def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document centrality over the exact near-dup graph (Jaccard >= 0.3
     word-3-gram edges, symmetrized): the graph-quality-prior primitive

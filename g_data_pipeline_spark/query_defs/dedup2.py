@@ -26,7 +26,7 @@ _CC_ORACLE = REGISTRY["d_dedup_clusters"].oracle
 _INCR_ORACLE = REGISTRY["d_incremental_dedup"].oracle
 
 
-@register("d_cc_star", oracle=_CC_ORACLE)
+@register("d_cc_star", oracle=_CC_ORACLE, eager=True)  # star loop executes at build
 def d_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact 3-gram Jaccard pair graph via
     alternating large-star/small-star contraction (Kiveris et al. 2014) —

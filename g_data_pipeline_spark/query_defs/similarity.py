@@ -161,7 +161,7 @@ def v_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d_semantic_dedup")  # rows-only: k-means cells are not SQL-expressible
+@register("d_semantic_dedup", eager=True)  # rows-only: k-means cells are not SQL-expressible; eager: centroid training runs at build
 def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup survivor set (cluster-then-dedup, min-id survivor) over the
     embeddings corpus at cosine >= 0.35 within 8 k-means cells
