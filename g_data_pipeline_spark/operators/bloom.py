@@ -127,17 +127,28 @@ def incremental_dedup_bloom(
     id_col: str,
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    history_fp_col: str | None = None,
 ) -> DataFrame:
     """Exact incremental dedup (same output contract as
     operators/dedup.py::incremental_dedup — drop batch docs whose
     normalized fingerprint exists in history, then within-batch MIN(id)
     dedup) with a Bloom pre-filter: Bloom-negative batch docs bypass the
     history anti-join entirely; only candidates are re-checked exactly.
+
+    ``history_fp_col``: when the archive already stores fingerprints
+    (the streaming sink's layout — re-fingerprinting raw text per batch
+    would re-scan the whole archive), name that column instead of
+    letting the operator fingerprint ``text_col`` on the history side.
     """
     from g_data_pipeline_spark.functions.text import fingerprint_md5
     from g_data_pipeline_spark.operators.dedup import exact_dedup
 
-    hist_fp = history.select(fingerprint_md5(text_col).alias("__fp")).distinct()
+    if history_fp_col is not None:
+        hist_fp = history.select(F.col(history_fp_col).alias("__fp")).distinct()
+    else:
+        hist_fp = history.select(
+            fingerprint_md5(text_col).alias("__fp")
+        ).distinct()
     bloom = bloom_build(hist_fp, "__fp", num_bits, num_hashes)
     keyed = batch.withColumn("__fp", fingerprint_md5(text_col))
     flagged = bloom_might_contain(keyed, bloom, "__fp", num_bits, num_hashes)

@@ -453,3 +453,82 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    archive_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_s: int = 180,
+):
+    """Streaming crawl ingestion with EXACTLY-ONCE incremental dedup: each
+    micro-batch is deduped against the fingerprint archive built by all
+    PREVIOUS batches (operators/bloom.py — Bloom pre-filter + residual
+    anti-join, exact), survivors land in ``out_path`` and their
+    fingerprints append to ``archive_path``, both replay-idempotent.
+
+    Replay correctness is the subtle part: Structured Streaming replays a
+    failed epoch with the SAME batch_id, but by then the failed attempt
+    may already have written this batch's fingerprints into the archive —
+    a naive archive join would then kill EVERY document of the replayed
+    batch. Both writes therefore go into per-batch ``__batch_id``
+    partitions with dynamic partition-overwrite (the exactly_once sink
+    pattern), and the dedup join reads the archive EXCLUDING the current
+    batch's own partition — so a replay sees exactly the archive state
+    the first attempt saw, and overwrites exactly its own partitions.
+
+    Returns the per-batch function after the AvailableNow trigger drains,
+    so tests can invoke a simulated replay directly.
+    """
+    from g_data_pipeline_spark.operators.bloom import incremental_dedup_bloom
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            archive = spark.read.parquet(archive_path).filter(
+                F.col("__batch_id") != int(batch_id)
+            )
+        except Exception:  # first batch: archive does not exist yet
+            archive = spark.createDataFrame(
+                [], "fingerprint string, __batch_id long"
+            )
+        survivors = incremental_dedup_bloom(
+            batch_df,
+            archive,
+            text_col,
+            id_col,
+            history_fp_col="fingerprint",
+        ).localCheckpoint(eager=True)  # two writes consume this subtree
+        stamped = survivors.withColumn("__batch_id", F.lit(int(batch_id)))
+        (
+            stamped.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(out_path)
+        )
+        (
+            stamped.select("fingerprint", "__batch_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(archive_path)
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"incremental dedup stream did not drain within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return apply_batch
