@@ -147,6 +147,9 @@ HEADLINE = [
     "t_case_profile",
     "d_url_dedup",
     "v_topic_balance",
+    # eager like v_ivf_topk (training collects at build); the repeats
+    # path times the steady-state candidate/ADC/re-rank phase.
+    "v_ivfpq_topk",
 ]
 
 

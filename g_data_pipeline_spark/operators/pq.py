@@ -1,0 +1,267 @@
+"""Product-quantization ANN: the IVF-PQ (IVFADC) index layout for
+embedding corpora too large to hold raw vectors in the candidate path
+(Jegou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011; same structure as FAISS IVFPQ). No reference
+counterpart (the reference has no array types — SURVEY.md §1.2);
+designed Spark-first.
+
+Why PQ at 100 TB: a 64-dim float32 embedding is 256 bytes; its PQ code
+(8 subspaces x 16 codes) is 8 small ints. The candidate join therefore
+shuffles/scans ~1/30th of the bytes, and the full-fidelity vectors are
+touched only for the final ``k x refine`` shortlist per query.
+
+Pipeline (all JVM expressions — no UDFs anywhere):
+
+1. ``train_pq_codebooks`` — per-subspace k-means, ALL subspaces trained
+   in the same Lloyd pass: one corpus scan + ONE shuffle per iteration
+   (explode (m, code, subvector) structs -> posexplode -> groupBy
+   (m, code, pos) means). Driver state is m x k x sub_len floats (1024
+   doubles at the defaults) — bounded at any corpus size. At 100 TB you
+   would train on a sampled slice; encode/search below are unchanged.
+2. ``pq_encode`` — one scan, ZERO shuffles: codes[m] = argmin_j
+   ||sub_m - book[m][j]||^2 via a struct ``array_max`` (ties to the
+   lower code id), identical on every run.
+3. ``ivfpq_topk`` — coarse IVF cells prune the corpus (broadcast query
+   probes keyed on cell), ADC scores the survivors from codes alone
+   (table lookup into literal codebooks: dot(q, v) ~= sum_m
+   dot(q_m, book[m][codes[m]])), a WindowGroupLimit keeps the top
+   ``k*refine`` per query, and ONLY that shortlist is re-ranked with
+   exact cosine against the raw vectors (broadcast semi-join back to
+   the corpus — the "fetch by id" of a real vector store).
+
+Precision note: ADC is an approximation, so it orders the SHORTLIST
+only; the returned top-k and its ``cos`` values are exact cosine over
+shortlist members (recall is approximate, precision is exact — the same
+contract as ``similarity.ivf_topk``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.functions.vectors import cosine_sim, dot_fast
+from g_data_pipeline_spark.operators.similarity import (
+    _lit_array,
+    _nearest_centroid_expr,
+    _probe_centroids_expr,
+    train_centroids,
+)
+
+Codebooks = list[list[list[float]]]  # [m][code][dim_within_subspace]
+
+
+def _sub(vec: Column | str, m: int, sub_len: int) -> Column:
+    """Subvector m of ``vec`` (F.slice is 1-based)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.slice(v, m * sub_len + 1, sub_len)
+
+
+def _nearest_code_expr(sub: Column, book: list[list[float]]) -> Column:
+    """argmin_j ||sub - book[j]||^2 == argmax_j (dot(sub, book[j]) -
+    ||book[j]||^2 / 2); struct array_max keeps it JVM-side, ties break
+    to the LOWER code id via the negated id in the comparison struct."""
+    structs = []
+    for j, c in enumerate(book):
+        half_norm_sq = sum(x * x for x in c) / 2.0
+        structs.append(
+            F.struct(
+                (dot_fast(sub, _lit_array(c)) - F.lit(half_norm_sq)).alias(
+                    "score"
+                ),
+                F.lit(-j).alias("neg_code"),
+            )
+        )
+    return -F.array_max(F.array(*structs))["neg_code"]
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 3,
+    seed: int = 42,
+) -> Codebooks:
+    """Per-subspace Euclidean k-means codebooks, every subspace trained in
+    the same distributed Lloyd pass (one scan + one (m, code, pos)-keyed
+    shuffle per iteration).
+
+    Seeding: the ``n_codes`` rows with the smallest ``xxhash64(id, seed)``
+    — deterministic on any partitioning, no executor RNG state. Codebook
+    entries are raw subvector means (NOT unit-normalized — PQ approximates
+    dot products, so the codebook must live where the data lives)."""
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub_len = dim // m_subspaces
+    seeds = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_codes)
+        .collect()
+    )
+    books: Codebooks = [
+        [
+            [float(x) for x in r[0][m * sub_len : (m + 1) * sub_len]]
+            for r in seeds
+        ]
+        for m in range(m_subspaces)
+    ]
+    for _ in range(n_iter):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    _nearest_code_expr(
+                        _sub(vec_col, m, sub_len), books[m]
+                    ).alias("code"),
+                    _sub(vec_col, m, sub_len).alias("sub"),
+                )
+                for m in range(m_subspaces)
+            ]
+        )
+        cells = (
+            corpus.select(F.explode(entries).alias("e"))
+            .select("e.m", "e.code", F.posexplode("e.sub").alias("pos", "val"))
+            .groupBy("m", "code", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in cells:
+            by_key.setdefault((r.m, r.code), {})[r.pos] = r.mean
+        books = [
+            [
+                [vals[p] for p in sorted(vals)]
+                if (vals := by_key.get((m, j)))
+                else books[m][j]  # empty cluster keeps its previous entry
+                for j in range(n_codes)
+            ]
+            for m in range(m_subspaces)
+        ]
+    return books
+
+
+def pq_codes_expr(
+    vec: Column | str, books: Codebooks, dim: int
+) -> Column:
+    """``array<int>`` of per-subspace code assignments for ``vec``."""
+    sub_len = dim // len(books)
+    return F.array(
+        *[
+            _nearest_code_expr(_sub(vec, m, sub_len), books[m])
+            for m in range(len(books))
+        ]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: Codebooks,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — one scan, zero shuffles (pinned in tests/test_pq.py).
+    This IS the compressed index: at scale, write it partitioned by the
+    IVF cell and the candidate path never reads raw vectors."""
+    return corpus.select(
+        id_col, pq_codes_expr(vec_col, books, dim).alias("codes")
+    )
+
+
+def adc_score_expr(
+    query_vec: Column | str, codes: Column | str, books: Codebooks, dim: int
+) -> Column:
+    """Asymmetric distance computation: dot(q, v) ~= sum_m
+    dot(q_sub_m, book[m][codes[m]]). The codebooks enter the plan as
+    literal array-of-array constants (m x k x sub_len floats), so the
+    lookup is a pure ``element_at`` — no join, no UDF."""
+    c = F.col(codes) if isinstance(codes, str) else codes
+    sub_len = dim // len(books)
+    terms = []
+    for m, book in enumerate(books):
+        book_lit = F.array(*[_lit_array(entry) for entry in book])
+        entry = F.element_at(book_lit, F.element_at(c, m + 1) + 1)
+        terms.append(dot_fast(_sub(query_vec, m, sub_len), entry))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    n_iter: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k per query via IVF cells + PQ ADC shortlist +
+    exact re-rank. Returns (q_id, vec_id, cos, rank) with exact cosine
+    values, like ``similarity.ivf_topk`` — only recall is approximate.
+
+    Plan shape (pinned): candidate join is broadcast-keyed on ``cell``
+    (never cartesian), ADC runs on codes only, and the raw-vector
+    re-rank join broadcasts the tiny ``k*refine``-per-query shortlist."""
+    centroids = train_centroids(
+        corpus, n_centroids, corpus_id, corpus_vec, n_iter=n_iter, seed=seed
+    )
+    books = train_pq_codebooks(
+        corpus, dim, m_subspaces, n_codes, corpus_id, corpus_vec,
+        n_iter=n_iter, seed=seed,
+    )
+    index = corpus.select(
+        corpus_id,
+        _nearest_centroid_expr(corpus_vec, centroids).alias("cell"),
+        pq_codes_expr(corpus_vec, books, dim).alias("codes"),
+    )
+    probes = queries.select(
+        query_id,
+        query_vec,
+        F.explode(
+            _probe_centroids_expr(query_vec, centroids, n_probe)
+        ).alias("cell"),
+    )
+    cands = index.join(F.broadcast(probes), "cell").filter(
+        F.col(corpus_id) != F.col(query_id)
+    )
+    adc = cands.select(
+        query_id,
+        query_vec,
+        corpus_id,
+        adc_score_expr(query_vec, "codes", books, dim).alias("adc"),
+    )
+    w_short = Window.partitionBy(query_id).orderBy(
+        F.col("adc").desc(), F.col(corpus_id).asc()
+    )
+    shortlist = (
+        adc.withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= k * refine)
+        .select(query_id, query_vec, corpus_id)
+    )
+    reranked = corpus.select(corpus_id, corpus_vec).join(
+        F.broadcast(shortlist), corpus_id
+    )
+    scored = reranked.select(
+        query_id, corpus_id, cosine_sim(corpus_vec, query_vec).alias("cos")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -76,7 +76,7 @@ def v_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("v_ivf_topk", oracle=None)
+@register("v_ivf_topk", oracle=None, eager=True)  # centroid training collects at build
 def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means coarse quantizer, 16 cells, probe 4) approximate top-10
     for the same 5 queries. Rows-only (iterative training has no SQL twin);
@@ -86,6 +86,26 @@ def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
+@register("v_ivfpq_topk", oracle=None, eager=True)  # centroid+codebook training collects at build
+def v_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (16 coarse cells probe 4; 8x16 product-quantization codes,
+    ADC shortlist 4k, exact re-rank) approximate top-10 for the same 5
+    queries — the compressed-index scale path where the candidate join
+    reads 8 small ints per vector instead of 64 floats. Rows-only
+    (iterative codebook training has no SQL twin); recall, ADC exactness,
+    and the zero-shuffle/broadcast plan pins live in tests/test_pq.py."""
+    from g_data_pipeline_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivfpq_topk(
+        emb, queries, k=10, dim=64, n_centroids=16, n_probe=4,
+        m_subspaces=8, n_codes=16, refine=4,
+    )
 
 
 def _planted_near_dup_corpus(emb: DataFrame) -> DataFrame:

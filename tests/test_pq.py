@@ -1,0 +1,150 @@
+"""IVF-PQ tests: codebook determinism, encode plan shape (zero shuffle),
+ADC exactness on codebook-reconstructible vectors, recall vs exact
+cosine top-k, and the no-cartesian/broadcast plan pins."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.operators.pq import (
+    adc_score_expr,
+    ivfpq_topk,
+    pq_encode,
+    train_pq_codebooks,
+)
+from g_data_pipeline_spark.operators.similarity import cosine_topk
+
+
+def _clustered_corpus(spark, n_clusters=40, per_cluster=5, dim=32, seed=23):
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        for _ in range(per_cluster):
+            v = center + rng.normal(scale=0.1, size=dim)
+            rows.append((vid, [float(x) for x in v.astype(np.float32)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_codebooks_shape_and_determinism(spark):
+    df = _clustered_corpus(spark, n_clusters=10, per_cluster=4)
+    b1 = train_pq_codebooks(df, dim=32, m_subspaces=4, n_codes=8, n_iter=2)
+    b2 = train_pq_codebooks(df, dim=32, m_subspaces=4, n_codes=8, n_iter=2)
+    assert len(b1) == 4 and all(len(bm) == 8 for bm in b1)
+    assert all(len(entry) == 8 for bm in b1 for entry in bm)  # 32/4 dims
+    assert b1 == b2, "codebook training must be run-deterministic"
+
+
+def test_encode_zero_shuffle_and_code_range(spark):
+    from tests.test_plans import shuffle_count
+
+    df = _clustered_corpus(spark, n_clusters=8, per_cluster=4)
+    books = train_pq_codebooks(df, dim=32, m_subspaces=4, n_codes=8, n_iter=1)
+    enc = pq_encode(df, books, dim=32)
+    plan = enc._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert shuffle_count(plan) == 0, "pq_encode must be a pure scan"
+    rows = enc.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 8 for c in r.codes)
+
+
+def test_adc_exact_when_vectors_are_codebook_points(spark):
+    """If every corpus vector is a concatenation of codebook entries, the
+    PQ reconstruction is lossless and ADC == the true dot product."""
+    books = [
+        [[1.0, 0.0], [0.0, 1.0]],  # subspace 0
+        [[2.0, 0.0], [0.0, -1.0]],  # subspace 1
+    ]
+    # vectors = every combination of one entry per subspace
+    vecs = []
+    vid = 0
+    for c0 in books[0]:
+        for c1 in books[1]:
+            vecs.append((vid, [float(x) for x in c0 + c1]))
+            vid += 1
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    enc = pq_encode(df, books, dim=4)
+    q = [0.5, -1.5, 2.0, 3.0]
+    joined = df.join(enc, "vec_id").select(
+        "vec_id",
+        "embedding",
+        adc_score_expr(F.array(*[F.lit(x) for x in q]), "codes", books, 4).alias(
+            "adc"
+        ),
+    )
+    for r in joined.collect():
+        true_dot = sum(a * b for a, b in zip(q, r.embedding))
+        assert abs(r.adc - true_dot) < 1e-9, (r.vec_id, r.adc, true_dot)
+
+
+def test_ivfpq_recall_on_clustered_data(spark):
+    """Planted-cluster regime (same as the IVF test): coarse cells prune,
+    the ADC shortlist keeps the true neighbors, exact re-rank orders
+    them — recall stays high while the candidate path reads codes only."""
+    df = _clustered_corpus(spark)
+    queries = df.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(df, queries, k=4).collect()}
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivfpq_topk(
+            df, queries, k=4, dim=32, n_centroids=16, n_probe=4,
+            m_subspaces=4, n_codes=16, refine=4,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"IVF-PQ recall {recall:.2f} on clustered data"
+
+
+def test_ivfpq_returns_exact_cosine_values(spark):
+    """Precision contract: every returned cos equals the exact cosine of
+    that (query, corpus) pair — ADC orders the shortlist only."""
+    df = _clustered_corpus(spark, n_clusters=10, per_cluster=4)
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = ivfpq_topk(
+        df, queries, k=3, dim=32, n_centroids=8, n_probe=3,
+        m_subspaces=4, n_codes=8,
+    ).collect()
+    assert got
+    all_exact = {
+        (r.q_id, r.vec_id): r.cos
+        for r in cosine_topk(df, queries, k=40).collect()
+    }
+    for r in got:
+        assert abs(r.cos - all_exact[(r.q_id, r.vec_id)]) < 1e-12
+
+
+def test_ivfpq_plan_no_cartesian_broadcast_joins(spark):
+    from tests.test_plans import op_counts
+
+    df = _clustered_corpus(spark, n_clusters=8, per_cluster=4)
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivfpq_topk(
+        df, queries, k=3, dim=32, n_centroids=4, n_probe=2,
+        m_subspaces=4, n_codes=4, n_iter=1,
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    counts = op_counts(plan)
+    assert counts.get("BroadcastHashJoin", 0) >= 2, (
+        "cell-probe join and shortlist re-rank join must both broadcast"
+    )
