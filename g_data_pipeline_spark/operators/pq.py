@@ -192,6 +192,148 @@ def adc_score_expr(
     return out
 
 
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """Train and PERSIST an IVF-PQ index:
+
+    - ``{path}/codes/`` — (id, codes) parquet, ``partitionBy("cell")``:
+      the compressed candidate table. Partitioning by cell is what turns
+      a query's probe set into PARTITION PRUNING — a search touches
+      n_probe/n_centroids of the files, verified via the scan's
+      ``PartitionFilters`` in tests/test_pq.py.
+    - ``{path}/vectors/`` — (id, vector) parquet: full-fidelity vectors,
+      read ONLY by the shortlist re-rank join.
+    - ``{path}/meta.json`` — centroids + codebooks + layout params
+      (k x dim + m x k x sub_len floats — always driver-tiny). Written
+      with plain local I/O; an object-store deployment would route this
+      through the storage layer seam (storage.py).
+
+    Returns the meta dict (also usable directly with
+    ``search_ivfpq_index(..., meta=...)`` to skip the file read)."""
+    import json
+    import os
+
+    centroids = train_centroids(
+        corpus, n_centroids, id_col, vec_col, n_iter=n_iter, seed=seed
+    )
+    books = train_pq_codebooks(
+        corpus, dim, m_subspaces, n_codes, id_col, vec_col,
+        n_iter=n_iter, seed=seed,
+    )
+    index = corpus.select(
+        F.col(id_col).alias("id"),
+        _nearest_centroid_expr(vec_col, centroids).alias("cell"),
+        pq_codes_expr(vec_col, books, dim).alias("codes"),
+    )
+    index.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+    ).write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+    meta = {
+        "dim": dim,
+        "n_centroids": n_centroids,
+        "m_subspaces": m_subspaces,
+        "n_codes": n_codes,
+        "centroids": centroids,
+        "books": books,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    refine: int = 4,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    meta: dict | None = None,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index with partition-pruned candidate
+    scans. The probe cells are resolved DRIVER-SIDE (collecting the
+    query batch — bounded by |queries| x n_probe, the few-queries regime
+    this layout exists for) so the cell predicate is a literal ``IN``
+    that reaches the parquet scan as a ``PartitionFilters`` entry: only
+    the probed cell directories are listed or read, at any corpus size.
+
+    Returns (q_id, vec_id, cos, rank) — exact cosine over the ADC
+    shortlist, identical contract (and, for the same training params,
+    identical results) to the in-memory ``ivfpq_topk``."""
+    import json
+    import os
+
+    if meta is None:
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+    centroids = meta["centroids"]
+    books = meta["books"]
+    dim = meta["dim"]
+    probes = queries.select(
+        query_id,
+        query_vec,
+        F.explode(
+            _probe_centroids_expr(query_vec, centroids, n_probe)
+        ).alias("cell"),
+    )
+    probe_rows = probes.collect()
+    cells = sorted({r["cell"] for r in probe_rows})
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            probe_rows, schema=f"{query_id} long, {query_vec} array<float>, cell int"
+        )
+    )
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("cell").isin(cells)
+    )
+    cands = codes.join(probe_df, "cell").filter(
+        F.col("id") != F.col(query_id)
+    )
+    adc = cands.select(
+        query_id,
+        query_vec,
+        "id",
+        adc_score_expr(query_vec, "codes", books, dim).alias("adc"),
+    )
+    w_short = Window.partitionBy(query_id).orderBy(
+        F.col("adc").desc(), F.col("id").asc()
+    )
+    shortlist = (
+        adc.withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= k * refine)
+        .select(query_id, query_vec, "id")
+    )
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    reranked = vectors.join(F.broadcast(shortlist), "id")
+    scored = reranked.select(
+        query_id,
+        F.col("id").alias("vec_id"),
+        cosine_sim("vector", query_vec).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,

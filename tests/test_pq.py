@@ -127,6 +127,56 @@ def test_ivfpq_returns_exact_cosine_values(spark):
         assert abs(r.cos - all_exact[(r.q_id, r.vec_id)]) < 1e-12
 
 
+def test_persistent_index_partition_pruned_and_matches_in_memory(
+    spark, tmp_path
+):
+    """write_ivfpq_index + search_ivfpq_index: the candidate scan must be
+    PARTITION-PRUNED to the probed cells (literal IN predicate visible in
+    the scan's PartitionFilters), and — same training params, same seed —
+    results must be identical to the in-memory ivfpq_topk."""
+    from g_data_pipeline_spark.operators.pq import (
+        search_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    df = _clustered_corpus(spark, n_clusters=12, per_cluster=4)
+    queries = df.filter(F.col("vec_id") % 16 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    path = str(tmp_path / "ivfpq")
+    meta = write_ivfpq_index(
+        df, path, dim=32, n_centroids=8, m_subspaces=4, n_codes=8, n_iter=1
+    )
+    assert len(meta["centroids"]) == 8 and len(meta["books"]) == 4
+    out = search_ivfpq_index(
+        spark, path, queries, k=3, n_probe=2, refine=4
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf_lines = [
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "cell" in l
+    ]
+    assert pf_lines and any("IN" in l or "in(" in l for l in pf_lines), (
+        "probe-cell predicate must reach the codes scan as a partition "
+        f"filter; got: {pf_lines}"
+    )
+    assert "CartesianProduct" not in plan
+    in_memory = ivfpq_topk(
+        df, queries, k=3, dim=32, n_centroids=8, n_probe=2,
+        m_subspaces=4, n_codes=8, refine=4, n_iter=1,
+    )
+    got = {(r.q_id, r.vec_id, r.rank, round(r.cos, 12)) for r in out.collect()}
+    want = {
+        (r.q_id, r.vec_id, r.rank, round(r.cos, 12))
+        for r in in_memory.collect()
+    }
+    assert got == want
+
+
 def test_ivfpq_plan_no_cartesian_broadcast_joins(spark):
     from tests.test_plans import op_counts
 
