@@ -91,6 +91,37 @@ def row_level_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
     )
 
 
+def observed_row_level(df: DataFrame, rules: list[Rule]):
+    """ONE-PASS variant of :func:`row_level_report`: attach the same fused
+    conditional-count metrics to ``df`` as a Spark ``Observation`` and
+    return ``(df_passthrough, observation)``. The caller runs whatever
+    action it was going to run anyway (typically the curated-output WRITE)
+    and reads the report from the observation afterwards — the quality
+    gate costs ZERO extra scans of the fact table, which at 100 TB is the
+    difference between "free" and "a second full pass".
+
+    Semantics: metrics cover exactly the rows the action processed (a full
+    write sees every row; a ``take(n)`` would see a prefix — pair with
+    full-table actions). ``observation_report`` blocks until the action
+    has completed."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    metrics = [F.count(F.lit(1)).alias("__n")] + [
+        F.count_if(r.violation).alias(f"__v{i}") for i, r in enumerate(rules)
+    ]
+    return df.observe(obs, *metrics), obs
+
+
+def observation_report(obs, rules: list[Rule]) -> list[tuple[str, int, int]]:
+    """(rule, n_checked, n_violations) rows from a completed
+    :func:`observed_row_level` action — same contract as
+    :func:`row_level_report` (pinned by parity test)."""
+    got = obs.get
+    n = int(got["__n"])
+    return [(r.name, n, int(got[f"__v{i}"])) for i, r in enumerate(rules)]
+
+
 def unique_report(df: DataFrame, cols: list[str]) -> DataFrame:
     """Uniqueness: rows minus distinct keys, via a keyed count aggregate
     (one shuffle on the key — never a driver-side distinct).

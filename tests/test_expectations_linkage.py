@@ -52,6 +52,41 @@ def test_row_level_rules_null_semantics(spark):
     assert rep["prio_fmt"] == (4, 1)  # only '9-bogus'; NULL passes
 
 
+def test_observed_row_level_matches_report_from_a_write(spark, tmp_path):
+    """The one-pass Observation variant yields the SAME numbers as
+    row_level_report, but collected from the job that writes the data —
+    zero extra scans of the fact table."""
+    from g_data_pipeline_spark.operators.expectations import (
+        observation_report,
+        observed_row_level,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O", "1-URGENT"),
+            (2, -3.0, "X", "9-bogus"),
+            (None, None, None, None),
+            (4, 700.0, "F", "5-LOW"),
+        ],
+        "k bigint, price double, status string, prio string",
+    )
+    rules = [
+        not_null("k"),
+        in_range("price", 0.0, 500.0),
+        in_set("status", ["O", "F", "P"]),
+        matches("prio", "^[1-5]-[A-Z]+$", label="prio_fmt"),
+    ]
+    observed, obs = observed_row_level(df, rules)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "curated"))
+    got = {
+        name: (n, v) for name, n, v in observation_report(obs, rules)
+    }
+    want = _report_dict(row_level_report(df, rules))
+    assert got == want
+    # the written output is the unmodified passthrough
+    assert spark.read.parquet(str(tmp_path / "curated")).count() == 4
+
+
 def test_unique_and_fk_reports(spark):
     child = spark.createDataFrame(
         [(1, 100), (2, 100), (2, 200), (3, None), (4, 999)],
