@@ -150,6 +150,8 @@ HEADLINE = [
     # eager like v_ivf_topk (training collects at build); the repeats
     # path times the steady-state candidate/ADC/re-rank phase.
     "v_ivfpq_topk",
+    # mergeable stats-dataset profile (partial pass + sketch fold)
+    "p_incremental_profile",
 ]
 
 

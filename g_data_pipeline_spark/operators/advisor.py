@@ -1,0 +1,123 @@
+"""Stats-driven join-strategy advisor: broadcast vs sort-merge vs salted.
+
+The repo ships three join executions — plain (Catalyst picks broadcast or
+sort-merge from its size estimate), ``skew.salted_join`` (hand-salted for
+hot keys), and AQE's runtime skew split (session default, pinned in
+tests/test_aqe_skew.py). This module makes the CHOICE explicit and
+testable, the way a pipeline author at 100 TB reasons before submitting:
+
+1. read Catalyst's own size estimate for each side
+   (``optimizedPlan().stats().sizeInBytes`` — plan-time, no job runs;
+   includes whatever filters/pruning the plan already pushed down);
+2. if the smaller side fits the broadcast budget → ``broadcast``;
+3. else measure key skew on the FACT side with one cheap aggregate over
+   the join key only (hottest-key share × partition count — the
+   ``a_skew_report`` diagnostic, reduced to the one number that matters:
+   the straggler multiple vs a uniform shuffle);
+4. skew multiple over threshold → ``salted`` (pre-planned mitigation;
+   AQE's split remains as the runtime backstop for skew this probe
+   missed), else → ``sort_merge``.
+
+``advise_join`` returns the decision WITH its evidence; ``apply_advice``
+executes it. Deliberately no magic: the probe pass is one aggregate on
+one column (at 100 TB: run it on the key histogram you profile anyway —
+see operators/incremental_profile.py), and the decision thresholds are
+arguments, not lore.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.operators.skew import salted_join
+
+DEFAULT_BROADCAST_BYTES = 64 * 1024 * 1024  # matches session.py's threshold
+DEFAULT_SKEW_MULTIPLE = 4.0
+
+
+@dataclass(frozen=True)
+class JoinAdvice:
+    strategy: str  # 'broadcast' | 'sort_merge' | 'salted'
+    reason: str
+    left_bytes: int
+    right_bytes: int
+    skew_multiple: float | None  # None when the skew probe wasn't needed
+    salt_buckets: int
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's plan-time size estimate (post filter/prune pushdown) —
+    the same number its own broadcast decision uses. No job runs."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def key_skew_multiple(df: DataFrame, key: str) -> float:
+    """Straggler multiple of a shuffle on ``key``: hottest-key share ×
+    shuffle partition count. 1.0 ≈ perfectly uniform; P means the hottest
+    partition holds ≥ P× a uniform partition's rows, so the stage runs
+    ~P× longer than balanced. One aggregate over the key column only."""
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("hot"), F.sum("n").alias("total"))
+        .collect()[0]
+    )
+    if not row["total"]:
+        return 1.0
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return row["hot"] / row["total"] * parts
+
+
+def advise_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    broadcast_bytes: int = DEFAULT_BROADCAST_BYTES,
+    skew_multiple_threshold: float = DEFAULT_SKEW_MULTIPLE,
+    salt_buckets: int = 16,
+) -> JoinAdvice:
+    lb, rb = plan_size_bytes(fact), plan_size_bytes(dim)
+    if min(lb, rb) <= broadcast_bytes:
+        return JoinAdvice(
+            "broadcast",
+            f"smaller side ~{min(lb, rb)}B fits the "
+            f"{broadcast_bytes}B broadcast budget",
+            lb, rb, None, salt_buckets,
+        )
+    skew = key_skew_multiple(fact, key)
+    if skew >= skew_multiple_threshold:
+        return JoinAdvice(
+            "salted",
+            f"hot key makes the straggler partition ~{skew:.1f}x a "
+            f"uniform one (threshold {skew_multiple_threshold}x)",
+            lb, rb, skew, salt_buckets,
+        )
+    return JoinAdvice(
+        "sort_merge",
+        f"both sides exceed the broadcast budget and skew multiple "
+        f"{skew:.1f}x is under {skew_multiple_threshold}x",
+        lb, rb, skew, salt_buckets,
+    )
+
+
+def apply_advice(
+    fact: DataFrame, dim: DataFrame, key: str, advice: JoinAdvice,
+    how: str = "inner",
+) -> DataFrame:
+    if advice.strategy == "broadcast":
+        small_is_right = advice.right_bytes <= advice.left_bytes
+        return (
+            fact.join(F.broadcast(dim), key, how)
+            if small_is_right
+            else fact.hint("broadcast").join(dim, key, how)
+        )
+    if advice.strategy == "salted":
+        return salted_join(
+            fact, dim, key, salt_buckets=advice.salt_buckets, how=how
+        )
+    return fact.join(dim.hint("merge"), key, how)

@@ -22,6 +22,7 @@ from g_data_pipeline_spark.query_defs import events2  # noqa: F401
 from g_data_pipeline_spark.query_defs import grouped_gate  # noqa: F401
 from g_data_pipeline_spark.query_defs import lakehouse  # noqa: F401
 from g_data_pipeline_spark.query_defs import multimodal  # noqa: F401
+from g_data_pipeline_spark.query_defs import profile_scale  # noqa: F401
 from g_data_pipeline_spark.query_defs import reference_surface  # noqa: F401
 from g_data_pipeline_spark.query_defs import sketches  # noqa: F401
 from g_data_pipeline_spark.query_defs import similarity  # noqa: F401

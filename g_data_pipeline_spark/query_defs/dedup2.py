@@ -66,3 +66,33 @@ def d_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
     )
+
+
+@register("d_source_overlap_sketch")
+def d_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix at Theta-sketch cost — the
+    100 TB-scale sibling of d_source_shingle_overlap (query_defs/dedup.py).
+
+    Rows-only BY DESIGN: datasketches Theta estimates have no DuckDB
+    twin. tests/test_sketch_overlap.py pins this against the exact
+    posts-self-join matrix instead — bit-for-bit while every source sits
+    below the sketch's exact-mode capacity (the regime at test scale),
+    tolerance-bounded beyond it.
+
+    One aggregate pass over documents builds a constant-size sketch per
+    source; the pairwise matrix is computed from the 20-row sketch table
+    alone (broadcast self-join), facts unread.
+    """
+    from g_data_pipeline_spark.functions.text import word_shingles
+    from g_data_pipeline_spark.operators.sketch_overlap import (
+        distinct_sketches,
+        pairwise_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    posts = docs.select(
+        "source", F.explode(word_shingles("text", n=3)).alias("s")
+    )
+    return pairwise_overlap(
+        distinct_sketches(posts, "source", "s"), "source"
+    ).orderBy("grp_a", "grp_b")

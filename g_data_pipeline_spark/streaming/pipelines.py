@@ -532,3 +532,60 @@ def incremental_dedup_stream(
     finally:
         q.stop()
     return apply_batch
+
+
+def profile_maintenance_stream(
+    stream: DataFrame,
+    stats_path: str,
+    checkpoint_dir: str,
+    cols: list[str],
+    timeout_s: int = 120,
+):
+    """Profile-on-ingest: maintain the mergeable stats dataset
+    (operators/incremental_profile.py) FROM the ingest stream itself.
+
+    Each micro-batch computes its own partial-profile states (exact
+    decimal moments + HLL/KLL sketches — constant bytes per batch) and
+    lands them in a per-batch partition of the stats dataset. The corpus
+    profile at any moment is ``merged_profile(spark.read.parquet(
+    stats_path))`` — cost O(#batches), the raw stream is never re-read.
+    This is the streaming closure of the 100 TB profiler path: profiling
+    cost is paid once per ingested byte, on ingest, and global refresh
+    stays constant-time as history grows.
+
+    Replay-idempotent via the ``__batch_id`` dynamic-partition-overwrite
+    pattern (see exactly_once_parquet_sink): a replayed epoch overwrites
+    exactly its own stats partition, so no batch is ever double-counted
+    in the merge. Returns the per-batch function after the AvailableNow
+    trigger drains, so tests can invoke a simulated replay directly.
+    """
+    from g_data_pipeline_spark.operators.incremental_profile import (
+        partial_profile,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            partial_profile(
+                batch_df, cols, [F.lit(int(batch_id)).alias("__batch_id")]
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(stats_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"profile maintenance stream did not drain within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return apply_batch

@@ -1,0 +1,183 @@
+"""Pins for the mergeable incremental profiler
+(operators/incremental_profile.py) — the 100 TB "profile without
+re-scanning history" path.
+
+Contract under test:
+1. EXACT half: cnt / nulls / mean / min / max / stddev from merged
+   partials equal a direct full-scan computation (mean bit-for-bit via
+   decimal sums; stddev to 1e-9 relative — its sqrt is the only
+   non-shared operation order).
+2. SKETCH half: HLL distinct inside ±5% of exact; KLL quantile estimates
+   within ±3% rank error of the true rank.
+3. MERGE algebra: computing partials over two disjoint batches and
+   merging gives the SAME result as partials over the union —
+   exact fields identically, HLL within 1% (sparse-mode promotion can
+   shift a few counts between fold orders), KLL within rank tolerance.
+4. refresh_partials: latest-wins upsert by partition key; replaced keys
+   drop out, merged stats track the refreshed data exactly.
+5. Plan shape: one fact scan, partial agg + singleton fold = at most two
+   exchanges, zero Python nodes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.operators.incremental_profile import (
+    merged_profile,
+    partial_profile,
+    refresh_partials,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+def _key():
+    return F.date_trunc("month", "l_shipdate").alias("ingest_month")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def merged_rows(spark, lineitem):
+    p = partial_profile(lineitem, COLS, [_key()])
+    rows = merged_profile(p, COLS).collect()
+    return {r["column"]: r for r in rows}
+
+
+def _exact(df, c):
+    return df.agg(
+        F.count(c).alias("cnt"),
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("nulls"),
+        (
+            F.sum(F.col(c).cast("decimal(27,6)")).cast("double")
+            / F.count(c)
+        ).alias("mean"),
+        F.min(F.col(c).cast("double")).alias("min"),
+        F.max(F.col(c).cast("double")).alias("max"),
+        F.stddev(c).alias("stddev"),
+        F.countDistinct(c).alias("distinct"),
+        F.percentile(F.col(c).cast("double"), F.array(
+            F.lit(0.25), F.lit(0.5), F.lit(0.75)
+        )).alias("q"),
+    ).collect()[0]
+
+
+def test_exact_half_matches_full_scan(lineitem, merged_rows):
+    for c in COLS:
+        got, want = merged_rows[c], _exact(lineitem, c)
+        assert got["cnt"] == want["cnt"]
+        assert got["nulls"] == want["nulls"]
+        assert got["mean"] == want["mean"]  # decimal-sum path: bit-equal
+        assert got["min"] == want["min"]
+        assert got["max"] == want["max"]
+        assert got["stddev"] == pytest.approx(want["stddev"], rel=1e-9)
+
+
+def test_sketch_half_within_bounds(lineitem, merged_rows):
+    n = lineitem.count()
+    vals = {c: sorted(
+        r[0] for r in lineitem.select(F.col(c).cast("double")).collect()
+    ) for c in COLS}
+    for c in COLS:
+        got, want = merged_rows[c], _exact(lineitem, c)
+        assert got["distinct_est"] == pytest.approx(
+            want["distinct"], rel=0.05
+        )
+        for q, name in [(0.25, "q25_est"), (0.5, "q50_est"), (0.75, "q75_est")]:
+            est = got[name]
+            # Tie-aware rank check: a discrete column (l_discount has 11
+            # values) gives the estimate a rank INTERVAL [lo, hi); the
+            # estimate is correct if the target rank falls inside it
+            # (± the KLL k=200 rank tolerance).
+            import bisect
+            lo = bisect.bisect_left(vals[c], est) / n
+            hi = bisect.bisect_right(vals[c], est) / n
+            assert lo - 0.03 <= q <= hi + 0.03, (c, name, est, lo, hi)
+
+
+def test_split_batch_merge_equals_single_pass(spark, lineitem):
+    cut = "1997-01-01"
+    a = partial_profile(lineitem.filter(F.col("l_shipdate") < cut), COLS, [_key()])
+    b = partial_profile(lineitem.filter(F.col("l_shipdate") >= cut), COLS, [_key()])
+    split = {r["column"]: r for r in merged_profile(a.unionByName(b), COLS).collect()}
+    single = {r["column"]: r
+              for r in merged_profile(partial_profile(lineitem, COLS, [_key()]), COLS).collect()}
+    n = lineitem.count()
+    vals = {c: sorted(
+        r[0] for r in lineitem.select(F.col(c).cast("double")).collect()
+    ) for c in COLS}
+    for c in COLS:
+        s, w = split[c], single[c]
+        for f in ["cnt", "nulls", "mean", "min", "max", "stddev"]:
+            assert s[f] == w[f], (c, f)
+        # HLL union is register-max in dense mode but sketches built from
+        # fewer rows may still be in sparse/HLL_4 form when unioned, so
+        # the two fold orders can differ by a few counts (observed 5941
+        # vs 5944 on 5944 true) — near-identical, not bitwise.
+        assert s["distinct_est"] == pytest.approx(
+            w["distinct_est"], rel=0.01
+        ), c
+        # KLL compaction is internally RANDOMIZED (datasketches picks a
+        # random offset when compacting), so the two fold orders need not
+        # produce close VALUES on a discrete column — the guarantee is
+        # rank error, so pin that, tie-aware, for the split fold too.
+        import bisect
+        for q, f in [(0.25, "q25_est"), (0.5, "q50_est"), (0.75, "q75_est")]:
+            lo = bisect.bisect_left(vals[c], s[f]) / n
+            hi = bisect.bisect_right(vals[c], s[f]) / n
+            assert lo - 0.03 <= q <= hi + 0.03, (c, f, s[f], lo, hi)
+
+
+def test_refresh_partials_latest_wins(spark, lineitem):
+    stats = partial_profile(lineitem, COLS, [_key()])
+    # "re-ingest" every 1997 month with quantities doubled
+    re_batch = lineitem.filter(F.year("l_shipdate") == 1997).withColumn(
+        "l_quantity", F.col("l_quantity") * 2
+    )
+    fresh = partial_profile(re_batch, COLS, [_key()])
+    refreshed = refresh_partials(stats, fresh, ["ingest_month"])
+    # key count unchanged: every fresh key replaced an existing one
+    assert refreshed.count() == stats.count()
+    got = {r["column"]: r for r in merged_profile(refreshed, COLS).collect()}
+    truth_df = lineitem.filter(F.year("l_shipdate") != 1997).unionByName(re_batch)
+    for c in COLS:
+        want = _exact(truth_df, c)
+        assert got[c]["cnt"] == want["cnt"]
+        assert got[c]["mean"] == want["mean"]
+        assert got[c]["max"] == want["max"]
+
+
+def test_nulls_and_single_value_column(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, None), (2, 10.0), (2, None), (2, 10.0)],
+        "k int, x double",
+    )
+    p = partial_profile(df, ["x"], ["k"])
+    row = merged_profile(p, ["x"]).collect()[0]
+    assert (row["cnt"], row["nulls"]) == (3, 2)
+    assert row["mean"] == 10.0
+    assert row["stddev"] == 0.0
+    assert row["distinct_est"] == 1
+    assert row["q50_est"] == 10.0
+
+
+def test_plan_single_scan_two_exchanges(spark, lineitem):
+    plan = (
+        merged_profile(partial_profile(lineitem, COLS, [_key()]), COLS)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    # formatted explain repeats node names in the detail section — count
+    # in the tree section only (everything before the first node detail).
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
