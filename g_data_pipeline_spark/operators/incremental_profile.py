@@ -69,24 +69,35 @@ def _c(name: str, part: str) -> str:
 
 
 def partial_profile(
-    df: DataFrame, cols: Sequence[str], by: Sequence[str] | Sequence[Column]
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] | Sequence[Column],
+    str_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-partition-key mergeable profile states: ONE shuffle on ``by``.
 
     Output: ``by`` key columns, ``rows`` (total row count), and per column
     ``c``: ``c__cnt c__nulls c__sum c__sumsq c__min c__max`` (exact
     moments) + ``c__hll c__kll`` (binary sketches).
+
+    ``str_cols`` get the SAME accumulator shape with the numeric stats
+    computed over ``length(c)`` (mean/min/max/stddev/quantiles of string
+    length — the text-pipeline health signal) while the HLL still
+    sketches the VALUE, so ``distinct_est`` counts distinct strings.
     """
     aggs: list[Column] = [F.count(F.lit(1)).alias("rows")]
-    for c in cols:
+    for c, is_str in [(c, False) for c in cols] + [
+        (c, True) for c in str_cols
+    ]:
         x = F.col(c)
-        xd = x.cast("double")
+        stat = F.length(x) if is_str else x
+        xd = stat.cast("double")
         aggs += [
             F.count(x).alias(_c(c, "cnt")),
             F.sum(F.when(x.isNull(), 1).otherwise(0)).alias(_c(c, "nulls")),
-            F.sum(x.cast(_SUM_T)).cast(_ACC_T).alias(_c(c, "sum")),
+            F.sum(stat.cast(_SUM_T)).cast(_ACC_T).alias(_c(c, "sum")),
             F.sum(
-                (x.cast(_SQ_IN_T) * x.cast(_SQ_IN_T)).cast(_ACC_T)
+                (stat.cast(_SQ_IN_T) * stat.cast(_SQ_IN_T)).cast(_ACC_T)
             ).alias(_c(c, "sumsq")),
             F.min(xd).alias(_c(c, "min")),
             F.max(xd).alias(_c(c, "max")),

@@ -166,3 +166,37 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Write the merge list in the subword-nmt ``merges.txt`` interchange
+    format (``#version`` header, one space-separated symbol pair per
+    line, rank = line order) — the format ``subword-nmt learn-bpe`` and
+    GPT-2-style ``merges.txt`` files use, so a model trained here can be
+    consumed elsewhere and vice versa."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            if " " in a or " " in b:
+                raise ValueError(f"symbol contains a space: {(a, b)!r}")
+            f.write(f"{a} {b}\n")
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Read a subword-nmt-format merges file (bring-your-own-tokenizer
+    seam): comment/blank lines ignored, each line a space-separated
+    symbol pair in rank order. The result plugs straight into
+    :func:`bpe_encode` (broadcast model, no retraining pass)."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for ln, line in enumerate(f, 1):
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2:
+                raise ValueError(
+                    f"{path}:{ln}: expected 'sym1 sym2', got {line!r}"
+                )
+            merges.append((parts[0], parts[1]))
+    return merges

@@ -181,3 +181,35 @@ def test_plan_single_scan_two_exchanges(spark, lineitem):
     assert tree.count("Scan parquet") == 1
     assert tree.count("Exchange") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_string_columns_profile_lengths_and_distincts(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scols = ["text", "lang", "source"]
+    p = partial_profile(docs, ["n_chars"], ["source"], str_cols=scols)
+    got = {
+        r["column"]: r
+        for r in merged_profile(p, ["n_chars"] + scols).collect()
+    }
+    want = docs.agg(
+        F.count("text").alias("cnt"),
+        (
+            F.sum(F.length("text").cast("decimal(27,6)")).cast("double")
+            / F.count("text")
+        ).alias("mean_len"),
+        F.min(F.length("text").cast("double")).alias("min_len"),
+        F.max(F.length("text").cast("double")).alias("max_len"),
+        F.countDistinct("text").alias("d_text"),
+        F.countDistinct("lang").alias("d_lang"),
+        F.countDistinct("source").alias("d_source"),
+    ).collect()[0]
+    t = got["text"]
+    assert t["cnt"] == want["cnt"] and t["nulls"] == 0
+    assert t["mean"] == want["mean_len"]  # decimal path: bit-equal
+    assert (t["min"], t["max"]) == (want["min_len"], want["max_len"])
+    # value distincts, not length distincts; lang/source are tiny -> exact
+    assert t["distinct_est"] == pytest.approx(want["d_text"], rel=0.05)
+    assert got["lang"]["distinct_est"] == want["d_lang"]
+    assert got["source"]["distinct_est"] == want["d_source"]
+    # numeric col in the same pass still behaves
+    assert got["n_chars"]["cnt"] == want["cnt"]

@@ -112,3 +112,47 @@ def test_bpe_end_to_end_on_documents(spark):
     assert agg.tok < chars_plus_eow
     # determinism: re-learning from the same corpus gives the same merges
     assert learn_bpe(word_counts(docs, "text", top_words=2000), 100) == merges
+
+
+def test_merges_file_roundtrip_and_interop(spark, tmp_path):
+    """save/load in the subword-nmt merges.txt format: a round-trip is
+    identity, and a hand-written external file drives bpe_encode without
+    any training pass (the bring-your-own-tokenizer seam)."""
+    from g_data_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        learn_bpe,
+        load_merges,
+        save_merges,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe(word_counts(docs, "text"), num_merges=20)
+    path = str(tmp_path / "merges.txt")
+    save_merges(merges, path)
+    assert load_merges(path) == merges
+
+    learned = sorted(
+        tuple(r) for r in bpe_encode(docs, "doc_id", "text", merges).collect()
+    )
+    loaded = sorted(
+        tuple(r)
+        for r in bpe_encode(docs, "doc_id", "text", load_merges(path)).collect()
+    )
+    assert learned == loaded
+
+    # external file written by another tool (same public format)
+    ext = str(tmp_path / "external.txt")
+    with open(ext, "w") as f:
+        f.write("#version: 0.2\nl o\nlo w\nlow </w>\n")
+    ext_merges = load_merges(ext)
+    assert ext_merges == [("l", "o"), ("lo", "w"), ("low", "</w>")]
+    row = {
+        r["id"]: r
+        for r in bpe_encode(docs, "doc_id", "text", ext_merges).collect()
+    }
+    # 'low' fully merges to one token; other words stay char-level
+    assert row[1]["n_words"] == 5 and row[2]["n_words"] == 4
