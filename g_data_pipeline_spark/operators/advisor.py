@@ -121,3 +121,21 @@ def apply_advice(
             fact, dim, key, salt_buckets=advice.salt_buckets, how=how
         )
     return fact.join(dim.hint("merge"), key, how)
+
+
+def suggest_shuffle_partitions(
+    df: DataFrame,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    min_partitions: int = 1,
+    max_partitions: int = 200_000,
+) -> int:
+    """Shuffle-partition count sized from Catalyst's own estimate of the
+    frame: ceil(plan bytes / target). The number that matters when AQE is
+    OFF, and the sane UPPER bound to hand AQE's coalescing when it is on
+    (initialPartitionNum). 128 MB targets match the default
+    maxPartitionBytes so shuffle partitions land near scan partitions.
+    Clamped: one empty-frame estimate must not configure 0 partitions,
+    one petabyte estimate must not request 10^7 tasks."""
+    est = plan_size_bytes(df)
+    want = -(-est // target_partition_bytes)  # ceil div
+    return int(max(min_partitions, min(max_partitions, want)))

@@ -204,3 +204,40 @@ def refresh_partials(
     return existing.join(
         fresh.select(*key).distinct(), on=list(key), how="left_anti"
     ).unionByName(fresh)
+
+
+def rolling_distinct_estimates(
+    daily: DataFrame,
+    day_col: str,
+    hll_col: str,
+    window_days: int,
+) -> DataFrame:
+    """Rolling N-day distinct-count estimates from per-day HLL sketches —
+    the WAU/MAU query without ever re-scanning events.
+
+    Input: one row per day with that day's HLL sketch (e.g. built by
+    ``partial_profile`` keyed on the day, or directly with
+    ``hll_sketch_agg(user_id)``). ``hll_union_agg`` runs as a WINDOW
+    aggregate over the trailing ``window_days`` rows, so the whole
+    rolling series costs one pass over #days rows of constant-size
+    sketches. Exact windowed COUNT(DISTINCT) over raw events re-shuffles
+    every event into every window it touches — N× the data, per window
+    length; this is the standard sketch trade (±1.6% at lgK=12).
+
+    Assumes ``daily`` has ONE row per day (pre-fold multiple sources
+    with ``hll_union_agg`` first). The trailing frame is rows-based:
+    missing days simply contribute nothing (document per use, or gap-fill
+    the day spine with operators/resample.py first).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(day_col)
+        .rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    return daily.select(
+        day_col,
+        F.hll_sketch_estimate(F.hll_union_agg(hll_col, False).over(w)).alias(
+            f"distinct_{window_days}d_est"
+        ),
+    )

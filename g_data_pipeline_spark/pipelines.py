@@ -189,3 +189,54 @@ def ingest_web_corpus(
         )
     )
     return curate_documents(clean, id_col, "text", min_tokens=min_tokens)
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    dest: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    meta_cols: list[str] | None = None,
+    compression: str | None = "gzip",
+) -> DataFrame:
+    """Training-data DELIVERY export: shard-partitioned JSONL (the format
+    most LLM training loaders consume), deterministic and resumable.
+
+    - Shard = md5-bucket of the document id (operators/sampling recipe):
+      layout- and engine-invariant, so a re-export of the same corpus
+      lands every doc in the same shard — downstream caches stay valid.
+    - ``repartition(n_shards, shard)`` routes each shard's rows to one
+      task, so each ``shard=N`` directory holds ONE jsonl(.gz) part —
+      the file count a loader expects. Shard count is the parallelism
+      knob; at 100 TB raise n_shards, not file-per-shard.
+    - JSON escaping/encoding is Spark's writer (UTF-8, \\n-terminated) —
+      no driver-side serialization of corpus bytes.
+
+    Returns the per-shard manifest (shard, n_docs, n_chars) computed from
+    the SAME lazy frame the writer consumed (one extra small aggregate —
+    at scale, read it back from the landed files instead if the export
+    job and manifest must be transactionally consistent).
+    """
+    from g_data_pipeline_spark.operators.sampling import hash_bucket_expr
+
+    cols = [id_col, text_col] + list(meta_cols or [])
+    sharded = df.select(*cols).withColumn(
+        "shard", (hash_bucket_expr([id_col], seed="jsonl") % n_shards)
+    )
+    writer = (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(dest)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text_col)).alias("n_chars"),
+        )
+        .orderBy("shard")
+    )

@@ -91,3 +91,21 @@ def test_evidence_helpers(spark):
     assert key_skew_multiple(fact, "k") > 0.8 * parts
     even = _fact(spark, skewed=False)
     assert key_skew_multiple(even, "k") < 0.1 * parts + 2
+
+
+def test_suggest_shuffle_partitions(spark):
+    from g_data_pipeline_spark.operators.advisor import (
+        suggest_shuffle_partitions,
+    )
+
+    small = spark.range(0, 10)
+    assert suggest_shuffle_partitions(small) == 1
+    big = _fact(spark, skewed=False)
+    # ~20k rows of 16B: still under one 128MB target
+    assert suggest_shuffle_partitions(big) == 1
+    # shrink the target to force scaling, and check the ceiling division
+    est_driven = suggest_shuffle_partitions(big, target_partition_bytes=1024)
+    assert est_driven > 100
+    assert suggest_shuffle_partitions(
+        big, target_partition_bytes=1024, max_partitions=64
+    ) == 64

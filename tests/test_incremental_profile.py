@@ -213,3 +213,30 @@ def test_string_columns_profile_lengths_and_distincts(spark):
     assert got["source"]["distinct_est"] == want["d_source"]
     # numeric col in the same pass still behaves
     assert got["n_chars"]["cnt"] == want["cnt"]
+
+
+def test_rolling_distinct_from_daily_sketches(spark):
+    """WAU from daily HLL sketches: rolling 7-day union estimates track
+    the exactly-known sliding population within HLL tolerance."""
+    from g_data_pipeline_spark.operators.incremental_profile import (
+        rolling_distinct_estimates,
+    )
+
+    # day d: users [d*50, d*50+500) — 500 DAU, 50 churn/day
+    rows = [
+        (d, u)
+        for d in range(30)
+        for u in range(d * 50, d * 50 + 500)
+    ]
+    ev = spark.createDataFrame(rows, "day int, user_id long")
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), 12).alias("hll")
+    )
+    got = {
+        r["day"]: r["distinct_7d_est"]
+        for r in rolling_distinct_estimates(daily, "day", "hll", 7).collect()
+    }
+    assert len(got) == 30
+    for d in range(30):
+        exact = (d - max(0, d - 6)) * 50 + 500
+        assert got[d] == pytest.approx(exact, rel=0.05), (d, exact)
