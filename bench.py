@@ -152,6 +152,8 @@ HEADLINE = [
     "v_ivfpq_topk",
     # mergeable stats-dataset profile (partial pass + sketch fold)
     "p_incremental_profile",
+    # theta-sketch cross-source overlap matrix (one pass + sketch combine)
+    "d_source_overlap_sketch",
 ]
 
 
