@@ -172,3 +172,59 @@ def expectations_report(parts: list[DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def validated_land(
+    df: DataFrame,
+    rules: list[Rule],
+    good_path: str,
+    quarantine_path: str,
+) -> tuple[int, int]:
+    """Validated landing: rows passing EVERY rule land at ``good_path``;
+    violators land at ``quarantine_path`` with a ``__violated`` column
+    naming the rules they broke (replayable after the upstream fix — drop
+    the column and re-land).
+
+    Execution shape: ONE annotation projection computes the violation
+    array, then each side filters it — the classic fork. The input is
+    localCheckpointed before the fork so the two writes scan the source
+    ONCE between them, not once each (same pattern as
+    incremental_dedup_stream's two-writer batch). Row counts come from
+    the writes' own frames via ``Observation`` — zero extra passes.
+
+    Quarantine is append-mode: successive batches accumulate, preserving
+    the audit trail; good output is append too (the caller owns
+    partitioning/exactly-once concerns — compose with the streaming sinks
+    for that).
+    """
+    from pyspark.sql import Observation
+
+    annotated = df.withColumn(
+        "__violated",
+        F.filter(
+            F.array(
+                *[
+                    F.when(r.violation, F.lit(r.name)).otherwise(F.lit(None))
+                    for r in rules
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).localCheckpoint(eager=True)
+
+    good_obs, quar_obs = Observation(), Observation()
+    good = annotated.filter(F.size("__violated") == 0).drop("__violated")
+    (
+        good.observe(good_obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("append")
+        .parquet(good_path)
+    )
+    quarantined = annotated.filter(F.size("__violated") > 0).withColumn(
+        "__violated", F.concat_ws(";", "__violated")
+    )
+    (
+        quarantined.observe(quar_obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("append")
+        .parquet(quarantine_path)
+    )
+    return int(good_obs.get["n"]), int(quar_obs.get["n"])

@@ -124,12 +124,22 @@ def _fold_kll(col: str) -> Column:
     )
 
 
-def merged_states(partials: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """Fold the stats dataset into ONE row of corpus-level accumulator
-    states: summed moments, HLL-union distinct estimate, and the folded
-    KLL sketch binary per column. The building block shared by
-    :func:`merged_profile` and ``operators/drift.py`` (which needs the
-    sketch binaries themselves, not just derived scalars)."""
+def merged_states(
+    partials: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Fold the stats dataset into accumulator states: one row per ``by``
+    group (corpus-level single row when ``by`` is empty) with summed
+    moments, HLL-union distinct estimate, and the folded KLL sketch
+    binary per column. The building block shared by :func:`merged_profile`
+    and ``operators/drift.py`` (which needs the sketch binaries
+    themselves, not just derived scalars).
+
+    ``by`` must be a prefix-compatible subset of the partial key (e.g.
+    partials keyed ``(source, month)`` fold to per-``source`` profiles) —
+    any slice of the stats dataset is a valid profile, that is the point
+    of mergeable states."""
     aggs: list[Column] = [F.sum("rows").alias("rows")]
     for c in cols:
         aggs += [
@@ -144,21 +154,23 @@ def merged_states(partials: DataFrame, cols: Sequence[str]) -> DataFrame:
             ),
             _fold_kll(_c(c, "kll")).alias(_c(c, "kll")),
         ]
-    return partials.groupBy().agg(*aggs)
+    return partials.groupBy(*by).agg(*aggs)
 
 
 def merged_profile(
     partials: DataFrame,
     cols: Sequence[str],
     quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    by: Sequence[str] = (),
 ) -> DataFrame:
-    """Corpus-level profile from the stats dataset alone (facts unread).
+    """Profile from the stats dataset alone (facts unread): corpus-level
+    by default, per-``by``-group when a key subset is given.
 
-    One row per column: exact ``cnt nulls mean min max stddev`` plus
-    ``distinct_est`` (HLL union) and ``q{p}_est`` quantile estimates
+    One row per (group ×) column: exact ``cnt nulls mean min max stddev``
+    plus ``distinct_est`` (HLL union) and ``q{p}_est`` quantile estimates
     (KLL fold). Scalar columns only.
     """
-    folded = merged_states(partials, cols)
+    folded = merged_states(partials, cols, by)
 
     # Derived stats: exact decimal moments -> fixed-order double arithmetic
     # (deterministic; same policy as profiler.numeric_stat_exprs).
@@ -188,11 +200,11 @@ def merged_profile(
                 ).alias(f"q{int(round(q * 100))}_est")
             )
         per_col.append(F.struct(*fields))
-    # One row per column, EXPLODEd from the single folded row (CLAUDE.md:
-    # a union of N selects would re-run the fold N times).
+    # One row per (group ×) column, EXPLODEd from each folded row
+    # (CLAUDE.md: a union of N selects would re-run the fold N times).
     return folded.select(
-        F.explode(F.array(*per_col)).alias("s")
-    ).select("s.*")
+        *by, F.explode(F.array(*per_col)).alias("s")
+    ).select(*by, "s.*")
 
 
 def refresh_partials(

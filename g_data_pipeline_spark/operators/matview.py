@@ -1,0 +1,107 @@
+"""Incremental materialized-view maintenance for algebraic rollups.
+
+A 100 TB fact table's standing rollup (daily revenue per nation, events
+per user per week, …) must not be recomputed from history on every
+ingest. For ALGEBRAIC aggregates — count, sum, min, max, and anything
+derivable from them (mean, stddev via moments) — the state itself is
+mergeable: ``state ⊎ agg(batch)`` re-aggregated BY KEY equals the
+aggregate over all facts ever seen. This module maintains exactly that:
+
+- :func:`aggregate_batch` — one keyed aggregate over the new batch only.
+- :func:`merge_states` — union of old state + batch partial, re-folded
+  by key: sums add, counts add, min/max fold. Cost is O(|state| +
+  |batch partial|), independent of fact history.
+- :class:`MatView` — the on-disk loop: versioned snapshot directories
+  (``v=N``), refresh reads latest + folds + writes ``v=N+1`` (never
+  overwrites what it reads — the self-overwrite hazard of parquet), and
+  readers always see a complete snapshot.
+
+Sums accumulate as DECIMAL(38,6): exact, associative, so the maintained
+view is BIT-EQUAL to a full recompute at any point (pinned by test) —
+the same determinism contract as functions/deterministic.py. Deletes/
+updates are out of scope by design (append-only facts); route mutable
+keys through operators/cdc.py first and treat its output as the batch.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUM_T = "decimal(27,6)"
+_ACC_T = "decimal(38,6)"
+
+
+@dataclass(frozen=True)
+class RollupSpec:
+    keys: list[str]
+    sums: dict[str, str] = field(default_factory=dict)  # alias -> input col
+    mins: dict[str, str] = field(default_factory=dict)
+    maxs: dict[str, str] = field(default_factory=dict)
+    count_alias: str = "n"
+
+
+def aggregate_batch(batch: DataFrame, spec: RollupSpec) -> DataFrame:
+    aggs = [F.count(F.lit(1)).alias(spec.count_alias)]
+    aggs += [
+        F.sum(F.col(c).cast(_SUM_T)).cast(_ACC_T).alias(a)
+        for a, c in spec.sums.items()
+    ]
+    aggs += [F.min(c).alias(a) for a, c in spec.mins.items()]
+    aggs += [F.max(c).alias(a) for a, c in spec.maxs.items()]
+    return batch.groupBy(*spec.keys).agg(*aggs)
+
+
+def merge_states(old: DataFrame, fresh: DataFrame, spec: RollupSpec) -> DataFrame:
+    both = old.unionByName(fresh)
+    aggs = [F.sum(spec.count_alias).cast("bigint").alias(spec.count_alias)]
+    aggs += [F.sum(a).cast(_ACC_T).alias(a) for a in spec.sums]
+    aggs += [F.min(a).alias(a) for a in spec.mins]
+    aggs += [F.max(a).alias(a) for a in spec.maxs]
+    return both.groupBy(*spec.keys).agg(*aggs)
+
+
+class MatView:
+    """Versioned on-disk rollup. ``refresh(batch)`` folds the batch in
+    and commits a new snapshot version; ``read()`` returns the latest
+    committed snapshot."""
+
+    def __init__(self, spark: SparkSession, path: str, spec: RollupSpec):
+        self.spark = spark
+        self.path = path
+        self.spec = spec
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for d in os.listdir(self.path):
+            m = re.fullmatch(r"v=(\d+)", d)
+            # only versions with a parquet _SUCCESS marker are committed
+            if m and os.path.exists(
+                os.path.join(self.path, d, "_SUCCESS")
+            ):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def read(self) -> DataFrame | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        return self.spark.read.parquet(f"{self.path}/v={vs[-1]}")
+
+    def refresh(self, batch: DataFrame) -> int:
+        """Fold ``batch`` into the view; returns the committed version.
+        Reads v=N, writes v=N+1 — the read and the write never share a
+        directory, so a crashed refresh leaves the old snapshot intact
+        (no _SUCCESS → next refresh ignores the partial write)."""
+        fresh = aggregate_batch(batch, self.spec)
+        old = self.read()
+        merged = fresh if old is None else merge_states(old, fresh, self.spec)
+        next_v = (self._versions() or [-1])[-1] + 1
+        merged.write.mode("overwrite").parquet(f"{self.path}/v={next_v}")
+        return next_v

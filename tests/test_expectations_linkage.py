@@ -142,3 +142,41 @@ def test_row_level_report_escapes_quoted_labels(spark):
         )
     )
     assert rep["o'brien check"] == (2, 0)
+
+
+def test_validated_land_routes_and_counts(spark, tmp_path):
+    """validated_land: good rows land clean, violators land in quarantine
+    with the names of every rule they broke; counts come back from the
+    writes' own Observations."""
+    from g_data_pipeline_spark.operators.expectations import (
+        in_range,
+        not_null,
+        validated_land,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0),
+            (2, None),       # not_null(v)
+            (3, 999.0),      # in_range(v)
+            (4, 20.0),
+        ],
+        "id long, v double",
+    )
+    good_p = str(tmp_path / "good")
+    quar_p = str(tmp_path / "quar")
+    n_good, n_quar = validated_land(
+        df, [not_null("v"), in_range("v", 0, 100)], good_p, quar_p
+    )
+    assert (n_good, n_quar) == (2, 2)
+    good = spark.read.parquet(good_p)
+    assert sorted(r["id"] for r in good.collect()) == [1, 4]
+    assert "__violated" not in good.columns
+    quar = {r["id"]: r["__violated"] for r in spark.read.parquet(quar_p).collect()}
+    assert quar[2] == "not_null(v)"
+    assert quar[3] == "in_range(v,0,100)"
+    # append-mode audit trail: re-landing accumulates quarantine rows
+    validated_land(
+        df, [not_null("v"), in_range("v", 0, 100)], good_p, quar_p
+    )
+    assert spark.read.parquet(quar_p).count() == 4

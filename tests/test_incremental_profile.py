@@ -240,3 +240,25 @@ def test_rolling_distinct_from_daily_sketches(spark):
     for d in range(30):
         exact = (d - max(0, d - 6)) * 50 + 500
         assert got[d] == pytest.approx(exact, rel=0.05), (d, exact)
+
+
+def test_grouped_fold_slices_the_stats_dataset(spark, lineitem):
+    """The same partials keyed (flag, month) fold into per-flag profiles —
+    any key-subset slice of the stats dataset is a valid profile."""
+    p = partial_profile(
+        lineitem, ["l_quantity"], [F.col("l_returnflag"), _key()]
+    )
+    got = {
+        (r["l_returnflag"], r["column"]): r
+        for r in merged_profile(
+            p, ["l_quantity"], by=["l_returnflag"]
+        ).collect()
+    }
+    flags = [r[0] for r in lineitem.select("l_returnflag").distinct().collect()]
+    assert set(got) == {(f, "l_quantity") for f in flags}
+    for f in flags:
+        want = _exact(lineitem.filter(F.col("l_returnflag") == f), "l_quantity")
+        g = got[(f, "l_quantity")]
+        assert g["cnt"] == want["cnt"]
+        assert g["mean"] == want["mean"]
+        assert (g["min"], g["max"]) == (want["min"], want["max"])
