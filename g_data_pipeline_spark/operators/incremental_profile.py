@@ -207,6 +207,118 @@ def merged_profile(
     ).select(*by, "s.*")
 
 
+def partial_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] | Sequence[Column],
+    k: int = 64,
+) -> DataFrame:
+    """Per-partition-key mergeable heavy-hitter summary: the capped
+    top-``k`` value counts plus the truncation bound — the mergeable
+    frequent-items sketch of Agarwal et al., *Mergeable Summaries*
+    (PODS '12), kept in exact-count form so the fold gives deterministic
+    lower/upper brackets instead of randomized estimates.
+
+    Output: ``by`` keys + one row per kept value — ``value`` (stringified,
+    1:1), ``cnt`` (EXACT count within the partial), ``kth_cnt`` (the
+    count at rank ``k``, repeated on every row of the partial; 0 when the
+    partial has ≤ k distinct values). Any value ABSENT from a partial's
+    kept set occurs at most ``kth_cnt`` times there — that is the slack
+    :func:`merged_heavy_hitters` charges when bracketing totals.
+
+    Shape: one shuffle for the ``(by, value)`` count, one for the
+    per-``by`` window rank; the second window (min over kept rows) reuses
+    the rank's hash partitioning — no third exchange. Stats-dataset
+    economics: ≤ k rows per partition key regardless of fact volume.
+    """
+    from pyspark.sql import Window
+
+    cnts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*by, F.col(col).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keys = [c for c in cnts.columns if c not in ("value", "cnt")]
+    w_rank = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("value"))
+    w_all = Window.partitionBy(*keys)
+    ranked = cnts.select(
+        "*",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__nd"),
+    )
+    kept = ranked.where(F.col("__rn") <= k)
+    return kept.select(
+        *keys,
+        "value",
+        "cnt",
+        F.when(F.col("__nd") > k, F.min("cnt").over(w_all))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("kth_cnt"),
+    )
+
+
+def merged_heavy_hitters(
+    partials: DataFrame,
+    k: int = 10,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Fold heavy-hitter partials into global (or per-``by``-group) top-k
+    with DETERMINISTIC count brackets, scanning only the stats dataset.
+
+    Per value: ``cnt_lo`` = sum of counts over partials where it was kept
+    (≤ true count), ``cnt_hi`` = ``cnt_lo`` + Σ ``kth_cnt`` over partials
+    where it was ABSENT (≥ true count — an absent value occurs at most
+    ``kth_cnt`` times in that partial). Ranked by ``cnt_lo``; any value
+    whose true count exceeds every returned ``cnt_hi`` would necessarily
+    rank in — so heavy hitters clearing the total slack are guaranteed
+    present, and when every partial held ≤ k distinct values the slack is
+    0 and the fold is EXACT (cnt_lo == cnt_hi == true), the same
+    exact-below-capacity regime as Theta sketches.
+
+    ``by`` must be a subset of the partial key columns (e.g. partials
+    keyed ``(source, day)`` fold to per-``source`` top-k); empty folds the
+    whole stats dataset. The absent-partial slack is the per-group Σ of
+    one ``kth_cnt`` per partial minus the Σ over partials where the value
+    was present — two aggregates over the tiny stats dataset plus one
+    broadcast join; facts are never touched.
+    """
+    from pyspark.sql import Window
+
+    keys = [
+        c for c in partials.columns if c not in ("value", "cnt", "kth_cnt")
+    ]
+    by = list(by)
+    per_partial = partials.groupBy(*keys).agg(
+        F.first("kth_cnt").alias("kth_cnt")
+    )
+    slack = per_partial.groupBy(*by).agg(
+        F.sum("kth_cnt").cast("bigint").alias("__gslack")
+    )
+    per_value = partials.groupBy(*by, "value").agg(
+        F.sum("cnt").cast("bigint").alias("cnt_lo"),
+        F.sum("kth_cnt").cast("bigint").alias("__pslack"),
+    )
+    joined = (
+        per_value.join(F.broadcast(slack), on=by)
+        if by
+        else per_value.crossJoin(F.broadcast(slack))
+    )
+    w = Window.partitionBy(*by).orderBy(F.desc("cnt_lo"), F.asc("value"))
+    return (
+        joined.select(
+            *by,
+            "value",
+            "cnt_lo",
+            (F.col("cnt_lo") + F.col("__gslack") - F.col("__pslack"))
+            .cast("bigint")
+            .alias("cnt_hi"),
+        )
+        .select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def refresh_partials(
     existing: DataFrame, fresh: DataFrame, key: Sequence[str]
 ) -> DataFrame:

@@ -65,6 +65,43 @@ def merge_states(old: DataFrame, fresh: DataFrame, spec: RollupSpec) -> DataFram
     return both.groupBy(*spec.keys).agg(*aggs)
 
 
+def vacuum_snapshots(path: str, keep_last: int = 2) -> list[int]:
+    """Retention for a versioned snapshot store (``v=N`` dirs with parquet
+    ``_SUCCESS`` commit markers — the layout shared by :class:`MatView`,
+    ``streaming_merge_sink`` and ``streaming_rollup_sink``): delete all
+    but the newest ``keep_last`` COMMITTED versions; return the versions
+    removed.
+
+    Safety contract:
+    - the newest committed version is never deleted (``keep_last`` is
+      clamped to ≥ 1), so readers taking max-committed never lose their
+      snapshot;
+    - UNCOMMITTED dirs (no ``_SUCCESS``) are left untouched — one may be
+      an in-flight write or an epoch replay about to commit; deleting
+      under it would race. Crash garbage is bounded (a replay of the same
+      version overwrites its own dir) and a later vacuum reaps it once
+      committed and aged out.
+
+    Version numbering is monotonic across vacuums: discovery takes the
+    max surviving committed version, so a refresh after vacuum continues
+    at N+1, never reuses a reaped number.
+    """
+    import shutil
+
+    if keep_last < 1:
+        keep_last = 1
+    committed = sorted(
+        int(d.split("=", 1)[1])
+        for d in (os.listdir(path) if os.path.isdir(path) else [])
+        if re.fullmatch(r"v=\d+", d)
+        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+    )
+    reaped = committed[:-keep_last]
+    for v in reaped:
+        shutil.rmtree(os.path.join(path, f"v={v}"))
+    return reaped
+
+
 class MatView:
     """Versioned on-disk rollup. ``refresh(batch)`` folds the batch in
     and commits a new snapshot version; ``read()`` returns the latest

@@ -262,3 +262,92 @@ def test_grouped_fold_slices_the_stats_dataset(spark, lineitem):
         assert g["cnt"] == want["cnt"]
         assert g["mean"] == want["mean"]
         assert (g["min"], g["max"]) == (want["min"], want["max"])
+
+
+def _hh_facts(spark):
+    """Planted heavy-hitter fixture: 6 daily partials; h1/h2/h3 heavy in
+    every day, per-day noise singletons force truncation slack."""
+    rows = []
+    for d in range(6):
+        rows += [(d, "h1")] * 50 + [(d, "h2")] * 30 + [(d, "h3")] * 12
+        rows += [(d, f"noise_{d}_{i}") for i in range(40)]
+    return spark.createDataFrame(rows, "day int, v string")
+
+
+def test_heavy_hitters_brackets_and_guarantee(spark):
+    """merged_heavy_hitters: cnt_lo <= true <= cnt_hi for every returned
+    value; planted heavies (kept in every partial) fold to EXACT cnt_lo
+    and rank at the top."""
+    from g_data_pipeline_spark.operators.incremental_profile import (
+        merged_heavy_hitters,
+        partial_heavy_hitters,
+    )
+
+    facts = _hh_facts(spark)
+    p = partial_heavy_hitters(facts, "v", ["day"], k=8)
+    # stats-dataset economics: <= k rows per partial
+    per_day = {r["day"]: r["cnt"] for r in p.groupBy("day").count().withColumnRenamed("count", "cnt").collect()}
+    assert all(n <= 8 for n in per_day.values())
+    top = merged_heavy_hitters(p, k=5).collect()
+    exact = {
+        r["v"]: r["n"]
+        for r in facts.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in top:
+        assert r["cnt_lo"] <= exact[r["value"]] <= r["cnt_hi"], r
+    by_rank = [r["value"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert by_rank[:3] == ["h1", "h2", "h3"]
+    got = {r["value"]: r for r in top}
+    # heavies were kept in EVERY partial -> no slack on the lower bound
+    assert got["h1"]["cnt_lo"] == exact["h1"] == 300
+    assert got["h2"]["cnt_lo"] == exact["h2"] == 180
+    # noise singletons: each day kept 5 noise rows (k=8 - 3 heavies), so
+    # kth_cnt = 1 per day -> global slack = 6
+    assert got["h1"]["cnt_hi"] == exact["h1"]  # present in all partials
+    noise = [r for r in top if r["value"].startswith("noise_")]
+    for r in noise:
+        assert r["cnt_lo"] == 1 and r["cnt_hi"] == 1 + 5  # absent 5 days
+
+
+def test_heavy_hitters_exact_below_capacity(spark, lineitem):
+    """k >= per-partial distinct count -> zero slack, the fold IS the
+    exact global value-count table (Theta-style exact-below-capacity),
+    here on real data: l_returnflag has 3 distinct values."""
+    from g_data_pipeline_spark.operators.incremental_profile import (
+        merged_heavy_hitters,
+        partial_heavy_hitters,
+    )
+
+    p = partial_heavy_hitters(lineitem, "l_returnflag", [_key()], k=64)
+    top = merged_heavy_hitters(p, k=10).collect()
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["value"]: r["cnt_lo"] for r in top} == exact
+    assert all(r["cnt_lo"] == r["cnt_hi"] for r in top)
+
+
+def test_heavy_hitters_grouped_fold(spark):
+    """by= folds (day) partials per value-group subset: per-parity top-k
+    from (parity, day)-keyed partials, sliced without re-scanning facts."""
+    from g_data_pipeline_spark.operators.incremental_profile import (
+        merged_heavy_hitters,
+        partial_heavy_hitters,
+    )
+
+    facts = _hh_facts(spark).withColumn("parity", F.col("day") % 2)
+    p = partial_heavy_hitters(facts, "v", ["parity", "day"], k=8)
+    top = merged_heavy_hitters(p, k=2, by=["parity"]).collect()
+    assert {(r["parity"], r["rank"]): r["value"] for r in top} == {
+        (0, 1): "h1",
+        (0, 2): "h2",
+        (1, 1): "h1",
+        (1, 2): "h2",
+    }
+    for r in top:
+        # each parity holds 3 of the 6 days, heavies kept in all of them
+        want = {"h1": 150, "h2": 90}[r["value"]]
+        assert r["cnt_lo"] == r["cnt_hi"] == want

@@ -91,3 +91,32 @@ def test_refresh_reads_state_not_history(spark, lineitem, tmp_path):
     # history never appears
     tree = plan.split("(1) Scan")[0]
     assert tree.count("Scan parquet") == 2
+
+def test_vacuum_keeps_latest_and_skips_uncommitted(spark, lineitem, tmp_path):
+    """vacuum_snapshots reaps only aged-out COMMITTED versions: the
+    newest keep_last survive, uncommitted dirs are untouched, reads are
+    unchanged, and post-vacuum refreshes continue the version sequence."""
+    import os
+
+    from g_data_pipeline_spark.operators.matview import vacuum_snapshots
+
+    view = MatView(spark, str(tmp_path / "mv"), SPEC)
+    cuts = [None, "1994-01-01", "1996-01-01", "1998-01-01"]
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        b = lineitem.filter(F.col("l_shipdate") < hi)
+        if lo:
+            b = b.filter(F.col("l_shipdate") >= lo)
+        view.refresh(b)
+    # plant crash garbage: an uncommitted (no _SUCCESS) old version dir
+    os.makedirs(str(tmp_path / "mv" / "v=99"))
+    before = _rows(view.read())
+
+    assert vacuum_snapshots(str(tmp_path / "mv"), keep_last=2) == [0]
+    left = sorted(os.listdir(str(tmp_path / "mv")))
+    assert left == ["v=1", "v=2", "v=99"]  # uncommitted v=99 untouched
+    assert _rows(view.read()) == before
+
+    assert view.refresh(lineitem.limit(0)) == 3  # numbering continues
+    # keep_last clamps to 1: the newest committed version always survives
+    assert vacuum_snapshots(str(tmp_path / "mv"), keep_last=0) == [1, 2]
+    assert _rows(view.read()) == before

@@ -396,6 +396,75 @@ def test_streaming_merge_sink_matches_batch_merge_and_replays(
     assert got2 == want
 
 
+def test_streaming_rollup_sink_matches_batch_and_replays(spark, tmp_path):
+    """streaming_rollup_sink: folding a fact feed micro-batch by
+    micro-batch lands a snapshot BIT-EQUAL to one aggregate over the whole
+    feed (decimal sums are associative), and replaying an epoch repairs
+    rather than double-counts."""
+    import json as _json
+
+    from g_data_pipeline_spark.operators.matview import (
+        RollupSpec,
+        aggregate_batch,
+    )
+    from g_data_pipeline_spark.streaming.pipelines import (
+        read_merge_snapshot,
+        streaming_rollup_sink,
+    )
+
+    spec = RollupSpec(
+        keys=["k"],
+        sums={"sx": "x"},
+        mins={"mn": "x"},
+        maxs={"mx": "x"},
+    )
+    facts = [
+        {"k": "a", "x": 1.25},
+        {"k": "b", "x": 2.5},
+        {"k": "a", "x": -0.75},
+        {"k": "c", "x": 10.0},
+        {"k": "b", "x": 0.125},
+        {"k": "a", "x": 3.0},
+    ]
+    src = tmp_path / "facts"
+    src.mkdir()
+    for i, chunk in enumerate((facts[:2], facts[2:4], facts[4:])):
+        with open(src / f"f{i}.json", "w") as fh:
+            for row in chunk:
+                fh.write(_json.dumps(row) + "\n")
+    stream = (
+        spark.readStream.schema("k string, x double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    target = str(tmp_path / "mv")
+    apply_batch = streaming_rollup_sink(
+        stream, spec, target, str(tmp_path / "ckpt")
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+
+    whole = spark.createDataFrame(
+        [(f["k"], f["x"]) for f in facts], "k string, x double"
+    )
+    want = rows(aggregate_batch(whole, spec))
+    assert rows(read_merge_snapshot(spark, target)) == want
+
+    # replay the LAST epoch: same batch_id reads the same predecessor and
+    # rewrites the same version — no double-fold
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in __import__("os").listdir(target)
+        if d.startswith("v=")
+    )
+    last_batch = spark.createDataFrame(
+        [(f["k"], f["x"]) for f in facts[4:]], "k string, x double"
+    )
+    apply_batch(last_batch, versions[-1])
+    assert rows(read_merge_snapshot(spark, target)) == want
+
+
 def test_streaming_sessionize_matches_batch(spark, events_json_dir):
     """sessionize_stream (applyInPandasWithState): single-batch replay must
     assign every event the same session_idx as the batch window-function
