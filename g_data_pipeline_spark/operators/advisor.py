@@ -139,3 +139,102 @@ def suggest_shuffle_partitions(
     est = plan_size_bytes(df)
     want = -(-est // target_partition_bytes)  # ceil div
     return int(max(min_partitions, min(max_partitions, want)))
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch frequency / join-cardinality estimation
+# (Cormode & Muthukrishnan 2005, "An improved data stream summary: the
+# count-min sketch and its applications" — point query + inner product).
+# ---------------------------------------------------------------------------
+
+_CMS_PRIME = (1 << 31) - 1
+
+
+def cms_sketch(
+    df: DataFrame,
+    key: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> bytes:
+    """ONE aggregate pass over ``key`` → a count-min sketch binary of
+    ~``depth × (2/eps)`` longs (8 KB at eps=0.01; 2 MB at eps=0.001).
+    ``count_min_sketch`` is a true ImperativeAggregate — partials merge
+    map-side, so at 100 TB this is a scan + tiny combine, no shuffle of
+    the data. Same ``(eps, confidence, seed)`` on two tables ⇒ identical
+    hash functions ⇒ their sketches are inner-product comparable
+    (:func:`cms_join_size_estimate`)."""
+    return df.agg(
+        F.count_min_sketch(
+            key, F.lit(float(eps)), F.lit(float(confidence)), F.lit(int(seed))
+        ).alias("s")
+    ).collect()[0]["s"]
+
+
+def _cms_parse(b: bytes):
+    """Spark serialization (org.apache.spark.util.sketch.CountMinSketchImpl
+    version 1, big-endian): int version, long totalCount, int depth, int
+    width, long hashA[depth], long table[depth][width]."""
+    import struct
+
+    ver, = struct.unpack_from(">i", b, 0)
+    if ver != 1:
+        raise ValueError(f"unsupported CountMinSketch version {ver}")
+    total, = struct.unpack_from(">q", b, 4)
+    depth, = struct.unpack_from(">i", b, 12)
+    width, = struct.unpack_from(">i", b, 16)
+    hash_a = struct.unpack_from(f">{depth}q", b, 20)
+    off = 20 + depth * 8
+    table = [
+        struct.unpack_from(f">{width}q", b, off + i * width * 8)
+        for i in range(depth)
+    ]
+    return total, depth, width, hash_a, table
+
+
+def cms_total_count(sketch: bytes) -> int:
+    return _cms_parse(sketch)[0]
+
+
+def cms_point_estimate(sketch: bytes, keys: "list[int]") -> "dict[int, int]":
+    """Upper-bound frequency estimates for INTEGRAL keys: true ≤ est, and
+    est ≤ true + eps·N with probability ≥ confidence (per key). Mirrors
+    the JVM's integral-key hashing (stream-lib lineage: h = hashA·x,
+    folded high 32 bits, mod 2³¹-1, mod width) — pinned exact-on-planted
+    by test so a format change fails loudly, not silently."""
+    _, depth, width, hash_a, table = _cms_parse(sketch)
+    out = {}
+    for x in keys:
+        vals = []
+        for i in range(depth):
+            h = (hash_a[i] * int(x)) & 0xFFFFFFFFFFFFFFFF
+            h = (h + (h >> 32)) & _CMS_PRIME
+            vals.append(table[i][h % width])
+        out[int(x)] = min(vals)
+    return out
+
+
+def cms_join_size_estimate(a: bytes, b: bytes) -> int:
+    """Inner-join OUTPUT-row estimate from two sketches built with the
+    same (eps, confidence, seed): |A ⋈ B| = Σₖ fₐ(k)·f_b(k) ≈ min over
+    rows of the row-wise table dot product. Always an UPPER bound;
+    overshoot ≤ eps·|A|·|B| with probability ≥ confidence.
+
+    The 100 TB use: decide — BEFORE submitting a multi-hour join — whether
+    the output explodes (many-to-many hot keys) or stays bounded, from two
+    scan-only sketch passes and a driver-side dot product. Works for ANY
+    key type Spark's sketch accepts (the hash never needs re-deriving —
+    both sides used the same one); complements :func:`advise_join`, which
+    reasons about input sizes but not output cardinality."""
+    ta, da, wa, ha, tab_a = _cms_parse(a)
+    tb, db, wb, hb, tab_b = _cms_parse(b)
+    if (da, wa, ha) != (db, wb, hb):
+        raise ValueError(
+            "sketches are not comparable: built with different "
+            f"eps/confidence/seed (depth {da}x{wa} vs {db}x{wb}, "
+            f"hash families {'match' if ha == hb else 'differ'})"
+        )
+    return min(
+        sum(x * y for x, y in zip(ra, rb))
+        for ra, rb in zip(tab_a, tab_b)
+    )

@@ -109,3 +109,62 @@ def test_suggest_shuffle_partitions(spark):
     assert suggest_shuffle_partitions(
         big, target_partition_bytes=1024, max_partitions=64
     ) == 64
+
+
+def test_cms_point_estimates_exact_on_planted(spark):
+    """Point queries: exact on a low-collision fixture (est == true), and
+    the one-sided guarantee est >= true must hold for EVERY key."""
+    from g_data_pipeline_spark.operators.advisor import (
+        cms_point_estimate,
+        cms_sketch,
+        cms_total_count,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(1000)], "k long"
+    )
+    s = cms_sketch(df, "k", eps=0.001, confidence=0.99, seed=7)
+    assert cms_total_count(s) == 1000
+    est = cms_point_estimate(s, list(range(9)))
+    true = {k: (1000 // 7) + (1 if k < 1000 % 7 else 0) for k in range(7)}
+    true.update({7: 0, 8: 0})
+    assert est == true  # eps small enough: no collisions on 7 keys
+
+
+def test_cms_join_size_upper_bound_and_accuracy(spark):
+    """Join-size estimate: >= the exact inner-join output count, within
+    eps*|A|*|B| above it — and near-exact at this scale."""
+    from g_data_pipeline_spark.operators.advisor import (
+        cms_join_size_estimate,
+        cms_sketch,
+    )
+
+    a = spark.createDataFrame([(i % 50,) for i in range(2000)], "k long")
+    b = spark.createDataFrame([(i % 80,) for i in range(1200)], "k long")
+    exact = a.join(b, "k").count()
+    sa = cms_sketch(a, "k", eps=0.001, confidence=0.99, seed=7)
+    sb = cms_sketch(b, "k", eps=0.001, confidence=0.99, seed=7)
+    est = cms_join_size_estimate(sa, sb)
+    assert exact <= est <= exact + 0.001 * 2000 * 1200
+    # string keys work too: the hash lives JVM-side on both sketches
+    a_s = a.select(F.concat(F.lit("u"), "k").alias("k"))
+    b_s = b.select(F.concat(F.lit("u"), "k").alias("k"))
+    est_s = cms_join_size_estimate(
+        cms_sketch(a_s, "k", eps=0.001, confidence=0.99, seed=7),
+        cms_sketch(b_s, "k", eps=0.001, confidence=0.99, seed=7),
+    )
+    assert exact <= est_s <= exact + 0.001 * 2000 * 1200
+
+
+def test_cms_mismatched_sketches_raise(spark):
+    from g_data_pipeline_spark.operators.advisor import (
+        cms_join_size_estimate,
+        cms_sketch,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "k long")
+    s1 = cms_sketch(df, "k", seed=1)
+    s2 = cms_sketch(df, "k", seed=2)
+    with _pytest.raises(ValueError, match="not comparable"):
+        cms_join_size_estimate(s1, s2)
