@@ -135,3 +135,52 @@ def test_lang_balance_single_pass_plus_broadcast_total(spark):
         "BroadcastHashJoin", 0
     ) >= 1
     assert c.get("SortMergeJoin", 0) == 0
+
+
+def _fmt(df, spark):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_partial_heavy_hitters_two_exchanges(spark):
+    """partial_heavy_hitters: exactly the (by,value) count shuffle + the
+    per-partial window shuffle — the post-filter min window REUSES the
+    rank window's hash partitioning (a third exchange would re-shuffle
+    the stats rows for nothing). Zero Python nodes."""
+    from g_data_pipeline_spark.operators.incremental_profile import (
+        partial_heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, f"v{i % 11}") for i in range(100)], "day int, v string"
+    )
+    plan = _fmt(partial_heavy_hitters(df, "v", ["day"], k=4), spark)
+    c = op_counts(plan)
+    assert c.get("Exchange", 0) == 2, c
+    assert c.get("Window", 0) == 3
+    assert "EvalPython" not in plan
+
+
+def test_merged_heavy_hitters_slack_is_broadcast(spark):
+    """merged_heavy_hitters: the 1-row (or per-group) slack side joins the
+    per-value fold via broadcast — never a shuffle of the value rows."""
+    from g_data_pipeline_spark.operators.incremental_profile import (
+        merged_heavy_hitters,
+        partial_heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, f"v{i % 11}") for i in range(100)], "day int, v string"
+    )
+    p = partial_heavy_hitters(df, "v", ["day"], k=4)
+    plan = _fmt(merged_heavy_hitters(p, k=5), spark)
+    c = op_counts(plan)
+    assert (
+        c.get("BroadcastNestedLoopJoin", 0) + c.get("BroadcastHashJoin", 0)
+        == 1
+    ), c
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
