@@ -637,10 +637,70 @@ def profile_maintenance_stream(
         partial_profile,
     )
 
+    return _partial_maintenance_stream(
+        stream,
+        stats_path,
+        checkpoint_dir,
+        lambda batch_df, key: partial_profile(batch_df, cols, [key]),
+        timeout_s,
+    )
+
+
+def heavy_hitter_maintenance_stream(
+    stream: DataFrame,
+    col: str,
+    stats_path: str,
+    checkpoint_dir: str,
+    k: int = 64,
+    timeout_s: int = 120,
+):
+    """Streaming top-k maintenance: each micro-batch lands its own capped
+    heavy-hitter summary (``operators/incremental_profile.
+    partial_heavy_hitters`` — ≤ k rows + truncation bound per batch) into
+    a per-batch partition of the stats dataset. The live "trending
+    values" answer at any moment is ``merged_heavy_hitters(spark.read.
+    parquet(stats_path))`` with deterministic count brackets — cost
+    O(k × #batches), the stream itself never re-read. Trailing-window
+    trends (last N batches / since timestamp T) are the same fold over a
+    ``__batch_id`` filter, exactly like the rolling WAU/MAU sketch path.
+
+    Replay-idempotent via the same ``__batch_id`` dynamic-partition
+    overwrite as :func:`profile_maintenance_stream`.
+    """
+    from g_data_pipeline_spark.operators.incremental_profile import (
+        partial_heavy_hitters,
+    )
+
+    return _partial_maintenance_stream(
+        stream,
+        stats_path,
+        checkpoint_dir,
+        lambda batch_df, key: partial_heavy_hitters(
+            batch_df, col, [key], k=k
+        ),
+        timeout_s,
+    )
+
+
+def _partial_maintenance_stream(
+    stream: DataFrame,
+    stats_path: str,
+    checkpoint_dir: str,
+    partial_fn,
+    timeout_s: int,
+):
+    """Shared stats-on-ingest loop: ``partial_fn(batch_df, batch_key_col)``
+    produces the batch's mergeable summary rows keyed by the supplied
+    ``__batch_id`` column; each epoch overwrites exactly its own stats
+    partition (dynamic partition overwrite), so a replayed epoch repairs
+    instead of double-counting. Returns the per-batch function after the
+    AvailableNow trigger drains, so tests can invoke a simulated replay
+    directly."""
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            partial_profile(
-                batch_df, cols, [F.lit(int(batch_id)).alias("__batch_id")]
+            partial_fn(
+                batch_df, F.lit(int(batch_id)).alias("__batch_id")
             )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -658,7 +718,7 @@ def profile_maintenance_stream(
         finished = q.awaitTermination(timeout_s)
         if not finished:
             raise TimeoutError(
-                f"profile maintenance stream did not drain within {timeout_s}s"
+                f"stats maintenance stream did not drain within {timeout_s}s"
             )
     finally:
         q.stop()

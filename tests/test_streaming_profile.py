@@ -89,3 +89,50 @@ def test_replay_does_not_double_count(spark, tmp_path):
         for f in ["cnt", "nulls", "mean", "min", "max", "stddev",
                   "distinct_est", "q50_est"]:
             assert after[c][f] == before[c][f], (c, f)
+
+
+def test_streaming_heavy_hitters_match_batch_and_replay(spark, tmp_path):
+    """heavy_hitter_maintenance_stream: the folded top-k over streamed
+    per-batch summaries brackets the exact batch counts, trailing-window
+    trends come from a __batch_id filter, and an epoch replay doesn't
+    double-count."""
+    from g_data_pipeline_spark.operators.incremental_profile import (
+        merged_heavy_hitters,
+    )
+    from g_data_pipeline_spark.streaming.pipelines import (
+        heavy_hitter_maintenance_stream,
+    )
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    rows1 = [(1, 1.0, 10.0), (2, 1.0, 10.0), (3, 1.0, 20.0)]
+    rows2 = [(4, 1.0, 10.0), (5, 1.0, 30.0), (6, 1.0, 10.0), (7, 1.0, 30.0)]
+    _write_jsonl(src / "a.jsonl", rows1, age_s=60)
+    _write_jsonl(src / "b.jsonl", rows2)
+    stats = str(tmp_path / "hh_stats")
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    apply_batch = heavy_hitter_maintenance_stream(
+        stream, "y", stats, str(tmp_path / "hh_ckpt"), k=8
+    )
+    top = merged_heavy_hitters(spark.read.parquet(stats), k=3).collect()
+    # k=8 covers every batch's alphabet -> fold is exact
+    assert {r["value"]: r["cnt_lo"] for r in top} == {
+        "10.0": 4, "30.0": 2, "20.0": 1
+    }
+    assert all(r["cnt_lo"] == r["cnt_hi"] for r in top)
+
+    # trailing window = filter the stats partitions, never the stream
+    last = spark.read.parquet(stats).where(F.col("__batch_id") == 1)
+    trend = merged_heavy_hitters(last, k=2).collect()
+    assert {r["value"]: r["cnt_lo"] for r in trend} == {"10.0": 2, "30.0": 2}
+
+    # replay epoch 1: same batch_id overwrites its own partition only
+    apply_batch(spark.createDataFrame(rows2, _SCHEMA), 1)
+    again = merged_heavy_hitters(spark.read.parquet(stats), k=3).collect()
+    assert {r["value"]: r["cnt_lo"] for r in again} == {
+        "10.0": 4, "30.0": 2, "20.0": 1
+    }
