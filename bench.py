@@ -154,6 +154,8 @@ HEADLINE = [
     "p_incremental_profile",
     # theta-sketch cross-source overlap matrix (one pass + sketch combine)
     "d_source_overlap_sketch",
+    # Arrow-batched zlib quality signal (scan-side, zero exchanges)
+    "t_compression_signal",
 ]
 
 

@@ -51,3 +51,34 @@ def scalar_pandas_udf_example():
         return np.log1p(s) / np.log(10.0)
 
     return log1p_scaled
+
+
+def compression_ratio_udf():
+    """Vectorized zlib compression-ratio UDF: ``len(zlib.compress(utf8))
+    / len(utf8)`` per string — the classic repetitiveness/entropy quality
+    signal (Gopher table A1 and RedPajama-v2 both ship it): boilerplate
+    and template spam compress far below prose (~0.3), random/binary
+    junk barely compresses at all (~1.0).
+
+    No JVM expression can compute this (Spark has no compress-and-
+    measure builtin), so it is the textbook case for the sanctioned
+    scalar ``pandas_udf`` path: Arrow-batched, one Python call per
+    ~10k-row batch, zlib's C core doing the work — NOT a row-at-a-time
+    BatchEvalPython (pinned by tests/test_plan_sweep.py's allowlist).
+    Deterministic: zlib level 6 output is fixed for a given input on
+    every platform zlib supports (same DEFLATE implementation)."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def zlib_ratio(s: pd.Series) -> pd.Series:
+        def ratio(text: str | None) -> float | None:
+            if text is None:
+                return None
+            raw = text.encode("utf-8")
+            if not raw:
+                return 0.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(ratio)
+
+    return zlib_ratio

@@ -254,6 +254,58 @@ def write_ivfpq_index(
     return meta
 
 
+def append_to_ivfpq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally ADD vectors to a persisted IVF-PQ index without
+    retraining — the FAISS ``index.add()`` contract, and the operation a
+    100 TB embedding corpus actually performs daily (appends are constant,
+    retrains are rare and scheduled).
+
+    The stored model (centroids + codebooks in ``meta.json``) is FROZEN:
+    new vectors are assigned to cells and PQ-encoded with the exact same
+    expressions the original build used, so the append is one scan of the
+    new batch with ZERO shuffles, and ``write.mode("append")`` with
+    ``partitionBy("cell")`` drops the new files into the existing cell
+    directories — partition pruning in ``search_ivfpq_index`` keeps
+    working unchanged over old + new files alike.
+
+    Exactness contract (pinned in tests/test_pq.py): build-on-part1 then
+    append-part2 yields bit-identical search results to batch-encoding
+    part1 ∪ part2 under the same frozen model, because encode is a pure
+    deterministic expression of (vector, meta). Recall against the true
+    neighbors degrades only as far as the frozen codebooks drift from the
+    new data's distribution — when that matters, rebuild with
+    ``write_ivfpq_index`` (the retrain path); this function never
+    silently retrains (``meta.json`` is pinned unchanged).
+
+    Caveat (same as any parquet append): the two ``append`` writes are
+    not one atomic commit. A versioned deployment would route this
+    through the ``v=N`` snapshot layout of operators/matview.py; kept
+    direct here because the index is rebuildable from the corpus."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    encoded = new_vectors.select(
+        F.col(id_col).alias("id"),
+        _nearest_centroid_expr(vec_col, meta["centroids"]).alias("cell"),
+        pq_codes_expr(vec_col, meta["books"], meta["dim"]).alias("codes"),
+    )
+    encoded.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    new_vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+    ).write.mode("append").parquet(os.path.join(path, "vectors"))
+    return meta
+
+
 def search_ivfpq_index(
     spark,
     path: str,

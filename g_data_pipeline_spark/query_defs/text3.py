@@ -237,3 +237,32 @@ def t_case_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_matches("[0-9]").alias("n_digit"),
         n_matches(r"\s").alias("n_space"),
     )
+
+
+@register("t_compression_signal", oracle=None)
+def t_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression-ratio quality signal (rows-only BY
+    DESIGN: DuckDB has no compress-and-measure function, so the exact
+    twin lives in pytest — tests/test_grouped.py pins the Spark column
+    bit-equal to driver-side ``zlib.compress`` over the whole corpus).
+
+    ratio ~ 0.3 or below flags template/boilerplate spam (compresses
+    away), ~1.0 flags high-entropy junk; prose sits between. The UDF is
+    the sanctioned Arrow-batched scalar kernel from operators/grouped.py
+    — one ArrowEvalPython node, no shuffle at all (flag thresholds are
+    row-local), so the signal costs one corpus scan at any scale."""
+    from g_data_pipeline_spark.operators.grouped import compression_ratio_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = compression_ratio_udf()(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        ratio.alias("zlib_ratio"),
+    ).withColumn(
+        "flag",
+        F.when(F.col("zlib_ratio") < 0.30, F.lit("repetitive"))
+        .when(F.col("zlib_ratio") > 0.95, F.lit("high_entropy"))
+        .otherwise(F.lit("ok")),
+    )

@@ -23,6 +23,7 @@ ARROW_ALLOWED = {
     "m_audio_features",
     "m_image_phash_dedup",
     "t_bpe_tokenize",           # broadcast-vocab Arrow encode
+    "t_compression_signal",     # scalar pandas zlib kernel (operators/grouped.py)
 }
 ARROW_NODES = (
     "ArrowEvalPython",

@@ -198,3 +198,83 @@ def test_ivfpq_plan_no_cartesian_broadcast_joins(spark):
     assert counts.get("BroadcastHashJoin", 0) >= 2, (
         "cell-probe join and shortlist re-rank join must both broadcast"
     )
+
+
+def test_append_to_index_matches_batch_encode_and_stays_pruned(
+    spark, tmp_path
+):
+    """append_to_ivfpq_index: (1) the stored model is frozen — meta.json
+    byte-identical before/after; (2) build-on-part1 + append-part2 search
+    results are BIT-IDENTICAL to searching an index whose codes were
+    batch-encoded over part1 ∪ part2 under the same frozen model (encode
+    is a pure expression of (vector, meta)); (3) appended rows land in
+    the existing cell=N partition directories so the probe predicate
+    still partition-prunes the grown index."""
+    import json
+    import os
+
+    from g_data_pipeline_spark.operators.pq import (
+        append_to_ivfpq_index,
+        search_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    full = _clustered_corpus(spark, n_clusters=12, per_cluster=4)
+    part1 = full.filter(F.col("vec_id") % 2 == 0)
+    part2 = full.filter(F.col("vec_id") % 2 == 1)
+    queries = full.filter(F.col("vec_id") % 16 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    grown = str(tmp_path / "grown")
+    meta0 = write_ivfpq_index(
+        part1, grown, dim=32, n_centroids=8, m_subspaces=4, n_codes=8,
+        n_iter=1,
+    )
+    before = open(os.path.join(grown, "meta.json")).read()
+    meta1 = append_to_ivfpq_index(spark, grown, part2)
+    assert open(os.path.join(grown, "meta.json")).read() == before
+    assert meta1 == meta0, "append must never retrain"
+
+    # batch twin: same frozen part1-trained model encoding part1 ∪ part2
+    batch = str(tmp_path / "batch")
+    os.makedirs(batch)
+    json.dump(meta0, open(os.path.join(batch, "meta.json"), "w"))
+    from g_data_pipeline_spark.operators.pq import pq_codes_expr
+    from g_data_pipeline_spark.operators.similarity import (
+        _nearest_centroid_expr,
+    )
+
+    full.select(
+        F.col("vec_id").alias("id"),
+        _nearest_centroid_expr("embedding", meta0["centroids"]).alias(
+            "cell"
+        ),
+        pq_codes_expr("embedding", meta0["books"], 32).alias("codes"),
+    ).write.partitionBy("cell").parquet(os.path.join(batch, "codes"))
+    full.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).write.parquet(os.path.join(batch, "vectors"))
+
+    res_g = search_ivfpq_index(spark, grown, queries, k=3, n_probe=2)
+    res_b = search_ivfpq_index(spark, batch, queries, k=3, n_probe=2)
+    got = {(r.q_id, r.vec_id, r.rank, r.cos) for r in res_g.collect()}
+    want = {(r.q_id, r.vec_id, r.rank, r.cos) for r in res_b.collect()}
+    assert got == want and got
+
+    # appended files live inside existing cell=N dirs; pruning intact
+    cells = [
+        d for d in os.listdir(os.path.join(grown, "codes"))
+        if d.startswith("cell=")
+    ]
+    assert cells
+    plan = res_g._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "cell" in l
+    ]
+    assert pf and any("IN" in l or "in(" in l for l in pf)

@@ -78,3 +78,59 @@ def test_scalar_pandas_udf(spark):
     got = [r.s for r in df.select(udf("v").alias("s")).collect()]
     assert got[0] == pytest.approx(1.0)  # log1p(9)/log(10) = 1
     assert got[1] == pytest.approx(2.0)
+
+
+def test_compression_ratio_bit_equal_to_local_zlib(spark):
+    """The Arrow kernel must return EXACTLY len(zlib.compress(utf8,6))
+    / len(utf8) — pinned bit-equal against driver-side zlib over the
+    corpus sample plus adversarial literals (empty, None, non-ASCII,
+    pathological repetition)."""
+    import zlib
+
+    from g_data_pipeline_spark.operators.grouped import compression_ratio_udf
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog. " * 3,
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        "",
+        None,
+        "héllo wörld — naïve café 東京",
+        "x9f!Qz@7#mK$2pL%v8&wN*4rT(6yU)1iO",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r.i: r.ratio
+        for r in df.select("i", compression_ratio_udf()("t").alias("ratio")).collect()
+    }
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] is None
+        elif not t:
+            assert got[i] == 0.0
+        else:
+            raw = t.encode("utf-8")
+            assert got[i] == len(zlib.compress(raw, 6)) / len(raw)
+    # ordering sanity: repetition compresses far below prose, junk above
+    assert got[1] < got[0] < got[5]
+
+
+def test_compression_signal_plan_arrow_only_no_shuffle(spark):
+    """t_compression_signal plans ONE ArrowEvalPython node (never
+    BatchEvalPython) and zero exchanges — a pure scan-side signal."""
+    from g_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["t_compression_signal"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    assert "BatchEvalPython" not in plan
+    # formatted explain prints each node twice (tree + detail section):
+    # count distinct node ids, not substring occurrences
+    assert len(set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))) == 1
+    assert "Exchange" not in plan
+    out = df.limit(5).collect()
+    assert out and all(r.flag in {"repetitive", "high_entropy", "ok"} for r in out)
