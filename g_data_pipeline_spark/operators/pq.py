@@ -350,9 +350,19 @@ def search_ivfpq_index(
             probe_rows, schema=f"{query_id} long, {query_vec} array<float>, cell int"
         )
     )
-    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
-        F.col("cell").isin(cells)
+    codes = spark.read.parquet(os.path.join(path, "codes")).select(
+        "id", "codes", "cell"
     )
+    delta_codes_path = os.path.join(path, "delta_codes")
+    if os.path.exists(delta_codes_path):
+        # growing-delta zone (streaming_index_delta_sink): searches see
+        # streamed vectors immediately; both scans stay cell-pruned
+        codes = codes.unionByName(
+            spark.read.parquet(delta_codes_path).select(
+                "id", "codes", "cell"
+            )
+        )
+    codes = codes.filter(F.col("cell").isin(cells))
     cands = codes.join(probe_df, "cell").filter(
         F.col("id") != F.col(query_id)
     )
@@ -370,7 +380,14 @@ def search_ivfpq_index(
         .filter(F.col("srank") <= k * refine)
         .select(query_id, query_vec, "id")
     )
-    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    vectors = spark.read.parquet(os.path.join(path, "vectors")).select(
+        "id", "vector"
+    )
+    delta_vec_path = os.path.join(path, "delta_vectors")
+    if os.path.exists(delta_vec_path):
+        vectors = vectors.unionByName(
+            spark.read.parquet(delta_vec_path).select("id", "vector")
+        )
     reranked = vectors.join(F.broadcast(shortlist), "id")
     scored = reranked.select(
         query_id,
@@ -384,6 +401,112 @@ def search_ivfpq_index(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def streaming_index_delta_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    timeout_s: int = 120,
+):
+    """Growing-delta zone for a sealed IVF-PQ index — the streaming twin
+    of ``append_to_ivfpq_index`` and the sealed/growing-segment split
+    every production vector store uses (new vectors must be searchable
+    in seconds; rebuilding the sealed index takes hours at 100 TB).
+
+    Each micro-batch is cell-assigned + PQ-encoded under the FROZEN
+    stored model (one scan, zero shuffles — same expressions as the
+    batch path) and lands in ``{path}/delta_codes/__batch_id=N/cell=M``
+    + ``{path}/delta_vectors/__batch_id=N`` via dynamic
+    partition-overwrite: a replayed epoch (same ``batch_id``, Structured
+    Streaming's contract) overwrites exactly its own partitions, so the
+    sink is exactly-once like ``streaming.exactly_once_parquet_sink``.
+    ``search_ivfpq_index`` unions the delta zone automatically, with the
+    probe-cell predicate pruning BOTH layouts. Fold the delta into the
+    sealed zone with ``compact_index_delta`` when it grows.
+
+    Drains all available input (Trigger.AvailableNow) and returns the
+    per-batch writer so tests can invoke a simulated replay directly."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col(id_col).alias("id"),
+                _nearest_centroid_expr(vec_col, meta["centroids"]).alias(
+                    "cell"
+                ),
+                pq_codes_expr(vec_col, meta["books"], meta["dim"]).alias(
+                    "codes"
+                ),
+            )
+            .withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id", "cell")
+            .parquet(os.path.join(path, "delta_codes"))
+        )
+        (
+            batch_df.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+            )
+            .withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(os.path.join(path, "delta_vectors"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"index delta sink did not drain within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return write_batch
+
+
+def compact_index_delta(spark, path: str) -> int:
+    """Fold the growing delta zone into the sealed index: re-encode the
+    delta vectors through ``append_to_ivfpq_index`` (same frozen model —
+    codes land bit-identical to what the sink wrote, so search results
+    are unchanged across the compaction; pinned in tests), then remove
+    the delta directories. Returns the number of vectors folded.
+
+    Not one atomic commit (same caveat as ``append_to_ivfpq_index``): a
+    crash between the append and the delta removal leaves the window
+    where searches see folded rows twice; a versioned deployment routes
+    the whole index root through the ``v=N`` snapshot layout of
+    operators/matview.py."""
+    import os
+    import shutil
+
+    delta_vec_path = os.path.join(path, "delta_vectors")
+    if not os.path.exists(delta_vec_path):
+        return 0
+    delta = spark.read.parquet(delta_vec_path).select(
+        F.col("id").alias("vec_id"), F.col("vector").alias("embedding")
+    )
+    n = delta.count()
+    if n:
+        append_to_ivfpq_index(spark, path, delta)
+    shutil.rmtree(delta_vec_path)
+    shutil.rmtree(os.path.join(path, "delta_codes"), ignore_errors=True)
+    return n
 
 
 def ivfpq_topk(
