@@ -11,28 +11,20 @@ from g_data_pipeline_spark.queries import REGISTRY
 from tests.conftest import SF_DIR_ORACLE
 
 
+# plan helpers live in the package now (public lint API); tests keep
+# their historical names as thin delegates
+from g_data_pipeline_spark.operators.planlint import (  # noqa: E402
+    formatted_plan,
+    op_counts,
+)
+
+
 def plan_of(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF_DIR_ORACLE)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-
-
-def op_counts(plan: str) -> dict[str, int]:
-    """Operator name -> count, by DISTINCT operator id (the formatted
-    explain prints each operator in both the tree and the details section)."""
-    import re
-
-    ops = {m.group(1): m.group(2) for m in re.finditer(r"\((\d+)\) (\w+)", plan)}
-    out: dict[str, int] = {}
-    for name in ops.values():
-        out[name] = out.get(name, 0) + 1
-    return out
+    return formatted_plan(REGISTRY[name].fn(spark, SF_DIR_ORACLE))
 
 
 def shuffle_count(plan: str) -> int:
-    c = op_counts(plan)
-    return c.get("Exchange", 0)
+    return op_counts(plan).get("Exchange", 0)
 
 
 def test_q6_all_predicates_pushed(spark):
