@@ -25,12 +25,8 @@ ARROW_ALLOWED = {
     "t_bpe_tokenize",           # broadcast-vocab Arrow encode
     "t_compression_signal",     # scalar pandas zlib kernel (operators/grouped.py)
 }
-ARROW_NODES = (
-    "ArrowEvalPython",
-    "FlatMapGroupsInPandas",
-    "MapInPandas",
-    "FlatMapGroupsInPandasWithState",
-)
+# node classes themselves live in operators/planlint.py (the public
+# lint API this sweep delegates to)
 
 # No entry may plan a CartesianProduct even at tiny scale. The two
 # labeled O(n^2) exactness baselines (v_near_dup_pairs, the levenshtein
@@ -41,20 +37,17 @@ CARTESIAN_ALLOWED: set[str] = set()
 
 
 def test_registry_wide_plan_hygiene(spark):
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
+    from g_data_pipeline_spark.operators.planlint import lint
+
     violations: list[str] = []
     for name, spec in REGISTRY.items():
         df = spec.fn(spark, "/root/testdata/sf0.001")
-        plan = df._jdf.queryExecution().explainString(mode)
-        if "CartesianProduct" in plan and name not in CARTESIAN_ALLOWED:
-            violations.append(f"{name}: CartesianProduct")
-        if "BatchEvalPython" in plan:
-            violations.append(f"{name}: row-at-a-time Python UDF")
-        arrow_hits = [op for op in ARROW_NODES if op in plan]
-        if arrow_hits and name not in ARROW_ALLOWED:
-            violations.append(f"{name}: unexpected pandas node {arrow_hits}")
+        allow_cartesian = name in CARTESIAN_ALLOWED
+        findings = lint(df, allow_arrow=(name in ARROW_ALLOWED))
+        for f in findings:
+            if allow_cartesian and "CartesianProduct" in f:
+                continue
+            violations.append(f"{name}: {f}")
     assert not violations, "\n".join(violations)
     # the allowlist itself must not rot: every allowed entry still exists
     missing = ARROW_ALLOWED - REGISTRY.keys()
