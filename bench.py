@@ -156,6 +156,14 @@ HEADLINE = [
     "d_source_overlap_sketch",
     # Arrow-batched zlib quality signal (scan-side, zero exchanges)
     "t_compression_signal",
+    # round-5 extended-session wave (r6-queue oracle entries)
+    "a_rfm_segments",
+    "a_trimmed_mean",
+    "a_benford_digits",
+    "g_unpivot",
+    "e_session_paths",
+    "t_word_length_profile",
+    "t_gopher_ngram_coverage",
 ]
 
 

@@ -11,6 +11,7 @@ from g_data_pipeline_spark.query_defs import analytics7  # noqa: F401
 from g_data_pipeline_spark.query_defs import analytics8  # noqa: F401
 from g_data_pipeline_spark.query_defs import analytics9  # noqa: F401
 from g_data_pipeline_spark.query_defs import analytics10  # noqa: F401
+from g_data_pipeline_spark.query_defs import analytics11  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation2  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation3  # noqa: F401
@@ -29,3 +30,4 @@ from g_data_pipeline_spark.query_defs import similarity  # noqa: F401
 from g_data_pipeline_spark.query_defs import text  # noqa: F401
 from g_data_pipeline_spark.query_defs import text2  # noqa: F401
 from g_data_pipeline_spark.query_defs import text3  # noqa: F401
+from g_data_pipeline_spark.query_defs import text4  # noqa: F401
