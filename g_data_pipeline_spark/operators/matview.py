@@ -125,11 +125,31 @@ class MatView:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def read(self) -> DataFrame | None:
+    def versions(self) -> list[int]:
+        """Committed snapshot versions, oldest first — the time-travel
+        axis. Only ``_SUCCESS``-marked versions appear (an in-flight or
+        crashed refresh is invisible here)."""
+        return self._versions()
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Latest committed snapshot, or — time travel — the committed
+        snapshot at ``version``. Old versions stay readable until
+        :func:`vacuum_snapshots` reaps them; reading a vacuumed or
+        never-committed version raises with the available range rather
+        than resurrecting a partial directory."""
         vs = self._versions()
         if not vs:
+            if version is not None:
+                raise ValueError(f"no committed versions at {self.path}")
             return None
-        return self.spark.read.parquet(f"{self.path}/v={vs[-1]}")
+        if version is None:
+            version = vs[-1]
+        elif version not in vs:
+            raise ValueError(
+                f"version {version} not committed at {self.path}; "
+                f"available: {vs}"
+            )
+        return self.spark.read.parquet(f"{self.path}/v={version}")
 
     def refresh(self, batch: DataFrame) -> int:
         """Fold ``batch`` into the view; returns the committed version.

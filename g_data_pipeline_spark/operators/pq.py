@@ -316,6 +316,7 @@ def search_ivfpq_index(
     query_id: str = "q_id",
     query_vec: str = "q_vec",
     meta: dict | None = None,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Query a persisted IVF-PQ index with partition-pruned candidate
     scans. The probe cells are resolved DRIVER-SIDE (collecting the
@@ -323,6 +324,16 @@ def search_ivfpq_index(
     this layout exists for) so the cell predicate is a literal ``IN``
     that reaches the parquet scan as a ``PartitionFilters`` entry: only
     the probed cell directories are listed or read, at any corpus size.
+
+    ``allowed_ids`` (a one-column ``id`` DataFrame) turns this into the
+    FILTERED search every production vector store exposes ("top-k among
+    vectors WHERE <metadata predicate>"): the candidate set is
+    left-semi-joined against it BEFORE the ADC shortlist ranks, so
+    disallowed vectors can neither appear in results nor crowd allowed
+    ones out of the k·refine shortlist (post-filtering the final top-k
+    would silently return < k). The semi join's strategy is left to
+    Catalyst/AQE — a small allow-list broadcasts, a huge one
+    shuffle-joins on ``id``, both correct at any selectivity.
 
     Returns (q_id, vec_id, cos, rank) — exact cosine over the ADC
     shortlist, identical contract (and, for the same training params,
@@ -366,6 +377,10 @@ def search_ivfpq_index(
     cands = codes.join(probe_df, "cell").filter(
         F.col("id") != F.col(query_id)
     )
+    if allowed_ids is not None:
+        cands = cands.join(
+            allowed_ids.select("id").distinct(), "id", "left_semi"
+        )
     adc = cands.select(
         query_id,
         query_vec,

@@ -120,3 +120,41 @@ def test_vacuum_keeps_latest_and_skips_uncommitted(spark, lineitem, tmp_path):
     # keep_last clamps to 1: the newest committed version always survives
     assert vacuum_snapshots(str(tmp_path / "mv"), keep_last=0) == [1, 2]
     assert _rows(view.read()) == before
+
+
+def test_time_travel_reads(spark, lineitem, tmp_path):
+    """read(version=N) returns the snapshot AS OF that refresh — the
+    audit/debug primitive ('what did the rollup say yesterday?'). Vacuumed
+    and never-committed versions raise with the available range instead of
+    resurrecting partial directories."""
+    import pytest as _pytest
+
+    from g_data_pipeline_spark.operators.matview import vacuum_snapshots
+
+    view = MatView(spark, str(tmp_path / "mv"), SPEC)
+    with _pytest.raises(ValueError, match="no committed versions"):
+        view.read(version=0)
+
+    cuts = [None, "1994-01-01", "1996-01-01", "1998-01-01"]
+    per_version = []
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        b = lineitem.filter(F.col("l_shipdate") < hi)
+        if lo:
+            b = b.filter(F.col("l_shipdate") >= lo)
+        view.refresh(b)
+        per_version.append(_rows(view.read()))
+
+    assert view.versions() == [0, 1, 2]
+    # every historical version still reads exactly as it did when current
+    for v, expect in enumerate(per_version):
+        assert _rows(view.read(version=v)) == expect
+    assert _rows(view.read()) == per_version[-1]  # default = latest
+
+    with _pytest.raises(ValueError, match="available: \\[0, 1, 2\\]"):
+        view.read(version=7)
+
+    vacuum_snapshots(str(tmp_path / "mv"), keep_last=2)
+    assert view.versions() == [1, 2]
+    with _pytest.raises(ValueError, match="not committed"):
+        view.read(version=0)  # vacuumed away — explicit, not a partial read
+    assert _rows(view.read(version=1)) == per_version[1]

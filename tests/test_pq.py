@@ -278,3 +278,59 @@ def test_append_to_index_matches_batch_encode_and_stays_pruned(
         if "PartitionFilters" in l and "cell" in l
     ]
     assert pf and any("IN" in l or "in(" in l for l in pf)
+
+
+def test_filtered_search_exact_vs_bruteforce_and_never_leaks(
+    spark, tmp_path
+):
+    """allowed_ids turns the index into a FILTERED search: with
+    exhaustive probes (n_probe = n_centroids) and full refine the result
+    must EQUAL brute-force exact cosine top-k over the allowed subset —
+    and must never return a disallowed id at any probe setting. The
+    filter applies before the ADC shortlist, so a heavily-filtered
+    search still returns k allowed rows (post-filtering would starve)."""
+    from g_data_pipeline_spark.operators.pq import (
+        search_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    df = _clustered_corpus(spark, n_clusters=12, per_cluster=4)
+    queries = df.filter(F.col("vec_id") % 16 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    allowed = df.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(
+        df, path, dim=32, n_centroids=8, m_subspaces=4, n_codes=8, n_iter=1
+    )
+
+    # exhaustive probes -> exact parity with filtered brute force
+    out = search_ivfpq_index(
+        spark, path, queries, k=3, n_probe=8, refine=16,
+        allowed_ids=allowed,
+    ).collect()
+    corpus_allowed = df.filter(F.col("vec_id") % 2 == 0)
+    want = {
+        (r.q_id, r.vec_id, r.rank)
+        for r in cosine_topk(
+            corpus_allowed, queries, k=3, corpus_id="vec_id",
+            corpus_vec="embedding", query_id="q_id", query_vec="q_vec",
+        ).collect()
+    }
+    got = {(r.q_id, r.vec_id, r.rank) for r in out}
+    assert got == want
+    assert all(r.vec_id % 2 == 0 for r in out)
+    # every query still gets its full k despite 50% selectivity
+    from collections import Counter
+
+    per_q = Counter(r.q_id for r in out)
+    assert all(v == 3 for v in per_q.values())
+
+    # narrow probes: recall may drop, leakage may not
+    narrow = search_ivfpq_index(
+        spark, path, queries, k=3, n_probe=2, refine=4,
+        allowed_ids=allowed,
+    ).collect()
+    assert all(r.vec_id % 2 == 0 for r in narrow)
