@@ -164,6 +164,8 @@ HEADLINE = [
     "e_session_paths",
     "t_word_length_profile",
     "t_gopher_ngram_coverage",
+    "d_shingle_containment",
+    "t_quality_threshold_sweep",
 ]
 
 

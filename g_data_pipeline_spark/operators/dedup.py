@@ -129,6 +129,58 @@ def ngram_jaccard_pairs(
     return pairs.select("id_a", "id_b", "common", "jaccard")
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """EXACT shingle-CONTAINMENT pairs: for every ORDERED pair (a, b),
+    containment(a -> b) = |shingles(a) ∩ shingles(b)| / |shingles(a)|.
+
+    Jaccard misses sub-document copies: a short doc pasted verbatim into a
+    much longer one has near-zero Jaccard (the union is huge) but
+    containment(short -> long) ≈ 1 — the Broder '97 "containment"
+    companion measure, and the right signal for quote/excerpt/wrapper
+    contamination. Emits BOTH directions (the measure is asymmetric).
+
+    Same inverted-index shape and document-frequency cutoff as
+    ngram_jaccard_pairs — shuffles ride shingle content, never all-pairs.
+    The fraction is emitted as an exact micro-scaled integer
+    (containment_micro), threshold-compared in integer space."""
+    sets = shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
+    posts = sets.select("id", "set_size", F.explode("shingles").alias("sh"))
+    if max_shingle_freq is not None:
+        freq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        posts = posts.join(
+            freq.filter(F.col("df") <= max_shingle_freq).select("sh"), "sh"
+        )
+    a = posts.select(
+        F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "sh"
+    )
+    b = posts.select(F.col("id").alias("id_b"), "sh")
+    micro = F.round(
+        F.lit(1e6) * F.col("common").cast("double") / F.col("size_a")
+    ).cast("long")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn("containment_micro", micro)
+        .filter(F.col("containment_micro") >= int(round(threshold * 1e6)))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("size_a").cast("long").alias("size_a"),
+            "common",
+            "containment_micro",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -96,3 +96,71 @@ def d_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_overlap(
         distinct_sketches(posts, "source", "s"), "source"
     ).orderBy("grp_a", "grp_b")
+
+
+@register(
+    "d_shingle_containment",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT -x.doc_id - 1 AS doc_id, x.text || ' ' || y.text AS text
+      FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+      WHERE x.doc_id % 97 = 0
+    ), sets AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM corpus)
+      WHERE len(toks) >= 3
+    ), posts_all AS (
+      SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets WHERE len(sh) > 0
+    ), freq AS (
+      SELECT s, COUNT(*) AS df FROM posts_all GROUP BY s
+    ), posts AS (
+      SELECT p.* FROM posts_all p JOIN freq f ON p.s = f.s WHERE f.df <= 1000
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sz AS size_a, COUNT(*) AS common
+      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT id_a, id_b, CAST(size_a AS BIGINT) AS size_a, common,
+           CAST(ROUND(1e6 * CAST(common AS DOUBLE) / size_a) AS BIGINT)
+             AS containment_micro
+    FROM pairs
+    WHERE CAST(ROUND(1e6 * CAST(common AS DOUBLE) / size_a) AS BIGINT)
+          >= 800000
+    """,
+)
+def d_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (Broder '97's companion to
+    Jaccard): containment(a→b) = |A∩B| / |A| catches the sub-document
+    copies Jaccard structurally misses — a doc pasted verbatim into a much
+    longer one has tiny Jaccard (huge union) but containment 1.0. The
+    fixture plants exactly that: every 97th doc gets a synthetic container
+    (negative id — the planted-id convention) concatenating it with its
+    neighbor, so both planted directions surface at 1.0 alongside the
+    corpus's natural near-dup pairs. Same inverted-index + DF-cutoff shape
+    as d_ngram_jaccard_pairs (operators/dedup.py:
+    shingle_containment_pairs); the broadcast-sized planted join never
+    touches the shingle exchange."""
+    from g_data_pipeline_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = docs.filter(F.col("doc_id") % 97 == 0)
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("text_b")
+    )
+    planted = seeds.join(nxt, "doc_id").select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.col("text_b")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return shingle_containment_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.8, max_shingle_freq=1000
+    )

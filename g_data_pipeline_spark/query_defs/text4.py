@@ -247,3 +247,87 @@ def t_gopher_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("long"))
         .alias("dup5_cov_micro"),
     )
+
+
+_STOP_EN = "|".join(X.STOPWORDS["en"])
+
+# DuckDB twin of functions.text.quality_score — every literal cast DOUBLE
+# (a bare 0.4 parses as DECIMAL and drifts the last ulp against Spark's
+# double arithmetic; the CLAUDE.md SQL-literal gotcha), every term in the
+# same operation order as the Column expression so score bits match and
+# the >= threshold compares land identically.
+_SCORE_SQL = rf"""
+      CAST(0.4 AS DOUBLE)
+        * LEAST(CAST(n_tok AS DOUBLE) / CAST(100.0 AS DOUBLE),
+                CAST(1.0 AS DOUBLE))
+      + CAST(0.4 AS DOUBLE)
+        * LEAST(COALESCE(CASE WHEN n_tok > 0 THEN
+                   len(regexp_extract_all(lower(text), '\b({_STOP_EN})\b'))
+                     / CAST(n_tok AS DOUBLE) END,
+                 CAST(0.0 AS DOUBLE)) * 4,
+                CAST(1.0 AS DOUBLE))
+      + CAST(0.2 AS DOUBLE)
+        * (CAST(1.0 AS DOUBLE)
+           - LEAST(COALESCE(CASE WHEN length(text) > 0 THEN
+                      len(regexp_extract_all(text, '[0-9]'))
+                        / CAST(length(text) AS DOUBLE) END,
+                    CAST(0.0 AS DOUBLE))
+                   + COALESCE(CASE WHEN length(text) > 0 THEN
+                      len(regexp_extract_all(text, '[.!?,;:]'))
+                        / CAST(length(text) AS DOUBLE) END,
+                    CAST(0.0 AS DOUBLE)),
+                   CAST(1.0 AS DOUBLE)))
+"""
+
+
+@register(
+    "t_quality_threshold_sweep",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT ({_SCORE_SQL}) AS s
+      FROM (SELECT text,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                   END AS n_tok
+            FROM documents)
+    ), thresholds AS (
+      SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+                     0.9]::DOUBLE[]) AS thr
+    )
+    SELECT CAST(ROUND(thr * 1e6) AS BIGINT) AS threshold_micro,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE s >= thr) AS n_keep,
+           CAST(ROUND(1e6 * CAST(COUNT(*) FILTER (WHERE s >= thr) AS DOUBLE)
+                      / COUNT(*)) AS BIGINT) AS keep_micro
+    FROM scored CROSS JOIN thresholds
+    GROUP BY 1
+    """,
+)
+def t_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rate curve over quality-score thresholds — the calibration
+    report behind every 'filter at 0.x' decision: how much corpus survives
+    each candidate cut. One scan computes the score; a row-local explode of
+    9 literal thresholds fans it out (never a join, never a second scan);
+    the 9-row aggregate shuffles once. The oracle re-derives the score
+    bit-for-bit in DuckDB (double-cast literals, identical operation
+    order), so the >= compares — the part that could diverge — are proven
+    engine-identical at every boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(X.quality_score("text").alias("s"))
+    thr = F.explode(
+        F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    ).alias("thr")
+    sweep = scored.select("s", thr)
+    return sweep.groupBy("thr").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("s") >= F.col("thr")).alias("n_keep"),
+    ).select(
+        F.round(F.col("thr") * 1e6).cast("long").alias("threshold_micro"),
+        "n_docs",
+        "n_keep",
+        F.round(
+            F.lit(1e6) * F.col("n_keep").cast("double") / F.col("n_docs")
+        )
+        .cast("long")
+        .alias("keep_micro"),
+    )

@@ -104,3 +104,69 @@ def range_skipping_report(path: str, col: str, lo, hi) -> SkippingReport:
         selected_rows=srows,
         selected_bytes=sbytes,
     )
+
+
+@dataclass(frozen=True)
+class FileBalanceReport:
+    """Output-layout health: how evenly a dataset's bytes/rows spread
+    across its files. ``skew_factor`` (max/mean rows) is the write-side
+    twin of the key-skew factor in a_skew_report — a 50× file means one
+    task reads 50× the data of the average task downstream."""
+
+    n_files: int
+    total_rows: int
+    total_bytes: int  # compressed data-page bytes
+    max_rows: int
+    mean_rows: float
+    skew_factor: float  # max_rows / mean_rows (1.0 = perfectly even)
+    cv_rows: float  # stddev/mean of per-file rows (population)
+    n_small_files: int  # files below small_bytes
+    small_bytes_threshold: int
+
+
+def file_balance_report(
+    path: str, small_bytes: int = 1 << 20
+) -> FileBalanceReport:
+    """Per-file row/byte balance from parquet FOOTERS only (same O(#files)
+    metadata-cost contract as range_skipping_report — no data pages, no
+    Spark job). Diagnoses the two classic write pathologies compact.py
+    exists to fix: SKEWED files (one giant part from a hot partition →
+    straggler tasks downstream) and SMALL files (metadata overhead, seen
+    as n_small_files). Run after large writes; alert on skew_factor or
+    n_small_files drift."""
+    import statistics
+
+    import pyarrow.parquet as pq
+
+    rows_per_file: list[int] = []
+    bytes_per_file: list[int] = []
+    for fpath in _parquet_files(path):
+        meta = pq.ParquetFile(fpath).metadata
+        rows_per_file.append(meta.num_rows)
+        bytes_per_file.append(
+            sum(
+                meta.row_group(g).column(i).total_compressed_size
+                for g in range(meta.num_row_groups)
+                for i in range(meta.row_group(g).num_columns)
+            )
+        )
+    n = len(rows_per_file)
+    total_rows = sum(rows_per_file)
+    mean_rows = total_rows / n if n else 0.0
+    return FileBalanceReport(
+        n_files=n,
+        total_rows=total_rows,
+        total_bytes=sum(bytes_per_file),
+        max_rows=max(rows_per_file, default=0),
+        mean_rows=mean_rows,
+        skew_factor=(
+            max(rows_per_file) / mean_rows if n and mean_rows > 0 else 0.0
+        ),
+        cv_rows=(
+            statistics.pstdev(rows_per_file) / mean_rows
+            if n and mean_rows > 0
+            else 0.0
+        ),
+        n_small_files=sum(1 for b in bytes_per_file if b < small_bytes),
+        small_bytes_threshold=small_bytes,
+    )
