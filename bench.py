@@ -166,6 +166,9 @@ HEADLINE = [
     "t_gopher_ngram_coverage",
     "d_shingle_containment",
     "t_quality_threshold_sweep",
+    "e_ewma_daily_volume",
+    "t_bm25_topk",
+    "v_hybrid_rrf",
 ]
 
 

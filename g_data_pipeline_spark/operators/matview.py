@@ -162,3 +162,53 @@ class MatView:
         next_v = (self._versions() or [-1])[-1] + 1
         merged.write.mode("overwrite").parquet(f"{self.path}/v={next_v}")
         return next_v
+
+
+def changes_between(
+    view: "MatView", v_from: int, v_to: int
+) -> DataFrame:
+    """Change data feed between two committed snapshots — which rollup
+    keys appeared, changed state, or (impossible under append-only facts,
+    but surfaced defensively) disappeared between ``v_from`` and ``v_to``.
+    Downstream consumers (alerting, cache invalidation, reverse ETL) read
+    this instead of diffing full snapshots themselves — and because it
+    composes `read(version=…)` time travel with one keyed full-outer join
+    of two STATE tables, its cost is O(|state|), independent of how many
+    fact batches landed between the versions.
+
+    Returns the v_to state columns plus ``change_type`` ∈
+    ('insert', 'update', 'delete'); unchanged keys are omitted. For
+    'delete' rows the v_from state columns are returned instead (there is
+    no v_to row to show)."""
+    old = view.read(version=v_from)
+    new = view.read(version=v_to)
+    keys = view.spec.keys
+    vals = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, *[F.col(c).alias(f"__o_{c}") for c in vals]
+    )
+    n = new.select(*keys, *vals)
+    joined = n.join(o, keys, "full_outer")
+    # count_alias is non-null in every state row, so its side-presence
+    # distinguishes insert/delete without a separate marker column
+    has_old = F.col(f"__o_{view.spec.count_alias}").isNotNull()
+    has_new = F.col(view.spec.count_alias).isNotNull()
+    changed = F.lit(False)
+    for c in vals:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+    out = joined.withColumn(
+        "change_type",
+        F.when(~has_old, F.lit("insert"))
+        .when(~has_new, F.lit("delete"))
+        .when(changed, F.lit("update")),
+    ).filter(F.col("change_type").isNotNull())
+    # delete rows: surface the v_from state in the value columns
+    final_vals = [
+        F.when(
+            F.col("change_type") == "delete", F.col(f"__o_{c}")
+        )
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in vals
+    ]
+    return out.select(*keys, *final_vals, "change_type")

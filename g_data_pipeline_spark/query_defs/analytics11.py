@@ -264,3 +264,79 @@ def e_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
         .limit(20)
     )
+
+
+@register(
+    "e_ewma_daily_volume",
+    oracle=r"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), arrs AS (
+      SELECT event_type, list(c ORDER BY d) AS cs FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(len(cs) AS BIGINT) AS n_days,
+           CAST(cs[len(cs)] AS BIGINT) AS last_count,
+           CAST(ROUND(1e6 * list_reduce(
+                  list_transform(cs, x -> CAST(x AS DOUBLE)),
+                  (acc, x) -> CAST(0.5 AS DOUBLE) * acc
+                              + CAST(0.5 AS DOUBLE) * x)) AS BIGINT)
+             AS ewma_micro,
+           CASE WHEN len(cs) >= 2 THEN
+             CAST(ROUND(1e6 * (CAST(cs[len(cs)] AS DOUBLE)
+                  - list_reduce(
+                      list_transform(cs[1:len(cs) - 1],
+                                     x -> CAST(x AS DOUBLE)),
+                      (acc, x) -> CAST(0.5 AS DOUBLE) * acc
+                                  + CAST(0.5 AS DOUBLE) * x))) AS BIGINT)
+           END AS last_dev_micro
+    FROM arrs
+    """,
+)
+def e_ewma_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (α=0.5) of daily event volume per type + the last day's
+    deviation from the forecast — the classic smoothed-baseline anomaly
+    signal. EWMA is a RECURSIVE statistic (each value depends on the
+    previous), which a distributed engine can't express as a plain
+    aggregate; here the day series collapses to a per-type ordered array
+    (30 elements — driver-safe at any fact scale since the daily rollup
+    bounds it) and a row-local `F.aggregate` fold runs the recursion in
+    one pass, seeded with the first element. DuckDB's `list_reduce` has
+    identical seeding semantics, and both folds walk the same
+    day-sorted order, so the doubles match bit-for-bit (α=0.5 keeps each
+    step an exact power-of-two scale). Shuffles: the daily aggregate and
+    the per-type array build — both keyed, no window over facts."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    arrs = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))),
+            lambda s: s["c"],
+        ).alias("cs")
+    )
+    n = F.size("cs")
+    fold = lambda col: F.aggregate(  # noqa: E731
+        F.slice(col, 2, F.size(col) - 1),
+        F.element_at(col, 1).cast("double"),
+        lambda acc, x: F.lit(0.5) * acc + F.lit(0.5) * x,
+    )
+    prev = fold(F.slice(F.col("cs"), 1, n - 1))
+    return arrs.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.element_at("cs", -1).cast("long").alias("last_count"),
+        F.round(F.lit(1e6) * fold(F.col("cs"))).cast("long").alias(
+            "ewma_micro"
+        ),
+        F.when(
+            n >= 2,
+            F.round(
+                F.lit(1e6)
+                * (F.element_at("cs", -1).cast("double") - prev)
+            ).cast("long"),
+        ).alias("last_dev_micro"),
+    )

@@ -331,3 +331,238 @@ def t_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep_micro"),
     )
+
+
+# Fixed literal query for the BM25 demo — common corpus terms so tf/df
+# paths all carry real mass.
+_BM25_TERMS = ("join", "filter", "scan", "hash", "merge")
+
+# Per-doc BM25 scores for _BM25_TERMS, shared by the lexical top-k and the
+# hybrid RRF fusion (kept as one WITH block; consumers wrap it as a
+# subquery).
+_BM25_SCORES_SQL = rf"""
+    WITH occ AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+      WHERE trim(text) <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM occ GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM occ
+      WHERE token IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, token
+    ), idf AS (
+      SELECT tf.token,
+             ln((stats.n_docs - COUNT(*) + CAST(0.5 AS DOUBLE))
+                / (COUNT(*) + CAST(0.5 AS DOUBLE))
+                + CAST(1.0 AS DOUBLE)) AS idf
+      FROM tf, stats GROUP BY tf.token, stats.n_docs
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(1e6 * (idf.idf
+               * ((tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                  / (tf.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE)
+                          * (dl.dlen / stats.avgdl)))))) AS BIGINT)
+               AS s_micro
+      FROM tf JOIN dl USING (doc_id), stats, idf
+      WHERE idf.token = tf.token
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_hit_terms,
+           CAST(SUM(s_micro) AS BIGINT) AS bm25_micro
+    FROM scored GROUP BY doc_id
+"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 scores (doc_id, n_hit_terms, bm25_micro) for
+    _BM25_TERMS — the Spark twin of _BM25_SCORES_SQL, shared by
+    t_bm25_topk and v_hybrid_rrf."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    )
+    dl = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        occ.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "token",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    k1, b = F.lit(1.2), F.lit(0.75)
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .join(F.broadcast(idf), "token")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1e6)
+                * (
+                    F.col("idf")
+                    * (
+                        (F.col("tf") * (k1 + F.lit(1.0)))
+                        / (
+                            F.col("tf")
+                            + k1
+                            * (
+                                F.lit(1.0)
+                                - b
+                                + b * (F.col("dlen") / F.col("avgdl"))
+                            )
+                        )
+                    )
+                )
+            )
+            .cast("long")
+            .alias("s_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("s_micro").cast("long").alias("bm25_micro"),
+        )
+    )
+
+
+@register(
+    "t_bm25_topk",
+    oracle=f"""
+    SELECT * FROM ({_BM25_SCORES_SQL})
+    ORDER BY bm25_micro DESC, doc_id
+    LIMIT 20
+    """,
+)
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson–Spärck Jones, k1=1.2, b=0.75) ranked retrieval for
+    a fixed term query — the lexical half of hybrid search next to
+    v_cosine_topk's dense half. Everything derives from three keyed
+    aggregates over ONE token explode: doc lengths, term frequencies,
+    document frequencies; the 1-row corpus stats and the |terms|-row idf
+    table broadcast back onto the tf rows. Determinism: each (doc, term)
+    partial score is micro-rounded ONCE (the t_unigram_logprob ln recipe —
+    integer sums after, never a float sum), and top-20 rides a full
+    (score, doc_id) tiebreak. Scale: shuffles key on token/doc_id; the
+    posting explode is the same shape as the shingle index — no all-pairs
+    anywhere."""
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(20)
+    )
+
+
+from g_data_pipeline_spark.functions.vectors import (  # noqa: E402
+    cosine_sim,
+    sql_cosine_sim,
+)
+
+_COS_Q = sql_cosine_sim("a.embedding", "b.embedding")
+
+
+@register(
+    "v_hybrid_rrf",
+    oracle=f"""
+    WITH dense AS (
+      SELECT a.vec_id AS id, {_COS_Q} AS cos
+      FROM embeddings a
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+      WHERE a.vec_id <> 0
+    ), d AS (
+      SELECT id, rn AS dense_rank FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rn
+        FROM dense) WHERE rn <= 50
+    ), l AS (
+      SELECT doc_id AS id, rn AS lex_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rn
+        FROM ({_BM25_SCORES_SQL})) WHERE rn <= 50
+    )
+    SELECT COALESCE(d.id, l.id) AS id,
+           CAST(d.dense_rank AS BIGINT) AS dense_rank,
+           CAST(l.lex_rank AS BIGINT) AS lex_rank,
+           COALESCE(CAST(ROUND(1e6 / (60 + d.dense_rank)) AS BIGINT), 0)
+             + COALESCE(CAST(ROUND(1e6 / (60 + l.lex_rank)) AS BIGINT), 0)
+             AS rrf_micro
+    FROM d FULL OUTER JOIN l ON d.id = l.id
+    ORDER BY rrf_micro DESC, id
+    LIMIT 20
+    """,
+)
+def v_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. '09,
+    k=60): the BM25 lexical ranking over documents fused with the dense
+    cosine ranking against a fixed query vector (vec_id 0) over the
+    id-aligned embeddings — the standard two-tower merge every RAG stack
+    runs. Each leg's top-50 contributes ROUND(1e6/(60+rank)) — ranks are
+    deterministic integers, so the fused score is an exact integer sum;
+    the final top-20 rides a (score, id) tiebreak. Scale: both rank
+    windows run over leg SHORTLISTS (the dense leg's input is the
+    broadcast-query cosine scan, the lexical leg's the |hit-docs| score
+    table); the fusion join touches 50+50 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            cosine_sim("embedding", "q_vec").alias("cos"),
+        )
+    )
+    wd = Window.orderBy(F.desc("cos"), F.col("id"))
+    d = (
+        dense.withColumn("dense_rank", F.row_number().over(wd))
+        .filter(F.col("dense_rank") <= 50)
+        .select("id", F.col("dense_rank").cast("long").alias("dense_rank"))
+    )
+    wl = Window.orderBy(F.desc("bm25_micro"), F.col("doc_id"))
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= 50)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+        )
+    )
+    fused = d.join(lex, "id", "full_outer")
+    leg = lambda rank: F.coalesce(  # noqa: E731
+        F.round(F.lit(1e6) / (F.lit(60) + rank)).cast("long"), F.lit(0)
+    )
+    return fused.select(
+        "id",
+        "dense_rank",
+        "lex_rank",
+        (leg(F.col("dense_rank")) + leg(F.col("lex_rank")))
+        .cast("long")
+        .alias("rrf_micro"),
+    ).orderBy(F.desc("rrf_micro"), "id").limit(20)

@@ -158,3 +158,37 @@ def test_time_travel_reads(spark, lineitem, tmp_path):
     with _pytest.raises(ValueError, match="not committed"):
         view.read(version=0)  # vacuumed away — explicit, not a partial read
     assert _rows(view.read(version=1)) == per_version[1]
+
+
+def test_change_data_feed_between_versions(spark, lineitem, tmp_path):
+    """changes_between(v_from, v_to) must report exactly the keys whose
+    state changed — inserts for keys first seen after v_from, updates for
+    folded keys, nothing for untouched keys — from the two state tables
+    alone (O(|state|), facts unread)."""
+    from g_data_pipeline_spark.operators.matview import changes_between
+
+    view = MatView(spark, str(tmp_path / "mv"), SPEC)
+    # v0: only 'A' rows; v1: more 'A' (update) ; v2: 'N' rows (insert)
+    a = lineitem.filter(F.col("l_returnflag") == "A")
+    view.refresh(a.filter(F.col("l_orderkey") % 2 == 0))
+    view.refresh(a.filter(F.col("l_orderkey") % 2 == 1))
+    view.refresh(lineitem.filter(F.col("l_returnflag") == "N"))
+
+    c01 = changes_between(view, 0, 1).collect()
+    assert {r.change_type for r in c01} == {"update"}
+    assert {r.l_returnflag for r in c01} == {"A"}
+
+    c12 = changes_between(view, 1, 2).collect()
+    assert {r.change_type for r in c12} == {"insert"}
+    assert {r.l_returnflag for r in c12} == {"N"}
+
+    c02 = {(r.l_returnflag, r.l_linestatus): r.change_type
+           for r in changes_between(view, 0, 2).collect()}
+    assert set(c02.values()) == {"update", "insert"}
+
+    # self-diff is empty; CDF state matches the target snapshot
+    assert changes_between(view, 2, 2).count() == 0
+    v2 = {(r.l_returnflag, r.l_linestatus): r.n
+          for r in view.read(version=2).collect()}
+    for r in changes_between(view, 1, 2).collect():
+        assert r.n == v2[(r.l_returnflag, r.l_linestatus)]
