@@ -169,6 +169,8 @@ HEADLINE = [
     "e_ewma_daily_volume",
     "t_bm25_topk",
     "v_hybrid_rrf",
+    "d_triangle_cliques",
+    "a_log2_histogram",
 ]
 
 

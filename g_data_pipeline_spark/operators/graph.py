@@ -95,3 +95,32 @@ def pagerank(
                 df_.unpersist()
             pending_unpersist.clear()
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over an id-ORIENTED edge list
+    (``id_a < id_b``, unique pairs) — the local clustering signal: in a
+    near-dup graph, high triangle counts mark tight duplicate CLIQUES
+    (template families) vs incidental pairwise overlaps, which changes the
+    dedup decision (drop the clique to one survivor vs keep both of a
+    borderline pair).
+
+    Shape: two self-joins on shared vertices — e1(a,b) ⋈ e2(b,c) ⋈
+    e3(a,c) — so each triangle a<b<c is found exactly once; every shuffle
+    keys on a vertex id, never all-pairs. The id orientation bounds the
+    wedge count by per-vertex out-degree; at 100 TB orient by DEGREE
+    (low→high, the Schank–Wagner/Cohen MapReduce refinement) so hub
+    vertices with huge in-degree can't mint quadratic wedges — same
+    algebra, one extra degree join to build the orientation."""
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

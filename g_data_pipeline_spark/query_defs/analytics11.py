@@ -340,3 +340,37 @@ def e_ewma_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("last_dev_micro"),
     )
+
+
+@register(
+    "a_log2_histogram",
+    oracle=f"""
+    WITH c AS (SELECT {_CENTS} AS cents FROM orders)
+    SELECT CAST(LENGTH(bin(cents)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_orders,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM c GROUP BY 1
+    """,
+)
+def a_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential (power-of-two) histogram of order amounts — the
+    HDR-histogram-style bucketing every latency/size distribution uses
+    (equal-width drowns the tail, equi-depth needs a percentile pass; log2
+    needs neither). The bucket is EXACT: LENGTH(bin(cents)) =
+    floor(log2)+1 from the binary string both engines render identically —
+    never floor(log10/log2(double)), whose 2^k-boundary ulps flip buckets.
+    Zero-shuffle until the ~30-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return c.groupBy(
+        F.length(F.bin("cents")).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

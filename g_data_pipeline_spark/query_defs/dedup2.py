@@ -164,3 +164,79 @@ def d_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_containment_pairs(
         corpus, "doc_id", "text", n=3, threshold=0.8, max_shingle_freq=1000
     )
+
+
+@register(
+    "d_triangle_cliques",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT -doc_id - 1, text || ' zzca' FROM documents WHERE doc_id % 101 = 0
+      UNION ALL
+      SELECT -doc_id - 2, text || ' zzcb' FROM documents WHERE doc_id % 101 = 0
+    ), sets AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM corpus)
+      WHERE len(toks) >= 3
+    ), posts_all AS (
+      SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets WHERE len(sh) > 0
+    ), freq AS (
+      SELECT s, COUNT(*) AS df FROM posts_all GROUP BY s
+    ), posts AS (
+      SELECT p.* FROM posts_all p JOIN freq f ON p.s = f.s WHERE f.df <= 1000
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sz AS size_a, b.sz AS size_b, COUNT(*) AS common
+      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), edges AS (
+      SELECT id_a, id_b FROM pairs
+      WHERE common / CAST(size_a + size_b - common AS DOUBLE) >= 0.3
+    ), tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.id_a = e1.id_b
+      JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ), nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
+    """,
+)
+def d_triangle_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the exact near-dup graph
+    (Jaccard >= 0.3 word-3-gram edges — d_pagerank's graph): the local
+    clustering signal separating duplicate CLIQUES (template families,
+    mirror farms — drop to one survivor) from incidental pairwise overlaps
+    (borderline — keep both). Every 101st doc gets two planted near-copies
+    (negative ids, distinct 1-token suffixes), turning each seed into a
+    3-clique so the triangle join is exercised beyond the corpus's single
+    natural triangle. operators/graph.py:triangle_counts documents the
+    degree-orientation refinement for 100 TB hubs."""
+    from g_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from g_data_pipeline_spark.operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = docs.filter(F.col("doc_id") % 101 == 0)
+    corpus = docs.unionByName(
+        seeds.select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            F.concat("text", F.lit(" zzca")).alias("text"),
+        )
+    ).unionByName(
+        seeds.select(
+            (-F.col("doc_id") - 2).alias("doc_id"),
+            F.concat("text", F.lit(" zzcb")).alias("text"),
+        )
+    )
+    edges = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.3, max_shingle_freq=1000
+    ).select("id_a", "id_b")
+    return triangle_counts(edges)
