@@ -171,6 +171,18 @@ HEADLINE = [
     "v_hybrid_rrf",
     "d_triangle_cliques",
     "a_log2_histogram",
+    # round-5 wave-9 (r6-queue oracle entries)
+    "a_gini_coefficient",
+    "a_weighted_median",
+    "a_entropy_mix",
+    "a_hhi_concentration",
+    "a_autocorr_lag1",
+    "a_basket_lift",
+    "e_concurrent_peak",
+    "e_bounce_rate",
+    "t_readability",
+    "d_boilerplate_lines",
+    "d_cluster_size_profile",
 ]
 
 

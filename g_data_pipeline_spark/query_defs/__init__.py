@@ -12,14 +12,17 @@ from g_data_pipeline_spark.query_defs import analytics8  # noqa: F401
 from g_data_pipeline_spark.query_defs import analytics9  # noqa: F401
 from g_data_pipeline_spark.query_defs import analytics10  # noqa: F401
 from g_data_pipeline_spark.query_defs import analytics11  # noqa: F401
+from g_data_pipeline_spark.query_defs import analytics12  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation2  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation3  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation4  # noqa: F401
+from g_data_pipeline_spark.query_defs import curation5  # noqa: F401
 from g_data_pipeline_spark.query_defs import dedup  # noqa: F401
 from g_data_pipeline_spark.query_defs import dedup2  # noqa: F401
 from g_data_pipeline_spark.query_defs import events  # noqa: F401
 from g_data_pipeline_spark.query_defs import events2  # noqa: F401
+from g_data_pipeline_spark.query_defs import events3  # noqa: F401
 from g_data_pipeline_spark.query_defs import grouped_gate  # noqa: F401
 from g_data_pipeline_spark.query_defs import lakehouse  # noqa: F401
 from g_data_pipeline_spark.query_defs import multimodal  # noqa: F401
