@@ -124,3 +124,38 @@ def mixture_weights(
             ).alias("mix_weight"),
         )
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_cols: list[str],
+    splits: dict[str, float] | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split label is a pure
+    function of the GROUP key (e.g. url host, author, conversation id),
+    so every row of a group lands in the SAME split — the guard against
+    train/test contamination through near-identical documents sharing a
+    provenance key (row-level splitting puts 20 pages of one site in
+    train and 3 in test, and the eval leaks).
+
+    ``splits`` maps label -> fraction (must sum to ~1); labels are
+    assigned by cumulative md5-bucket ranges, so the assignment is
+    deterministic, layout-invariant, and reproducible in SQL via
+    :func:`sql_hash_bucket`. Adds a ``split`` column; zero shuffles
+    (pure row-local expression)."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions sum to {total}, expected 1.0")
+    bucket = hash_bucket_expr(group_cols, seed)
+    expr = None
+    acc = 0.0
+    items = list(splits.items())
+    for label, frac in items[:-1]:
+        acc += frac
+        cond = bucket < int(acc * _BUCKETS)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last_label = items[-1][0]
+    expr = F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
+    return df.withColumn("split", expr)

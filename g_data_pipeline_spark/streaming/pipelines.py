@@ -723,3 +723,52 @@ def _partial_maintenance_stream(
     finally:
         q.stop()
     return apply_batch
+
+
+def txn_commit_sink(
+    stream: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+):
+    """Exactly-once streaming publish into a manifest-committed table
+    (sources/txn.py): every micro-batch is staged and committed with
+    ``run_id = f"batch-{batch_id}"``. Structured Streaming replays a
+    failed epoch under the SAME batch_id, and ``commit_write`` returns
+    the already-committed version for a known run_id without writing a
+    new manifest — so replays are no-ops BY THE COMMIT PROTOCOL, not by
+    partition-overwrite gymnastics. Readers (``txn.read_committed``) see
+    each batch atomically: never a half-written micro-batch, even if the
+    writer dies between staging and manifest rename.
+
+    Contrast with :func:`exactly_once_parquet_sink`: that one makes the
+    PHYSICAL WRITE idempotent (dynamic partition overwrite); this one
+    makes the COMMIT idempotent and adds atomic visibility + time travel.
+    Returns the per-batch writer so tests can invoke simulated replays.
+    """
+    from g_data_pipeline_spark.sources import txn
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        txn.commit_write(
+            batch_df.sparkSession,
+            batch_df,
+            table,
+            run_id=f"batch-{int(batch_id)}",
+            mode="append",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"txn commit sink did not drain within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return write_batch

@@ -1,0 +1,164 @@
+"""Manifest-committed atomic publishing (sources/txn.py).
+
+Pins the commit protocol's contract: readers see committed manifests
+only (partial/crashed writes invisible), retries are idempotent by
+run_id, appends snapshot the parent's files, overwrite + time travel
+coexist, version races resolve forward, and vacuum removes exactly the
+never-committed staging runs.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from g_data_pipeline_spark.sources import txn
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def test_commit_then_read_roundtrip(spark, table):
+    v = txn.commit_write(spark, _df(spark, 0, 10), table, run_id="r1")
+    assert v == 1
+    assert txn.latest_version(spark, table) == 1
+    assert _ids(txn.read_committed(spark, table)) == list(range(10))
+
+
+def test_append_snapshots_and_time_travel(spark, table):
+    txn.commit_write(spark, _df(spark, 0, 5), table, run_id="r1")
+    v2 = txn.commit_write(
+        spark, _df(spark, 5, 8), table, run_id="r2", mode="append"
+    )
+    assert v2 == 2
+    assert _ids(txn.read_committed(spark, table)) == list(range(8))
+    # version 1 still reads exactly the first commit
+    assert _ids(txn.read_committed(spark, table, version=1)) == list(range(5))
+
+
+def test_overwrite_replaces_but_history_remains(spark, table):
+    txn.commit_write(spark, _df(spark, 0, 5), table, run_id="r1")
+    txn.commit_write(
+        spark, _df(spark, 100, 103), table, run_id="r2", mode="overwrite"
+    )
+    assert _ids(txn.read_committed(spark, table)) == [100, 101, 102]
+    assert _ids(txn.read_committed(spark, table, version=1)) == list(range(5))
+
+
+def test_uncommitted_staging_invisible(spark, table):
+    """Crash simulation: a run that staged data files but never reached
+    the manifest rename must be invisible to readers."""
+    txn.commit_write(spark, _df(spark, 0, 5), table, run_id="good")
+    _df(spark, 900, 950).write.mode("overwrite").parquet(
+        f"{table}/{txn.STAGING_DIR}/crashed-run"
+    )
+    assert _ids(txn.read_committed(spark, table)) == list(range(5))
+    assert txn.latest_version(spark, table) == 1
+
+
+def test_retry_same_run_id_is_idempotent(spark, table):
+    v1 = txn.commit_write(spark, _df(spark, 0, 5), table, run_id="job-7")
+    # driver crashed after commit, retries the whole write verbatim
+    v2 = txn.commit_write(spark, _df(spark, 0, 5), table, run_id="job-7")
+    assert v1 == v2 == 1
+    assert txn.latest_version(spark, table) == 1
+    assert _ids(txn.read_committed(spark, table)) == list(range(5))
+
+
+def test_version_race_retries_forward(spark, table):
+    """A competing writer's manifest at the next version forces the
+    commit to land one higher, with the competitor as its parent."""
+    txn.commit_write(spark, _df(spark, 0, 3), table, run_id="r1")
+    # plant a competing version-2 manifest directly
+    mdir = Path(table) / txn.MANIFEST_DIR
+    competitor = {
+        "version": 2,
+        "parent": 1,
+        "run_id": "competitor",
+        "mode": "append",
+        "files": json.loads((mdir / f"{1:020d}.json").read_text())["files"],
+    }
+    (mdir / f"{2:020d}.json").write_text(json.dumps(competitor))
+    v = txn.commit_write(
+        spark, _df(spark, 3, 6), table, run_id="r3", mode="append"
+    )
+    assert v == 3
+    m = json.loads((mdir / f"{3:020d}.json").read_text())
+    assert m["parent"] == 2
+    assert _ids(txn.read_committed(spark, table)) == list(range(6))
+
+
+def test_vacuum_removes_only_unreferenced_runs(spark, table):
+    txn.commit_write(spark, _df(spark, 0, 5), table, run_id="keep1")
+    txn.commit_write(
+        spark, _df(spark, 5, 8), table, run_id="keep2", mode="append"
+    )
+    _df(spark, 900, 910).write.mode("overwrite").parquet(
+        f"{table}/{txn.STAGING_DIR}/dead"
+    )
+    assert txn.vacuum_uncommitted(spark, table) == ["dead"]
+    assert _ids(txn.read_committed(spark, table)) == list(range(8))
+    assert not (Path(table) / txn.STAGING_DIR / "dead").exists()
+
+
+def test_vacuum_retain_versions_shrinks_history(spark, table):
+    txn.commit_write(spark, _df(spark, 0, 3), table, run_id="r1")
+    txn.commit_write(
+        spark, _df(spark, 10, 13), table, run_id="r2", mode="overwrite"
+    )
+    deleted = txn.vacuum_uncommitted(spark, table, retain_versions=1)
+    # r1's files were only referenced by the dropped version-1 manifest
+    assert deleted == ["r1"]
+    assert txn.latest_version(spark, table) == 2
+    assert _ids(txn.read_committed(spark, table)) == [10, 11, 12]
+    with pytest.raises(Exception):
+        txn.read_committed(spark, table, version=1)
+
+
+def test_read_empty_table_raises(spark, table):
+    with pytest.raises(FileNotFoundError):
+        txn.read_committed(spark, table)
+
+
+def test_read_incremental_delta_only(spark, table):
+    txn.commit_write(spark, _df(spark, 0, 5), table, run_id="r1")
+    txn.commit_write(
+        spark, _df(spark, 5, 9), table, run_id="r2", mode="append"
+    )
+    assert _ids(txn.read_incremental(spark, table, since_version=1)) == [
+        5,
+        6,
+        7,
+        8,
+    ]
+    # from zero = everything; at head = empty with the live schema
+    assert _ids(txn.read_incremental(spark, table, since_version=0)) == list(
+        range(9)
+    )
+    head = txn.read_incremental(spark, table, since_version=2)
+    assert head.count() == 0
+    assert head.columns == ["id", "v"]
+
+
+def test_read_incremental_guards(spark, table):
+    txn.commit_write(spark, _df(spark, 0, 3), table, run_id="r1")
+    with pytest.raises(ValueError):
+        txn.read_incremental(spark, table, since_version=9)
+    txn.commit_write(
+        spark, _df(spark, 100, 103), table, run_id="r2", mode="overwrite"
+    )
+    # overwrite dropped v1's files from the lineage -> full-reprocess error
+    with pytest.raises(ValueError):
+        txn.read_incremental(spark, table, since_version=1)
