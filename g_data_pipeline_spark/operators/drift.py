@@ -155,3 +155,71 @@ def max_expected_psi(bins: int = 10) -> float:
     return (1 - 1 / bins) * abs(math.log(_EPS / (1 / bins))) + (
         1 - 1 / bins
     ) * math.log(1 / (1 / bins))
+
+
+def embedding_centroid_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Semantic drift between two embedding snapshots: per group (or one
+    global row), the cosine similarity between the REFERENCE centroid and
+    the CURRENT centroid, plus the centroid-norm ratio — the two cheap
+    scalars that catch "the corpus moved" (topic shift, encoder version
+    change, a source going rogue) before any model does.
+
+    Output: [group_col,] n_ref, n_cur, centroid_cosine, norm_ratio
+    (|cur| / |ref|). centroid_cosine near 1.0 = stable; the alarm
+    threshold is domain-specific (tests plant a sign-flip = -1).
+
+    Scale shape: each side is ONE posexplode + groupBy(dim) partial-sum
+    pass (map-side combine on (group, dim) keys — never a per-row
+    shuffle of whole vectors), then the per-dim means join on
+    (group, dim) and fold to a dot product. All driver-free.
+    """
+    from pyspark.sql import functions as F
+
+    def centroids(df: DataFrame, tag: str) -> DataFrame:
+        g = F.col(group_col) if group_col else F.lit(0)
+        per_dim = (
+            df.select(
+                g.alias("__g"), F.posexplode(vec_col).alias("dim", "x")
+            )
+            .groupBy("__g", "dim")
+            .agg(
+                F.sum("x").alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+        )
+        return per_dim.select(
+            "__g",
+            "dim",
+            (F.col("s") / F.col("c")).alias(f"m_{tag}"),
+            F.col("c").alias(f"n_{tag}"),
+        )
+
+    r = centroids(ref, "ref")
+    c = centroids(cur, "cur")
+    joined = r.join(c, ["__g", "dim"])
+    out = joined.groupBy("__g").agg(
+        F.first("n_ref").cast("bigint").alias("n_ref"),
+        F.first("n_cur").cast("bigint").alias("n_cur"),
+        F.sum(F.col("m_ref") * F.col("m_cur")).alias("__dot"),
+        F.sum(F.col("m_ref") * F.col("m_ref")).alias("__nr"),
+        F.sum(F.col("m_cur") * F.col("m_cur")).alias("__nc"),
+    )
+    cos = F.when(
+        (F.col("__nr") > 0) & (F.col("__nc") > 0),
+        F.col("__dot") / (F.sqrt("__nr") * F.sqrt("__nc")),
+    )
+    ratio = F.when(F.col("__nr") > 0, F.sqrt("__nc") / F.sqrt("__nr"))
+    cols = [
+        F.col("n_ref"),
+        F.col("n_cur"),
+        cos.alias("centroid_cosine"),
+        ratio.alias("norm_ratio"),
+    ]
+    if group_col:
+        return out.select(F.col("__g").alias(group_col), *cols)
+    return out.select(*cols)

@@ -240,3 +240,39 @@ def export_jsonl_shards(
         )
         .orderBy("shard")
     )
+
+
+def private_release(
+    df,
+    quasi_cols: list[str],
+    k: int,
+    agg_keys: list[str],
+    value_col: str,
+    epsilon: float,
+    clamp: tuple[float, float],
+    seed: int = 0,
+):
+    """Privacy-gated aggregate release: suppress quasi-identifier classes
+    smaller than ``k`` (so no released aggregate is computed over a
+    re-identifiable population), then publish per-``agg_keys`` counts and
+    clamped sums under seeded Laplace noise — the standard
+    "k-anonymize the cohort, DP the statistics" belt-and-braces release.
+
+    Returns ``(released_df, audit_row)`` where the audit row is the
+    k-anonymity report of the SUPPRESSED table (its k_min is >= k by
+    construction — asserted in tests, so a regression in suppression
+    can't silently leak small cohorts into the release).
+
+    One QI-keyed exchange for suppression, one agg_keys exchange for the
+    release; the audit reuses the suppression aggregate's shape.
+    """
+    from g_data_pipeline_spark.operators import privacy
+
+    safe = privacy.suppress_rare_classes(df, quasi_cols, k)
+    audit = privacy.k_anonymity_report(safe, quasi_cols, thresholds=(k,))
+    counts = privacy.dp_grouped_counts(safe, agg_keys, epsilon, seed=seed)
+    sums = privacy.dp_grouped_sum(
+        safe, agg_keys, value_col, epsilon, clamp, seed=seed
+    )
+    released = counts.join(sums, agg_keys)
+    return released, audit

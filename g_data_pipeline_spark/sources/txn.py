@@ -266,3 +266,48 @@ def read_incremental(
         # append commits of empty frames: nothing new, live schema
         return read_committed(spark, table, newest).limit(0)
     return spark.read.parquet(*[f"{table}/{rel}" for rel in new_files])
+
+
+def consume_incremental(
+    spark: SparkSession,
+    src_table: str,
+    dest_table: str,
+    transform,
+    state_name: str = "default",
+) -> int | None:
+    """One tick of an incremental ETL between two manifest tables:
+    read the files ``src_table`` added since this consumer's last
+    processed version, apply ``transform(DataFrame) -> DataFrame``, and
+    publish the result to ``dest_table`` — EXACTLY ONCE end-to-end,
+    with no consumer-side checkpoint file at all.
+
+    The trick: the destination commit's ``run_id`` encodes the consumed
+    source version (``consume-<state_name>-upto-<v>``), so the
+    destination's own manifest history IS the checkpoint. A crash after
+    publish but before any bookkeeping cannot double-apply: the retry
+    re-derives the last consumed version from dest manifests and its
+    commit no-ops on the duplicate run_id. (The same idea as Kafka
+    transactional sink offsets, or foreachBatch + batch_id.)
+
+    Returns the new destination version, or None when there was nothing
+    new to consume. Raises (via read_incremental) if the source lineage
+    broke on an overwrite — the consumer must then rebuild dest from a
+    full snapshot.
+    """
+    prefix = f"consume-{state_name}-upto-"
+    last = 0
+    for v in _manifest_versions(spark, dest_table):
+        rid = _load_manifest(spark, dest_table, v)["run_id"]
+        if rid.startswith(prefix):
+            last = max(last, int(rid[len(prefix):]))
+    newest = latest_version(spark, src_table)
+    if newest is None or newest == last:
+        return None
+    delta = read_incremental(spark, src_table, since_version=last)
+    return commit_write(
+        spark,
+        transform(delta),
+        dest_table,
+        run_id=f"{prefix}{newest}",
+        mode="append",
+    )

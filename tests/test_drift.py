@@ -91,3 +91,49 @@ def test_report_reads_only_stats_rows(spark, lineitem, base):
     # both sides are checkpointed stats scans: no parquet scan anywhere
     assert "Scan parquet" not in plan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+# ------------------------------------------------- embedding centroid drift
+
+
+def test_centroid_drift_identical_snapshots(spark):
+    from g_data_pipeline_spark.catalog import load_table
+    from g_data_pipeline_spark.operators.drift import embedding_centroid_drift
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    r = embedding_centroid_drift(emb, emb).collect()[0]
+    assert r["n_ref"] == r["n_cur"] == 500
+    assert abs(r["centroid_cosine"] - 1.0) < 1e-12
+    assert abs(r["norm_ratio"] - 1.0) < 1e-12
+
+
+def test_centroid_drift_detects_flip_and_scale(spark):
+    from pyspark.sql import functions as F
+
+    from g_data_pipeline_spark.catalog import load_table
+    from g_data_pipeline_spark.operators.drift import embedding_centroid_drift
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    flipped = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    r = embedding_centroid_drift(flipped, emb).collect()[0]
+    assert abs(r["centroid_cosine"] + 1.0) < 1e-12  # exact opposite
+    assert abs(r["norm_ratio"] - 1.0) < 1e-12
+    doubled = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(2.0))
+    )
+    r2 = embedding_centroid_drift(doubled, emb).collect()[0]
+    assert abs(r2["centroid_cosine"] - 1.0) < 1e-12  # same direction
+    assert abs(r2["norm_ratio"] - 2.0) < 1e-9
+
+
+def test_centroid_drift_per_group(spark):
+    from g_data_pipeline_spark.catalog import load_table
+    from g_data_pipeline_spark.operators.drift import embedding_centroid_drift
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = embedding_centroid_drift(emb, emb, group_col="label").collect()
+    labels = {r["label"] for r in rows}
+    assert len(labels) == len(rows) >= 2
+    for r in rows:
+        assert abs(r["centroid_cosine"] - 1.0) < 1e-12

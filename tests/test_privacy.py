@@ -177,3 +177,39 @@ def test_dp_sum_rejects_bad_clamp(spark):
         privacy.dp_grouped_sum(
             df, ["c_mktsegment"], "c_acctbal", 1.0, clamp=(1.0, 0.0)
         )
+
+
+def test_private_release_pipeline(spark):
+    from g_data_pipeline_spark.pipelines import private_release
+
+    df = load_table(spark, SF, "customer")
+    released, audit = private_release(
+        df,
+        quasi_cols=QI,
+        k=8,
+        agg_keys=["c_mktsegment"],
+        value_col="c_acctbal",
+        epsilon=2.0,
+        clamp=(0.0, 10000.0),
+        seed=9,
+    )
+    a = audit.collect()[0]
+    assert a["k_min"] >= 8          # suppression held
+    assert a["rows_below_8"] == 0
+    rows = released.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_noisy"] > 0
+        assert r["sum_noisy"] > 0
+    # deterministic release for a fixed seed
+    released2, _ = private_release(
+        df,
+        quasi_cols=QI,
+        k=8,
+        agg_keys=["c_mktsegment"],
+        value_col="c_acctbal",
+        epsilon=2.0,
+        clamp=(0.0, 10000.0),
+        seed=9,
+    )
+    assert {tuple(r) for r in rows} == {tuple(r) for r in released2.collect()}

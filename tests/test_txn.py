@@ -162,3 +162,48 @@ def test_read_incremental_guards(spark, table):
     # overwrite dropped v1's files from the lineage -> full-reprocess error
     with pytest.raises(ValueError):
         txn.read_incremental(spark, table, since_version=1)
+
+
+def test_consume_incremental_exactly_once_chain(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    double = lambda d: d.selectExpr("id", "v * 10 AS v10")  # noqa: E731
+
+    # tick with empty source: nothing to do
+    assert txn.consume_incremental(spark, src, dest, double) is None
+
+    txn.commit_write(spark, _df(spark, 0, 4), src, run_id="s1")
+    v = txn.consume_incremental(spark, src, dest, double)
+    assert v == 1
+    assert _ids(txn.read_committed(spark, dest)) == [0, 1, 2, 3]
+
+    # idle tick: no new source version -> no-op
+    assert txn.consume_incremental(spark, src, dest, double) is None
+    assert txn.latest_version(spark, dest) == 1
+
+    # second source commit -> only the delta flows
+    txn.commit_write(spark, _df(spark, 4, 6), src, run_id="s2", mode="append")
+    txn.consume_incremental(spark, src, dest, double)
+    out = {
+        (r.id, r.v10)
+        for r in txn.read_committed(spark, dest).collect()
+    }
+    assert out == {(i, i * 2 * 10) for i in range(6)}
+
+    # crash-retry simulation: calling consume again for the same source
+    # head must not duplicate (run_id dedup in commit_write)
+    assert txn.consume_incremental(spark, src, dest, double) is None
+    assert txn.read_committed(spark, dest).count() == 6
+
+
+def test_consume_incremental_raises_on_broken_lineage(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    ident = lambda d: d  # noqa: E731
+    txn.commit_write(spark, _df(spark, 0, 3), src, run_id="s1")
+    txn.consume_incremental(spark, src, dest, ident)
+    txn.commit_write(
+        spark, _df(spark, 50, 53), src, run_id="s2", mode="overwrite"
+    )
+    with pytest.raises(ValueError):
+        txn.consume_incremental(spark, src, dest, ident)
