@@ -311,3 +311,34 @@ def consume_incremental(
         run_id=f"{prefix}{newest}",
         mode="append",
     )
+
+
+def table_history(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE HISTORY for a manifest table: one row per committed
+    version — (version, parent, run_id, mode, n_files, n_new_files),
+    newest first. n_new_files = files not in the parent manifest (the
+    commit's own contribution). Driver-side over the manifest JSONs
+    (tiny by construction), returned as a DataFrame for uniformity."""
+    rows = []
+    prev_files: dict[int, set] = {}
+    for v in _manifest_versions(spark, table):
+        m = _load_manifest(spark, table, v)
+        files = set(m["files"])
+        parent = m.get("parent")
+        parent_files = prev_files.get(parent, set()) if parent else set()
+        rows.append(
+            (
+                v,
+                parent,
+                m["run_id"],
+                m["mode"],
+                len(files),
+                len(files - parent_files),
+            )
+        )
+        prev_files[v] = files
+    return spark.createDataFrame(
+        sorted(rows, reverse=True),
+        "version bigint, parent bigint, run_id string, mode string, "
+        "n_files bigint, n_new_files bigint",
+    )

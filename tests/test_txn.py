@@ -207,3 +207,21 @@ def test_consume_incremental_raises_on_broken_lineage(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         txn.consume_incremental(spark, src, dest, ident)
+
+
+def test_table_history(spark, table):
+    txn.commit_write(spark, _df(spark, 0, 4), table, run_id="r1")
+    txn.commit_write(
+        spark, _df(spark, 4, 6), table, run_id="r2", mode="append"
+    )
+    txn.commit_write(
+        spark, _df(spark, 9, 10), table, run_id="r3", mode="overwrite"
+    )
+    hist = txn.table_history(spark, table).collect()
+    assert [r["version"] for r in hist] == [3, 2, 1]
+    assert [r["run_id"] for r in hist] == ["r3", "r2", "r1"]
+    assert hist[0]["mode"] == "overwrite"
+    v1, v2, v3 = hist[2], hist[1], hist[0]
+    assert v2["n_files"] == v1["n_files"] + v2["n_new_files"]
+    assert v3["n_files"] == v3["n_new_files"]  # overwrite starts fresh
+    assert v1["parent"] is None and v2["parent"] == 1 and v3["parent"] == 2
