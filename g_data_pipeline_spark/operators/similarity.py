@@ -619,3 +619,80 @@ def assign_to_centroids(
         (-best["negcell"]).alias(cell_col),
         best["cos"].alias("cos"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining — contrastive-training pairs from the IVF index
+# --------------------------------------------------------------------------
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+    seed: int = 42,
+) -> DataFrame:
+    """Contrastive-training pair mining: for EVERY vector, its top-k most
+    similar non-duplicate neighbors — the "hard negatives" an embedding
+    model trains against (high-similarity, semantically different). The
+    standard recipe (e.g. DPR, Karpukhin et al. 2020: BM25/ANN hard
+    negatives; here ANN): candidates from the IVF cell structure, exact
+    cosine re-rank, near-duplicates EXCLUDED (cos >= dup_threshold is a
+    dup/positive, not a negative).
+
+    Output: (anchor_id, neighbor_id, cos, rank[, anchor_label,
+    neighbor_label, is_cross_label]) — with a label column, cross-label
+    high-cosine pairs are the canonical hard negatives; same-label pairs
+    double as in-batch positives.
+
+    Scale shape: unlike ivf_topk (few queries -> broadcast probes), BOTH
+    sides here are the whole corpus, so the candidate join is a plain
+    sort-merge keyed on ``cell`` — per-cell candidate volume is
+    |cell| x n_probe-fanin, the IVF bound, never all-pairs. One window
+    (WindowGroupLimit) takes the top-k per anchor."""
+    centroids = train_centroids(
+        corpus, n_centroids, id_col, vec_col, seed=seed
+    )
+    index = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__n_vec"),
+        *([F.col(label_col).alias("neighbor_label")] if label_col else []),
+        _nearest_centroid_expr(vec_col, centroids).alias("cell"),
+    )
+    probes = corpus.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__a_vec"),
+        *([F.col(label_col).alias("anchor_label")] if label_col else []),
+        F.explode(
+            _probe_centroids_expr(vec_col, centroids, n_probe)
+        ).alias("cell"),
+    )
+    cands = index.join(probes, "cell").filter(
+        F.col("neighbor_id") != F.col("anchor_id")
+    )
+    scored = (
+        cands.select(
+            "anchor_id",
+            "neighbor_id",
+            *(["anchor_label", "neighbor_label"] if label_col else []),
+            cosine_sim("__a_vec", "__n_vec").alias("cos"),
+        )
+        .dropDuplicates(["anchor_id", "neighbor_id"])
+        .filter(F.col("cos") < F.lit(float(dup_threshold)))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    if label_col:
+        out = out.withColumn(
+            "is_cross_label",
+            (F.col("anchor_label") != F.col("neighbor_label")).cast("int"),
+        )
+    return out
