@@ -203,3 +203,43 @@ def chunk_tokens(
             F.least(F.lit(chunk_size), n - s).cast("int").alias("n_tokens"),
         ),
     )
+
+
+def luhn_valid(col: Column | str) -> Column:
+    """Luhn checksum (ISO/IEC 7812) over a digits-only string, as pure
+    expressions: reverse, double every second digit (minus 9 when > 9),
+    sum % 10 == 0. False for empty/non-digit input."""
+    c = F.col(col) if isinstance(col, str) else col
+    digits = F.filter(F.split(F.reverse(c), ""), lambda ch: ch != "")
+    term = F.transform(
+        digits,
+        lambda ch, i: F.when(
+            i % 2 == 1,
+            F.when(
+                ch.cast("int") * 2 > 9, ch.cast("int") * 2 - 9
+            ).otherwise(ch.cast("int") * 2),
+        ).otherwise(ch.cast("int")),
+    )
+    total = F.aggregate(term, F.lit(0), lambda acc, x: acc + x)
+    return c.rlike(r"^\d{13,19}$") & (total % 10 == 0)
+
+
+def find_credit_cards(col: Column | str) -> Column:
+    """Luhn-VERIFIED card numbers in free text -> array<string> of the
+    digits-only forms. A bare \\d{13,19} regex false-positives on order
+    ids, timestamps, and phone numbers constantly; the Luhn check kills
+    ~90% of random digit runs (only 1 in 10 passes), which is why
+    flag-then-review pipelines verify before redacting. Candidates may
+    be space- or dash-separated groups (the common card formattings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cands = F.regexp_extract_all(c, F.lit(r"(?<![\d-])\d(?:[ -]?\d){12,18}(?![\d-])"), 0)
+    cleaned = F.transform(
+        cands, lambda s: F.regexp_replace(s, r"[ -]", "")
+    )
+    return F.filter(cleaned, lambda d: luhn_valid(d))
+
+
+def has_credit_card(col: Column | str) -> Column:
+    """True when the text contains at least one Luhn-valid card number —
+    the quarantine/flag gate for pre-training PII review."""
+    return F.size(find_credit_cards(col)) > 0

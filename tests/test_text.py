@@ -109,3 +109,46 @@ def test_chunk_tokens_rejects_bad_overlap():
 
     with _pytest.raises(ValueError):
         X.chunk_tokens("text", 4, 4)
+
+
+# ----------------------------------------------------- Luhn card detection
+
+
+def test_luhn_valid_known_vectors(spark):
+    rows = [
+        ("4111111111111111", True),   # classic Visa test number
+        ("4012888888881881", True),
+        ("5555555555554444", True),   # Mastercard test number
+        ("4111111111111112", False),  # off-by-one checksum
+        ("1234567812345678", False),
+        ("123", False),               # too short
+        ("", False),
+        ("41111111111111a1", False),  # non-digit
+    ]
+    df = spark.createDataFrame(rows, "d string, want boolean")
+    bad = df.filter(X.luhn_valid("d") != F.col("want")).collect()
+    assert bad == []
+
+
+def test_find_credit_cards_in_text(spark):
+    rows = [
+        (1, "pay 4111-1111-1111-1111 now", ["4111111111111111"]),
+        (2, "also 4012 8888 8888 1881 ok", ["4012888888881881"]),
+        (3, "order 4111111111111112 isn't a card", []),   # fails Luhn
+        (4, "call 555 123 4567", []),                     # too short
+        (5, "ts 20260815061500 fine", []),                # 14d, bad Luhn
+        (6, "two: 4111111111111111 5555555555554444",
+            ["4111111111111111", "5555555555554444"]),
+        (7, "", []),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string, want array<string>")
+    got = {
+        r["id"]: (sorted(r["c"]), r["h"])
+        for r in df.select(
+            "id",
+            X.find_credit_cards("text").alias("c"),
+            X.has_credit_card("text").alias("h"),
+        ).collect()
+    }
+    for rid, _, want in rows:
+        assert got[rid] == (sorted(want), bool(want)), rid
