@@ -120,3 +120,55 @@ def corpus_datasheet_composition(
         )
         .orderBy("dimension", F.desc("n_docs"), "value")
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-language tokenizer-fertility report: how many sub-word-ish
+    tokens the BPE-style pre-tokenizer emits per whitespace word, and
+    characters per sub-word token — the standard multilingual corpus
+    diagnostic (high fertility = the tokenizer fragments that language,
+    inflating its effective training cost; mT5/BLOOM report exactly
+    this). One grouped aggregate; ratios from integer sums, so the
+    report is deterministic.
+
+    Output: (language, n_docs, n_words, n_subword_tokens,
+    fertility_micro = floor(1e6 * subword/words),
+    chars_per_token_micro)."""
+    from g_data_pipeline_spark.functions.text import (
+        bpe_token_count,
+        lang_id,
+        token_count,
+    )
+
+    prepared = df.select(
+        lang_id(text_col).alias("language"),
+        token_count(text_col).cast("long").alias("__w"),
+        bpe_token_count(text_col).cast("long").alias("__t"),
+        F.length(text_col).cast("long").alias("__c"),
+    )
+    agg = prepared.groupBy("language").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__w").cast("bigint").alias("n_words"),
+        F.sum("__t").cast("bigint").alias("n_subword_tokens"),
+        F.sum("__c").cast("bigint").alias("__chars"),
+    )
+    return agg.select(
+        "language",
+        "n_docs",
+        "n_words",
+        "n_subword_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.floor(
+                F.col("n_subword_tokens") * F.lit(1_000_000) / F.col("n_words")
+            ).cast("bigint"),
+        ).alias("fertility_micro"),
+        F.when(
+            F.col("n_subword_tokens") > 0,
+            F.floor(
+                F.col("__chars") * F.lit(1_000_000) / F.col("n_subword_tokens")
+            ).cast("bigint"),
+        ).alias("chars_per_token_micro"),
+    ).orderBy("language")

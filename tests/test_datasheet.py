@@ -90,3 +90,38 @@ def test_datasheet_composition_shares(spark):
         for r in docs.select(lang_id("text").alias("l")).distinct().collect()
     }
     assert {r["value"] for r in dims["language"]} == langs
+
+
+def test_tokenizer_fertility(spark):
+    docs = load_table(spark, SF, "documents")
+    rows = datasheet.tokenizer_fertility(docs).collect()
+    assert rows and all(r["n_docs"] > 0 for r in rows)
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # cross-check one language's sums against a direct recompute
+    from g_data_pipeline_spark.functions.text import (
+        bpe_token_count,
+        lang_id,
+        token_count,
+    )
+
+    direct = (
+        docs.select(
+            lang_id("text").alias("l"),
+            token_count("text").cast("long").alias("w"),
+            bpe_token_count("text").cast("long").alias("t"),
+        )
+        .groupBy("l")
+        .agg(F.sum("w").alias("w"), F.sum("t").alias("t"))
+        .collect()
+    )
+    want = {r["l"]: (r["w"], r["t"]) for r in direct}
+    for r in rows:
+        assert (r["n_words"], r["n_subword_tokens"]) == want[r["language"]]
+        if r["n_words"] > 0:
+            assert (
+                r["fertility_micro"]
+                == r["n_subword_tokens"] * 1_000_000 // r["n_words"]
+            )
+            # sub-word tokenization never merges words: fertility >= ~1
+            assert r["fertility_micro"] >= 900_000
