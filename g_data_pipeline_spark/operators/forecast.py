@@ -25,7 +25,7 @@ parity is bitwise, not approximate).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -160,4 +160,50 @@ def holt_winters_additive(
             + F.lit(float(h)) * fitted["trend"]
             + F.element_at(fitted["seas"], slot + 1)
         ).alias("forecast"),
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    period: int,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal-naive anomaly flags: the point forecast for y_t is simply
+    y_{t-m} (same slot last season); residuals r_t = y_t - y_{t-m} are
+    z-scored against the KEY's own residual distribution and |z| >
+    ``z_threshold`` flags the row. The robust-and-dumb baseline every
+    alerting stack ships before (and usually alongside) a model — immune
+    to trend level, catches spikes/drops, explainable in one sentence.
+
+    Output: key cols, order col, value, expected (y_{t-m}), residual,
+    z (double, NULL for the first season or degenerate std), is_anomaly
+    (int). Plan: one key shuffle shared by the lag window and the
+    residual-stats window (same partitioning); no second exchange."""
+    m = int(period)
+    if m < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    v = F.col(value_col).cast("double")
+    lagged = df.withColumn("expected", F.lag(v, m).over(w))
+    resid = lagged.withColumn("residual", v - F.col("expected"))
+    stats = Window.partitionBy(*key_cols)
+    mu = F.avg("residual").over(stats)
+    sd = F.stddev_samp("residual").over(stats)
+    z = F.when(
+        F.col("residual").isNotNull() & (sd > 0),
+        (F.col("residual") - mu) / sd,
+    )
+    return resid.select(
+        *key_cols,
+        order_col,
+        v.alias(value_col),
+        "expected",
+        "residual",
+        z.alias("z"),
+        F.when(F.abs(z) > F.lit(float(z_threshold)), 1)
+        .otherwise(0)
+        .alias("is_anomaly"),
     )

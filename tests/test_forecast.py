@@ -152,3 +152,39 @@ def test_forecast_single_shuffle(spark, daily):
 def test_holt_winters_rejects_bad_period(spark, daily):
     with pytest.raises(ValueError):
         forecast.holt_winters_additive(daily, ["event_type"], "d", "c", period=1)
+
+
+def test_seasonal_anomalies_flags_planted_spike(spark):
+    m, n = 7, 70
+    base = [100.0 + [0, 5, 3, -2, -4, 8, 1][t % 7] for t in range(n)]
+    base[50] += 60.0  # planted spike
+    rows = [(1, t, base[t]) for t in range(n)]
+    df = spark.createDataFrame(rows, "k int, t int, y double")
+    out = forecast.seasonal_anomalies(df, ["k"], "t", "y", period=m)
+    flagged = [r["t"] for r in out.filter("is_anomaly = 1").collect()]
+    # the spike is flagged at t=50 and echoes at t=57 (it is the
+    # seasonal-naive EXPECTATION one season later)
+    assert 50 in flagged
+    assert set(flagged) <= {50, 57}
+    rows_by_t = {r["t"]: r for r in out.collect()}
+    # first season has no expectation
+    for t in range(m):
+        assert rows_by_t[t]["expected"] is None
+        assert rows_by_t[t]["is_anomaly"] == 0
+    assert rows_by_t[50]["expected"] == pytest.approx(base[50 - m])
+    assert abs(rows_by_t[50]["z"]) > 3
+
+
+def test_seasonal_anomalies_single_shuffle(spark):
+    rows = [(1, t, float(t % 5)) for t in range(20)]
+    df = spark.createDataFrame(rows, "k int, t int, y double")
+    rep = plan_report(
+        forecast.seasonal_anomalies(df, ["k"], "t", "y", period=5)
+    )
+    assert rep["shuffles"] == 1
+
+
+def test_seasonal_anomalies_rejects_bad_period(spark):
+    df = spark.createDataFrame([(1, 0, 1.0)], "k int, t int, y double")
+    with pytest.raises(ValueError):
+        forecast.seasonal_anomalies(df, ["k"], "t", "y", period=0)
