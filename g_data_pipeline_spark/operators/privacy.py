@@ -73,9 +73,11 @@ def l_diversity_report(
     l-diversity — 1 means some class leaks its sensitive value outright),
     ``n_classes``, and ``n_homogeneous_classes`` (l == 1).
 
-    Two stacked aggregates on the same (QI, sensitive) key prefix — the
-    second groupBy(QI) reuses the first shuffle's partitioning, so the
-    sensitive-pair dedup and the class fold cost ONE exchange."""
+    Exchange inventory (pinned in tests/test_plan_sweep_extras.py):
+    pair dedup keyed (QI, sensitive), class fold keyed QI — different
+    keys, so two data-sized exchanges are inherent to distinct-count —
+    plus the 1-row report aggregate. All three carry aggregate buffers,
+    never raw rows, after the map-side partials."""
     pairs = df.select(*quasi_cols, sensitive_col).distinct()
     classes = pairs.groupBy(*quasi_cols).agg(
         F.count(F.lit(1)).alias("l_value")
