@@ -74,6 +74,12 @@ def bootstrap_mean_ci(
         raise ValueError(f"confidence must be in (0.5, 1), got {confidence}")
     gcols = list(group_cols or [])
     alpha = 1.0 - confidence
+    # NULL values would bias replica means toward zero: sum(__w * __v)
+    # skips null-value rows while sum(__w) would still count their
+    # weights, so the CI would no longer be centered on the point
+    # estimate (which avg() computes over non-null rows only). Resample
+    # exactly the population the point estimate covers.
+    df = df.filter(F.col(value_col).isNotNull())
     key = F.concat_ws(
         "\x1f", *[F.col(c).cast("string") for c in key_cols]
     )

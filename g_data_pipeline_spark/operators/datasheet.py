@@ -72,7 +72,12 @@ def corpus_datasheet_stats(
         .cast("bigint")
         .alias("mean_quality_micro"),
         "n_distinct_fps",
-        (
+        # floor the fractional quotient BEFORE the bigint cast (long/long
+        # '/' is a double divide; a bare cast TRUNCATES in Spark but
+        # ROUNDS in DuckDB, and IEEE division can round the quotient up
+        # across an integer boundary) — same integer-floor convention as
+        # share_micro / fertility_micro.
+        F.floor(
             (F.col("n_docs") - F.col("n_distinct_fps"))
             * F.lit(1_000_000)
             / F.col("n_docs")

@@ -203,8 +203,13 @@ def embedding_centroid_drift(
     c = centroids(cur, "cur")
     joined = r.join(c, ["__g", "dim"])
     out = joined.groupBy("__g").agg(
-        F.first("n_ref").cast("bigint").alias("n_ref"),
-        F.first("n_cur").cast("bigint").alias("n_cur"),
+        # MAX, not FIRST: with ragged (different-length) vectors in a
+        # group the per-dimension counts differ and F.first is
+        # nondeterministic — max = "rows that carry dimension 0..k", a
+        # deterministic upper envelope. (Fixed-length vectors per group,
+        # the documented contract, make every per-dim count equal.)
+        F.max("n_ref").cast("bigint").alias("n_ref"),
+        F.max("n_cur").cast("bigint").alias("n_cur"),
         F.sum(F.col("m_ref") * F.col("m_cur")).alias("__dot"),
         F.sum(F.col("m_ref") * F.col("m_ref")).alias("__nr"),
         F.sum(F.col("m_cur") * F.col("m_cur")).alias("__nc"),

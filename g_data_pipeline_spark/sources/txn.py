@@ -132,17 +132,32 @@ def commit_write(
     the parent manifest's files; ``'overwrite'`` replaces them (the old
     files stay on disk for time travel until vacuumed). Returns the
     committed version. Re-invoking with a ``run_id`` that already
-    committed returns its existing version without writing a manifest."""
+    committed returns its existing version without writing a manifest.
+
+    Concurrency: two writers sharing a run_id (zombie driver + retry)
+    can both pass the pre-stage idempotence check, so (a) each attempt
+    stages under its own ``<run_id>-<attempt-uuid>`` dir — a restage can
+    never clobber part files a winner's manifest already references —
+    and (b) the version-race retry loop re-checks the re-listed
+    manifests for the run_id and returns the winner's version instead of
+    committing a duplicate. A loser's orphaned attempt dir is never
+    referenced by any manifest and is reclaimed by
+    :func:`vacuum_uncommitted`."""
+    import uuid
+
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     for v in reversed(_manifest_versions(spark, table)):
         if _load_manifest(spark, table, v)["run_id"] == run_id:
             return v
-    staging = f"{table}/{STAGING_DIR}/{run_id}"
+    staging = f"{table}/{STAGING_DIR}/{run_id}-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(staging)
     new_files = _staged_files(spark, staging)
     while True:
         versions = _manifest_versions(spark, table)
+        for v in reversed(versions):
+            if _load_manifest(spark, table, v)["run_id"] == run_id:
+                return v  # concurrent holder of our run_id won: idempotent
         version = (versions[-1] + 1) if versions else 1
         if mode == "append" and versions:
             parent_files = _load_manifest(spark, table, versions[-1])["files"]

@@ -730,30 +730,46 @@ def txn_commit_sink(
     table: str,
     checkpoint_dir: str,
     timeout_s: int = 120,
+    sink_name: str | None = None,
 ):
     """Exactly-once streaming publish into a manifest-committed table
     (sources/txn.py): every micro-batch is staged and committed with
-    ``run_id = f"batch-{batch_id}"``. Structured Streaming replays a
-    failed epoch under the SAME batch_id, and ``commit_write`` returns
-    the already-committed version for a known run_id without writing a
-    new manifest — so replays are no-ops BY THE COMMIT PROTOCOL, not by
-    partition-overwrite gymnastics. Readers (``txn.read_committed``) see
-    each batch atomically: never a half-written micro-batch, even if the
-    writer dies between staging and manifest rename.
+    ``run_id = f"{sink_name}-batch-{batch_id}"``. Structured Streaming
+    replays a failed epoch under the SAME batch_id, and ``commit_write``
+    returns the already-committed version for a known run_id without
+    writing a new manifest — so replays are no-ops BY THE COMMIT
+    PROTOCOL, not by partition-overwrite gymnastics. Readers
+    (``txn.read_committed``) see each batch atomically: never a
+    half-written micro-batch, even if the writer dies between staging
+    and manifest rename.
+
+    Batch ids restart at 0 PER CHECKPOINT, so the run_id must be
+    namespaced per logical query: a second stream (or a restart with a
+    fresh checkpoint dir) writing the same table would otherwise collide
+    with already-committed ``batch-0`` run_ids and commit_write would
+    silently no-op, DROPPING the new stream's data. ``sink_name``
+    defaults to a stable hash of the checkpoint dir — same checkpoint →
+    same namespace (replay idempotence preserved), different checkpoint
+    → disjoint run_ids (no cross-query collisions).
 
     Contrast with :func:`exactly_once_parquet_sink`: that one makes the
     PHYSICAL WRITE idempotent (dynamic partition overwrite); this one
     makes the COMMIT idempotent and adds atomic visibility + time travel.
     Returns the per-batch writer so tests can invoke simulated replays.
     """
+    import hashlib
+
     from g_data_pipeline_spark.sources import txn
+
+    if sink_name is None:
+        sink_name = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         txn.commit_write(
             batch_df.sparkSession,
             batch_df,
             table,
-            run_id=f"batch-{int(batch_id)}",
+            run_id=f"{sink_name}-batch-{int(batch_id)}",
             mode="append",
         )
 

@@ -66,6 +66,67 @@ def test_txn_commit_sink_streams_batches_atomically(spark, tmp_path):
     assert got == [1, 2, 3]
 
 
+def test_txn_commit_sink_second_stream_does_not_collide(spark, tmp_path):
+    """Batch ids restart at 0 per checkpoint: a SECOND streaming query
+    (fresh checkpoint dir) into the same table must append its batch-0,
+    not silently no-op against the first query's batch-0 run_id."""
+    src1 = tmp_path / "src1"
+    src1.mkdir()
+    _write_jsonl(src1 / "a.jsonl", [(1, "alpha")])
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    _write_jsonl(src2 / "b.jsonl", [(2, "beta")])
+    table = str(tmp_path / "tbl")
+    txn_commit_sink(
+        _docs_stream(spark, str(src1)), table, str(tmp_path / "ckpt1")
+    )
+    txn_commit_sink(
+        _docs_stream(spark, str(src2)), table, str(tmp_path / "ckpt2")
+    )
+    got = sorted(
+        r.doc_id for r in txn.read_committed(spark, table).collect()
+    )
+    assert got == [1, 2], "second query's batch-0 was dropped"
+    # same checkpoint dir -> same namespace -> replay still idempotent
+    txn_commit_sink(
+        _docs_stream(spark, str(src2)), table, str(tmp_path / "ckpt2")
+    )
+    got = sorted(
+        r.doc_id for r in txn.read_committed(spark, table).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_commit_write_version_race_rechecks_run_id(spark, tmp_path):
+    """A writer that loses the version race to a CONCURRENT HOLDER OF ITS
+    OWN run_id must return the winner's version, not commit a duplicate.
+    Simulated by injecting the winner's manifest after the loser's
+    pre-stage idempotence check has already passed."""
+    table = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a")], _SCHEMA)
+
+    real_staged = txn._staged_files
+    state = {"injected": False}
+
+    def inject_then_list(spark_, staging):
+        # runs after the loser staged, before its commit loop lists
+        # manifests: the "winner" (same run_id) commits now.
+        files = real_staged(spark_, staging)
+        if not state["injected"]:
+            state["injected"] = True
+            txn.commit_write(spark_, df1, table, run_id="shared")
+        return files
+
+    txn._staged_files = inject_then_list
+    try:
+        v = txn.commit_write(spark, df1, table, run_id="shared")
+    finally:
+        txn._staged_files = real_staged
+    assert v == 1, "loser committed a duplicate version"
+    assert txn.latest_version(spark, table) == 1
+    assert [r.doc_id for r in txn.read_committed(spark, table).collect()] == [1]
+
+
 # -------------------------------------------------------------- group_split
 
 
