@@ -100,3 +100,73 @@ def exact_percentiles_distributed(
         hi = by_global[min(int(h) + 1, n - 1)]
         out[p] = lo + (h - int(h)) * (hi - lo)
     return out
+
+
+def grouped_weighted_lower_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Per-group LOWER WEIGHTED MEDIAN — the smallest value whose
+    cumulative weight reaches half the group total (2*cumw >= totw) —
+    without ever sorting a fact-sized frame under a low-cardinality
+    partition key (the 3-partition window sort this replaces caps
+    parallelism at #groups whatever the cluster size).
+
+    Weighted extension of the range-partitioned order-statistics idea
+    above, fully lazy (no driver actions):
+
+    1. reduce to one row per (group, value): ``wv = sum(weight)`` — a
+       map-side-combinable shuffle on the HIGH-cardinality composite key;
+       ties collapse here, so no tiebreak column is ever needed;
+    2. bucket values by ``floor(value / bucket_width)`` (a pure function
+       of the value — deterministic, no physical-partitioning coupling);
+       per-(group, bucket) weight totals are a tiny second reduce;
+    3. per-group windows over the BUCKET TOTALS (#buckets rows, bounded
+       by the value span / bucket_width, not the data volume) yield each
+       bucket's preceding-weight offset and the group total;
+    4. broadcast the offsets back; a per-(group, bucket) local window
+       completes the exact cumulative weight; filter + min picks the
+       median value.
+
+    Every fact-sized stage shuffles on (group, value) or (group, bucket)
+    — parallelism scales with value cardinality, not group count.
+    Output: (*group_cols, total_weight, wmedian) with the input column
+    types preserved.
+    """
+    g = list(group_cols)
+    per_v = df.groupBy(*g, value_col).agg(F.sum(weight_col).alias("__wv"))
+    per_v = per_v.withColumn(
+        "__bkt", F.floor(F.col(value_col) / F.lit(int(bucket_width)))
+    )
+    btot = per_v.groupBy(*g, "__bkt").agg(F.sum("__wv").alias("__btot"))
+    w_off = (
+        Window.partitionBy(*g)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*g)
+    offs = btot.select(
+        *g,
+        "__bkt",
+        F.coalesce(F.sum("__btot").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__btot").over(w_all).alias("__tw"),
+    )
+    w_loc = (
+        Window.partitionBy(*g, "__bkt")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_v.join(F.broadcast(offs), [*g, "__bkt"]).withColumn(
+        "__cw", F.sum("__wv").over(w_loc) + F.col("__off")
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("__cw") >= F.col("__tw"))
+        .groupBy(*g)
+        .agg(
+            F.min("__tw").alias("total_weight"),
+            F.min(value_col).alias("wmedian"),
+        )
+    )

@@ -16,7 +16,7 @@ operator, one shuffle on the keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,4 +73,52 @@ def session_window_agg(
         F.col("session_window.start").alias("s_start"),
         F.col("session_window.end").alias("s_end"),
         *[c for c in out.columns if c != "session_window"],
+    )
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Scale-safe GLOBAL running sum of ``value_col`` in ``order_col``
+    order — the two-phase prefix sum that replaces a single-partition
+    ``Window.orderBy(order_col)`` (which serializes the whole frame onto
+    one task, the classic 100 TB scale-killer).
+
+    Phase 1: rows bucket by ``floor(order_col / bucket_width)`` — a pure
+    function of the VALUE, so the decomposition is deterministic and does
+    not depend on physical partitioning or exchange reuse — and a
+    per-bucket window computes the local prefix.
+    Phase 2: per-bucket totals (a map-side-combinable aggregate, one tiny
+    row per bucket) get a cumulative offset via a window over #buckets
+    rows (bounded by the ORDER-KEY SPAN / bucket_width — e.g. hours in the
+    dataset — not by the data volume), then broadcast-join back.
+
+    Requires ``order_col`` values unique per row (or rows within a tie
+    interchangeable for the caller's downstream use): within a bucket the
+    local window orders by ``order_col`` alone.
+    """
+    bkt = F.floor(F.col(order_col) / F.lit(int(bucket_width)))
+    with_b = df.withColumn("__bkt", bkt)
+    w_local = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_b.withColumn("__loc", F.sum(value_col).over(w_local))
+    totals = with_b.groupBy("__bkt").agg(F.sum(value_col).alias("__tot"))
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__bkt",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bkt")
+        .withColumn(out_col, F.col("__loc") + F.col("__off"))
+        .drop("__bkt", "__loc", "__off")
     )

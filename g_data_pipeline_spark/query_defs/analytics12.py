@@ -18,6 +18,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from g_data_pipeline_spark.catalog import load_table
+from g_data_pipeline_spark.operators.percentiles import (
+    grouped_weighted_lower_median,
+)
 from g_data_pipeline_spark.queries import register
 
 _OCENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
@@ -117,41 +120,33 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median of extended price per return flag — the
     lower weighted median: the smallest price whose cumulative weight
     reaches half the total (2*cumw >= totw, all exact integer centi-unit
-    weights, so no float ever crosses the comparison). The chosen VALUE is
-    tie-order independent (equal prices share a value; unequal prices are
-    totally ordered), the orderkey/linenumber tiebreak just makes the
-    cumulative sum itself reproducible. Shape: one flag-partitioned window
-    sort over the fact scan + the same-partition total — Catalyst reuses
-    the single exchange; at 100 TB the per-flag sort swaps for the
-    range-partitioned percentile kernel (operators/percentiles.py)."""
+    weights, so no float ever crosses the comparison).
+
+    Scale shape (round-6): the grouped weighted-selection kernel
+    (operators/percentiles.grouped_weighted_lower_median) — reduce per
+    (flag, price), bucket prices, per-flag cumulative offsets over the
+    tiny bucket totals broadcast back, per-(flag, bucket) local windows.
+    NO fact-sized sort under the 3-value flag key anywhere (the previous
+    shape capped parallelism at 3 whatever the cluster size; plan-pinned
+    in tests/test_plans6.py). The oracle keeps its per-row cumulative
+    formulation: the smallest value whose row passes 2*cw >= tw is
+    identical whether cw is accumulated per row or per distinct value,
+    because within one value the largest row-cumulative equals the
+    distinct-value cumulative. Bucket width 2^17 cents keeps the offset
+    tables at ~100 rows per flag for TPC-H's price span."""
     li = load_table(spark, sf_dir, "lineitem")
     x = li.select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
         F.round(F.col("l_quantity") * 100).cast("long").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    wcum = (
-        Window.partitionBy("flag")
-        .orderBy("v", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    med = grouped_weighted_lower_median(
+        x, ["flag"], "v", "w", bucket_width=1 << 17
     )
-    wtot = Window.partitionBy("flag")
-    c = x.select(
-        "flag",
-        "v",
-        F.sum("w").over(wcum).alias("cw"),
-        F.sum("w").over(wtot).alias("tw"),
-    )
-    return (
-        c.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
-        .groupBy("flag")
-        .agg(
-            F.min("tw").cast("long").alias("total_weight"),
-            F.min("v").cast("long").alias("wmedian_cents"),
-        )
-        .withColumnRenamed("flag", "l_returnflag")
+    return med.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("total_weight").cast("long").alias("total_weight"),
+        F.col("wmedian").cast("long").alias("wmedian_cents"),
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from g_data_pipeline_spark.catalog import load_table
+from g_data_pipeline_spark.operators.windows import bucketed_running_sum
 from g_data_pipeline_spark.queries import register
 
 _GAP_US = 30 * 60 * 1_000_000  # 30 min, identical to e_sessionize
@@ -105,16 +106,24 @@ def e_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     session end, running sum), which counts overlaps in O(n log n) with no
     pairwise interval join anywhere. Overlap is inclusive: at a shared
     instant, starts order before ends (delta DESC), so touching sessions
-    count as concurrent; an END row reports its PRE-decrement value (run+1)
-    so an instant holding only session ends still counts the sessions that
-    are inclusively active there, and the per-instant concurrency (MAX
-    within the instant) is invariant to intra-tie order. The boundary
-    rows EXPLODE from one array of structs per session — never a union of
-    two selects over the session aggregate, which would run the
-    sessionization twice (the CLAUDE.md explode rule). The global ordered
-    sweep is a single-partition window over 2x|sessions| rows (fine for a
-    rollup); a 100 TB run swaps it for the two-phase partition-prefix sum
-    the range-partitioned percentile kernel documents."""
+    count as concurrent. The boundary rows EXPLODE from one array of
+    structs per session — never a union of two selects over the session
+    aggregate, which would run the sessionization twice (the CLAUDE.md
+    explode rule).
+
+    Scale shape (round-6; no single-partition window over the boundary
+    set anywhere — plan-pinned in tests/test_plans6.py): the sweep first
+    REDUCES per instant — grouping boundaries by ``us`` into
+    ``net = sum(delta)`` and ``starts = count(delta=1)``. Within an
+    instant, the running sum peaks right after its last START row, and an
+    ends-only instant reports its pre-decrement value — both equal
+    ``prefix_net(< us) + starts(us)``, so the per-instant max the oracle
+    computes row-by-row collapses to one closed form. The global prefix
+    of ``net`` then runs through the two-phase prefix sum
+    (operators/windows.bucketed_running_sum): hour-bucketed local
+    windows + a cumulative offset over #buckets rows (bounded by the time
+    SPAN, not the data volume) broadcast back. Every stage shuffles on
+    content keys (us, hour bucket); nothing serializes onto one task."""
     sessions = _sessions(spark, sf_dir)
     bounds = sessions.select(
         F.explode(
@@ -126,20 +135,22 @@ def e_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     ).select("b.us", "b.delta")
-    wsweep = Window.orderBy(F.col("us"), F.desc("delta")).rowsBetween(
-        Window.unboundedPreceding, 0
+    instants = bounds.groupBy("us").agg(
+        F.sum("delta").alias("net"),
+        F.sum(F.when(F.col("delta") == 1, F.lit(1)).otherwise(F.lit(0))).alias(
+            "starts"
+        ),
     )
-    run = bounds.select(
-        "us",
-        (
-            F.sum("delta").over(wsweep)
-            + F.when(F.col("delta") == -1, F.lit(1)).otherwise(F.lit(0))
-        ).alias("c"),
+    run = bucketed_running_sum(
+        instants, "us", "net", "cum_net", bucket_width=3_600_000_000
     )
     return (
-        run.groupBy("us")
-        .agg(F.max("c").cast("long").alias("concurrency"))
-        .select(F.col("us").cast("long").alias("us"), "concurrency")
+        run.select(
+            F.col("us").cast("long").alias("us"),
+            (F.col("cum_net") - F.col("net") + F.col("starts"))
+            .cast("long")
+            .alias("concurrency"),
+        )
         .orderBy(F.desc("concurrency"), "us")
         .limit(10)
     )

@@ -384,50 +384,61 @@ _BM25_SCORES_SQL = rf"""
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BM25 scores (doc_id, n_hit_terms, bm25_micro) for
     _BM25_TERMS — the Spark twin of _BM25_SCORES_SQL, shared by
-    t_bm25_topk and v_hybrid_rrf."""
+    t_bm25_topk and v_hybrid_rrf.
+
+    Scan discipline (round-6 rewrite; plan-pinned in tests/test_plans6.py):
+    NO token explode, NO per-token shuffle, and exactly TWO corpus scans.
+    Both passes project the same per-doc row (doc_id, dlen, tf per query
+    term) with ARRAY-LOCAL counting — ``size(filter(tokens, t = term))``
+    — so term frequency never leaves the row. Pass 1 reduces that
+    projection to ONE stats row (n_docs, avgdl, and per-term document
+    frequencies via count_if(tf>0) — idf needs nothing else); pass 2
+    broadcast-joins the stats row back and evaluates the whole BM25 sum
+    row-locally (each (doc, term) partial micro-rounded ONCE, integers
+    summed after — bit-identical to the oracle's per-posting-row
+    formulation). The previous shape re-derived a token explode in four
+    branches and scanned `documents` five times per v_hybrid_rrf plan;
+    column pruning diverges the branch subtrees, so ReuseExchange cannot
+    collapse them — the fix is to not need reuse at all."""
     docs = load_table(spark, sf_dir, "documents")
-    occ = (
-        docs.filter(F.trim("text") != "")
-        .select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    toks = X.tokens("text")
+    per_doc = docs.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.size(toks).alias("dlen"),
+        *[
+            F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"__tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
     )
-    dl = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
-    stats = dl.agg(
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    tf = (
-        occ.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    idf = (
-        tf.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(stats.select("n_docs")))
-        .select(
-            "token",
-            F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            ).alias("idf"),
-        )
+        *[
+            F.count_if(F.col(f"__tf{i}") > 0).alias(f"__df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
     k1, b = F.lit(1.2), F.lit(0.75)
-    scored = (
-        tf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
-        .join(F.broadcast(idf), "token")
-        .select(
-            "doc_id",
+
+    def idf(i: int):
+        return F.log(
+            (F.col("n_docs") - F.col(f"__df{i}") + F.lit(0.5))
+            / (F.col(f"__df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+
+    def s_micro(i: int):
+        tf = F.col(f"__tf{i}")
+        return F.when(
+            tf > 0,
             F.round(
                 F.lit(1e6)
                 * (
-                    F.col("idf")
+                    idf(i)
                     * (
-                        (F.col("tf") * (k1 + F.lit(1.0)))
+                        (tf * (k1 + F.lit(1.0)))
                         / (
-                            F.col("tf")
+                            tf
                             + k1
                             * (
                                 F.lit(1.0)
@@ -437,17 +448,22 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     )
                 )
-            )
-            .cast("long")
-            .alias("s_micro"),
-        )
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    n = len(_BM25_TERMS)
+    hit = sum(
+        (F.col(f"__tf{i}") > 0).cast("long") for i in range(n)
     )
+    score = sum(s_micro(i) for i in range(n))
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hit_terms"),
-            F.sum("s_micro").cast("long").alias("bm25_micro"),
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            hit.alias("n_hit_terms"),
+            score.cast("long").alias("bm25_micro"),
         )
+        .filter(F.col("n_hit_terms") > 0)
     )
 
 
@@ -462,10 +478,12 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (Robertson–Spärck Jones, k1=1.2, b=0.75) ranked retrieval for
     a fixed term query — the lexical half of hybrid search next to
-    v_cosine_topk's dense half. Everything derives from three keyed
-    aggregates over ONE token explode: doc lengths, term frequencies,
-    document frequencies; the 1-row corpus stats and the |terms|-row idf
-    table broadcast back onto the tf rows. Determinism: each (doc, term)
+    v_cosine_topk's dense half. Everything derives from ONE per-doc
+    aggregate over ONE token explode (see _bm25_scores — doc length and
+    per-term counts fused into a single reduce, ReuseExchange collapsing
+    the stats branch onto the same scan); the 1-row corpus stats and the
+    |terms|-row idf table broadcast back onto the melted tf rows.
+    Determinism: each (doc, term)
     partial score is micro-rounded ONCE (the t_unigram_logprob ln recipe —
     integer sums after, never a float sum), and top-20 rides a full
     (score, doc_id) tiebreak. Scale: shuffles key on token/doc_id; the

@@ -38,3 +38,75 @@ def test_skewed_partitioning_still_exact(spark):
     got = exact_percentiles_distributed(df, "v", [0.5], num_partitions=8)
     exp = df.agg(F.percentile("v", F.lit(0.5))).collect()[0][0]
     assert got[0.5] == exp
+
+
+# ------------------------- round-6 scale kernels -------------------------
+
+
+def test_bucketed_running_sum_matches_global_window(spark):
+    """Two-phase prefix sum == the single-partition window it replaces,
+    on keys that straddle bucket boundaries and buckets with gaps."""
+    from pyspark.sql import Window
+
+    from g_data_pipeline_spark.operators.windows import bucketed_running_sum
+
+    rows = [(k, (k * 37) % 11 - 5) for k in range(0, 5000, 3)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.run
+        for r in bucketed_running_sum(
+            df, "k", "v", "run", bucket_width=100
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: r.run
+        for r in df.select("k", F.sum("v").over(w).alias("run")).collect()
+    }
+    assert got == want
+
+
+def test_grouped_weighted_lower_median_matches_window_form(spark):
+    """Bucketed weighted-selection kernel == the per-row cumulative
+    formulation (the oracle's shape), including weight ties, duplicate
+    values, and a single-row group."""
+    from pyspark.sql import Window
+
+    from g_data_pipeline_spark.operators.percentiles import (
+        grouped_weighted_lower_median,
+    )
+
+    rows = []
+    for i in range(2000):
+        rows.append(("a", (i * 17) % 400, 1 + (i % 5)))
+        rows.append(("b", (i * 29) % 97, 1 + (i % 3)))
+    rows.append(("solo", 42, 7))
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+
+    got = {
+        r.g: (r.total_weight, r.wmedian)
+        for r in grouped_weighted_lower_median(
+            df, ["g"], "v", "w", bucket_width=13
+        ).collect()
+    }
+
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("g")
+    c = df.select(
+        "g",
+        "v",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    want = {
+        r.g: (r.tw, r.v)
+        for r in c.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("g")
+        .agg(F.min("tw").alias("tw"), F.min("v").alias("v"))
+        .collect()
+    }
+    assert got == want
