@@ -194,6 +194,10 @@ HEADLINE = [
     "t_readability",
     "d_boilerplate_lines",
     "d_cluster_size_profile",
+    # round-6 additions (first recorded cost becomes their baseline)
+    "d_substring_dedup",
+    "p_profile_moments",
+    "t_quality_scorecard",
 ]
 
 

@@ -87,15 +87,82 @@ from g_data_pipeline_spark import query_defs  # noqa: E402,F401
 # registered and graded locally by tests/driver_sim.py (and by the judge's
 # re-run of it).
 _DRIVER_WINDOW = (
-    # -- Round-5 rotation (see ROTATION.md). Rule: window entries MUST have
+    # -- Round-6 rotation (see ROTATION.md). Rule: window entries MUST have
     # an oracle (rows-only entries can never turn green — 8 slots were
     # wasted on them in round 2) and MUST output scalar columns only (the
     # driver's pandas canonicalizer crashes on array/map — the round-2
     # v_mean_pool red row). Both pinned by tests/test_registry_oracle.py.
     #
-    # (1) The r5 queue: the 14 oracle queries registered after the r4
-    # window froze (sim-green in r4). Confirming these re-closes the
-    # cumulative ledger: every oracle query driver-green at least once.
+    # (1) The r6 queue — ALL 25 round-5 extended-session registrations
+    # (sim-green since they landed; the one recurring process failure has
+    # been re-growing this queue, so round 6 promotes the ENTIRE queue
+    # first and trades any new oracle operator against the budget below).
+    "a_rfm_segments",
+    "a_trimmed_mean",
+    "a_benford_digits",
+    "g_unpivot",
+    "e_session_paths",
+    "t_word_length_profile",
+    "t_gopher_ngram_coverage",
+    "d_shingle_containment",
+    "t_quality_threshold_sweep",
+    "e_ewma_daily_volume",
+    "t_bm25_topk",
+    "v_hybrid_rrf",
+    "d_triangle_cliques",
+    "a_log2_histogram",
+    "a_gini_coefficient",
+    "a_weighted_median",
+    "a_entropy_mix",
+    "a_hhi_concentration",
+    "a_autocorr_lag1",
+    "a_basket_lift",
+    "e_concurrent_peak",
+    "e_bounce_rate",
+    "t_readability",
+    "d_boilerplate_lines",
+    "d_cluster_size_profile",
+    # -- (2) Round-6 NEW oracle operators, in-window the round they land
+    # (ROTATION.md rule 3): exact substring dedup (Lee et al. '21), the
+    # incremental profile's exact half, the fused scorecard surface.
+    "d_substring_dedup",
+    "p_profile_moments",
+    "t_quality_scorecard",
+    # -- (3) SURVEY §2 core representatives (one per round, standing).
+    "q1_pricing_summary",
+    "p_numeric_stats",
+    "a_salted_agg",
+    # -- (4) Freshness refreshes: the oldest cohort — entries whose newest
+    # green row is round 2 (four rounds old). 19 slots; the 6 youngest of
+    # the cohort (a_stratified_sample, p_null_unique_counts,
+    # p_correlation_matrix, p_top_values, v_cosine_topk, v_near_dup_pairs)
+    # roll to the round-7 budget.
+    "t_token_stats",
+    "t_quality_features",
+    "t_lang_id",
+    "t_fingerprint",
+    "t_shingle_count",
+    "t_scalar_functions",
+    "t_datetime_functions",
+    "t_chunk_documents",
+    "t_levenshtein_fuzzy",
+    "v_array_functions",
+    "pipeline_curate_documents",
+    "d_exact_dedup",
+    "d_fingerprint_dedup",
+    "d_ngram_jaccard_pairs",
+    "e_tumbling_hourly",
+    "e_sliding_2h_every_1h",
+    "e_session_windows",
+    "e_props_extract",
+    "a_asof_join",
+)
+
+# Queries promoted right after the pinned window (in this order);
+# bench.py and driver_sim still grade them every run.
+_ANALYTICS_HEAD = (
+    # Demoted from the r5 window for the round-6 repack — every one holds
+    # a fresh r5 green row (ROTATION.md).
     "a_groupwise_regression",
     "e_cumulative_users",
     "t_oov_rate",
@@ -110,8 +177,6 @@ _DRIVER_WINDOW = (
     "e_item_cooccurrence",
     "d_simhash_estimate_pairs",
     "e_ab_test",
-    # -- (2) Freshness refreshes deferred from r4: their only green row is
-    # round 1 (four rounds old).
     "s_except",
     "s_union_distinct",
     "s_intersect",
@@ -119,24 +184,17 @@ _DRIVER_WINDOW = (
     "g_pivot",
     "w_ntile_rank_dense",
     "w_range_frame",
-    # -- (3) Round-5 NEW operators, registered in-window the round they
-    # land (ROTATION.md rule 3), each swapped one-for-one against a
-    # holdover slot from section (4) below.
-    # Wave 1: FineWeb/C4 line-level curation + HTML→text extraction.
     "t_line_quality",
     "d_dup_line_removal",
     "t_html_to_text",
-    # Wave 2: scale-path dedup alternates (star CC, Bloom incremental).
     "d_cc_star",
     "d_incremental_bloom",
-    # Wave 3: event engagement/lifecycle analytics.
     "a_activity_streaks",
     "e_churn_risk",
     "e_power_users",
     "e_interarrival_stats",
     "e_daily_active_ratio",
     "e_first_touch_share",
-    # Wave 4: robust stats / distribution / star-join analytics.
     "a_mad_outliers",
     "a_decile_stats",
     "a_percent_of_total",
@@ -146,25 +204,12 @@ _DRIVER_WINDOW = (
     "a_rollup_time",
     "w_running_max_drawdown",
     "j_star_join_chain",
-    # Wave 5: text LM/novelty/balance reports, URL dedup, topic balance.
     "t_bigram_logprob",
     "t_ngram_novelty",
     "t_lang_balance",
     "t_case_profile",
     "d_url_dedup",
     "v_topic_balance",
-    # -- (4) SURVEY §2 core representatives topping the window to 50.
-    # (The 26 holdover slots this section held at round start were all
-    # consumed one-for-one by waves 1-5 — see ROTATION.md.)
-    "q1_pricing_summary",
-    "p_numeric_stats",
-    "a_salted_agg",
-)
-
-# Queries promoted right after the pinned window (in this order) — the 35
-# entries demoted from the round-3 window, all driver-green in r3
-# (ROTATION.md); bench.py and driver_sim still grade them every run.
-_ANALYTICS_HEAD = (
     # Demoted from the r4 window for the round-5 repack — every one holds
     # a fresh r4 green row (ROTATION.md), still graded every
     # driver_sim/bench run.
