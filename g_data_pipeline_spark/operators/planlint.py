@@ -95,6 +95,19 @@ def plan_report(df: DataFrame) -> dict:
             if "ReadSchema" in l
         ],
         "codegen_spans": counts.get("WholeStageCodegen", 0),
+        # windowspecdefinition(...) whose FIRST element is already a sort
+        # order (col ASC/DESC ...) has an EMPTY partition spec: the window
+        # serializes its whole input onto one task. Fine over a bounded
+        # frame (bucket offsets, per-day sketches, #sources rows); a
+        # scale-killer over anything data-sized.
+        "global_windows": sorted(
+            {
+                m.group(1)
+                for m in re.finditer(
+                    r"windowspecdefinition\((\S+) (?:ASC|DESC)", plan
+                )
+            }
+        ),
     }
 
 
@@ -102,6 +115,7 @@ def lint(
     df: DataFrame,
     *,
     allow_arrow: bool = False,
+    allow_global_window: bool = False,
     max_shuffles: int | None = None,
     forbid_sortmerge: bool = False,
 ) -> list[str]:
@@ -115,6 +129,10 @@ def lint(
     - ``max_shuffles``: flag plans exchanging more than the stated budget
       (a shuffle per join/agg is expected; N re-shuffles of the same
       data usually means a missing broadcast or reusable partitioning).
+    - Unpartitioned windows: flagged unless ``allow_global_window`` —
+      an empty partition spec serializes the window's input onto ONE
+      task; allow only when the input is provably bounded (an aggregate
+      over buckets/days/sources, or a WindowGroupLimit-pruned rank).
     - ``forbid_sortmerge``: flag SortMergeJoin where every join side is
       known-small (dim tables that should have broadcast)."""
     report = plan_report(df)
@@ -135,6 +153,19 @@ def lint(
                 f"{n}: Python (Arrow) eval node — acceptable only when no "
                 "JVM expression exists; pass allow_arrow=True to accept"
             )
+    # "__bkt*" leading columns are the two-phase kernels' offset windows
+    # (operators/windows.py): they run over per-bucket totals — bounded
+    # by the order-key span, not the data — so they are exempt.
+    unbounded_gw = [
+        c for c in report["global_windows"] if not c.startswith("__bkt")
+    ]
+    if not allow_global_window and unbounded_gw:
+        findings.append(
+            "unpartitioned Window over "
+            f"{unbounded_gw}: single-task sort of the whole "
+            "input — bucket the window (operators/windows.py kernels) or "
+            "pass allow_global_window=True for a provably bounded frame"
+        )
     if max_shuffles is not None and report["shuffles"] > max_shuffles:
         findings.append(
             f"{report['shuffles']} Exchange nodes > budget {max_shuffles}: "

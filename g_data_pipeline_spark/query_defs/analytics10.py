@@ -110,16 +110,27 @@ def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Account-balance decile report (NTILE over a TOTAL order — cents
-    then custkey, so bucket boundaries are deterministic). The global
-    NTILE sorts the CUSTOMER dimension, not a fact table; at 100 TB the
-    equivalent report comes from operators/percentiles.py's
-    range-partition kernel (decile edges) + a broadcast bucket join —
-    both paths documented, this one gated."""
+    then custkey, so bucket boundaries are deterministic). Scale shape
+    (round-6): the global NTILE runs through the two-phase row-index
+    kernel (operators/windows.bucketed_row_index + ntile_from_index) —
+    cents-bucketed local row numbers + tiny cumulative offsets broadcast
+    back — never a single-partition sort of the customer dimension
+    (plan-pinned in tests/test_plans6.py). ntile_from_index reproduces
+    SQL NTILE exactly, so the oracle keeps its window formulation."""
+    from g_data_pipeline_spark.operators.windows import (
+        bucketed_row_index,
+        ntile_from_index,
+    )
+
     cust = load_table(spark, sf_dir, "customer")
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
-    w = Window.orderBy("cents", "c_custkey")
-    x = cust.select(F.col("c_custkey"), cents.alias("cents")).withColumn(
-        "decile", F.ntile(10).over(w).cast("long")
+    idx = bucketed_row_index(
+        cust.select(F.col("c_custkey"), cents.alias("cents")),
+        [("cents", True), ("c_custkey", True)],
+        [(F.floor(F.col("cents") / F.lit(2048)), True)],
+    )
+    x = idx.withColumn(
+        "decile", ntile_from_index(F.col("__rn"), F.col("__total"), 10)
     )
     return x.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -358,22 +369,29 @@ def a_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration (Pareto) report: how many customers produce
     80% of revenue, plus the single largest customer's share. Integer
     cross-multiplication (10·prefix < 8·total) instead of a float
-    cumulative ratio. The descending cumulative window runs over the
-    CUSTOMER ROLLUP (never the orders facts), ordered totally
-    (rev, custkey); output is one row."""
+    cumulative ratio. Scale shape (round-6): the descending cumulative
+    sum over the customer rollup runs through the two-phase prefix-sum
+    kernel (operators/windows.bucketed_running_sum, descending with a
+    custkey tiebreak) — revenue-bucketed local prefixes + tiny offsets
+    broadcast back, never a single-partition window over the rollup
+    (plan-pinned in tests/test_plans6.py); output is one row."""
+    from g_data_pipeline_spark.operators.windows import bucketed_running_sum
+
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .alias("rev_cents")
     )
     t = rev.agg(F.sum("rev_cents").alias("total_cents"))
-    w = (
-        Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = rev.select(
-        "rev_cents", F.sum("rev_cents").over(w).alias("cum_cents")
-    )
+    c = bucketed_running_sum(
+        rev,
+        "rev_cents",
+        "rev_cents",
+        "cum_cents",
+        bucket_width=1 << 17,
+        ascending=False,
+        tiebreak_cols=("o_custkey",),
+    ).select("rev_cents", "cum_cents")
     return c.crossJoin(F.broadcast(t)).agg(
         F.count(F.lit(1)).alias("total_customers"),
         F.min("total_cents").cast("long").alias("total_cents"),

@@ -51,29 +51,65 @@ def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifetime cents, each cut into quintiles, then segment-level counts and
     revenue. NTILE runs over the CUSTOMER AGGREGATE (|customers| rows, not
     facts) with a custkey tiebreak for a total order, so both engines fill
-    the same buckets. Scale: the three single-partition window sorts touch
-    only the rollup; at 100 TB swap them for the range-partitioned rank
-    kernel exactly as t_curriculum_bins documents."""
+    the same buckets. Scale shape (round-6): each of the three quintile
+    cuts runs through the two-phase row-index kernel
+    (operators/windows.bucketed_row_index + ntile_from_index) with a
+    dimension-appropriate bucket (16-day recency bands; exact frequency
+    value + custkey range — freq is low-cardinality, so it IS its own
+    bucket level; 2^17-cent monetary bands), then the three per-customer
+    quintiles re-join on custkey. No single-partition sort of the rollup
+    anywhere (plan-pinned by the registry-wide global-window sweep)."""
+    from g_data_pipeline_spark.operators.windows import (
+        bucketed_row_index,
+        ntile_from_index,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_d"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mon"),
     )
-    q = c.select(
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("last_d"), F.col("o_custkey")))
-        .cast("long")
-        .alias("r_quintile"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("freq"), F.col("o_custkey")))
-        .cast("long")
-        .alias("f_quintile"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("mon"), F.col("o_custkey")))
-        .cast("long")
-        .alias("m_quintile"),
-        "mon",
+
+    def quintile(keys, buckets, alias):
+        idx = bucketed_row_index(c, keys, buckets)
+        return idx.select(
+            "o_custkey",
+            ntile_from_index(F.col("__rn"), F.col("__total"), 5).alias(alias),
+        )
+
+    r = quintile(
+        [("last_d", False), ("o_custkey", True)],
+        # o_orderdate is a TIMESTAMP: 16-day bands over microseconds
+        [
+            (
+                F.floor(
+                    F.unix_micros(F.col("last_d"))
+                    / F.lit(16 * 86_400 * 1_000_000)
+                ),
+                False,
+            )
+        ],
+        "r_quintile",
+    )
+    f = quintile(
+        [("freq", False), ("o_custkey", True)],
+        [
+            (F.col("freq"), False),
+            (F.floor(F.col("o_custkey") / F.lit(1 << 16)), True),
+        ],
+        "f_quintile",
+    )
+    m = quintile(
+        [("mon", False), ("o_custkey", True)],
+        [(F.floor(F.col("mon") / F.lit(1 << 17)), False)],
+        "m_quintile",
+    )
+    q = (
+        c.select("o_custkey", "mon")
+        .join(r, "o_custkey")
+        .join(f, "o_custkey")
+        .join(m, "o_custkey")
     )
     return q.groupBy("r_quintile", "f_quintile", "m_quintile").agg(
         F.count(F.lit(1)).alias("n_customers"),

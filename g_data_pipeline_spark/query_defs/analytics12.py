@@ -21,6 +21,7 @@ from g_data_pipeline_spark.catalog import load_table
 from g_data_pipeline_spark.operators.percentiles import (
     grouped_weighted_lower_median,
 )
+from g_data_pipeline_spark.operators.windows import bucketed_row_index
 from g_data_pipeline_spark.queries import register
 
 _OCENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
@@ -60,9 +61,8 @@ def a_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator and denominator are exact bigints (max ~5e16 at sf0.1, well
     inside int64 — a 100 TB run promotes the two sums to decimal(38,0)),
     then ONE double division + ONE micro-rounding. Shape: the customer
-    rollup (|customers| rows) is what gets ranked — the per-segment window
-    sort never touches the fact table; at extreme scale the rank swaps for
-    the range-partitioned kernel exactly as t_curriculum_bins documents."""
+    rollup (|customers| rows) is what gets ranked, through the two-phase
+    bucketed row-index kernel — no per-segment global sort anywhere."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     spend = orders.groupBy("o_custkey").agg(
@@ -71,11 +71,16 @@ def a_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = spend.join(
         customer, spend.o_custkey == customer.c_custkey
     ).select(F.col("c_mktsegment").alias("seg"), "cents", "o_custkey")
-    r = x.withColumn(
-        "i",
-        F.row_number()
-        .over(Window.partitionBy("seg").orderBy("cents", "o_custkey"))
-        .cast("long"),
+    # Two-phase row index (round-6): the old seg-partitioned row_number
+    # capped parallelism at the 5 market segments; the kernel buckets by
+    # spend cents so the per-task sort is a bucket, not a fifth of the
+    # rollup (plan-pinned in tests/test_plans6.py).
+    r = bucketed_row_index(
+        x,
+        [("cents", True), ("o_custkey", True)],
+        [(F.floor(F.col("cents") / F.lit(1 << 17)), True)],
+        partition_cols=("seg",),
+        rn_col="i",
     )
     n = F.count(F.lit(1))
     s0 = F.sum("cents")

@@ -407,16 +407,32 @@ def t_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning length bins: split the corpus into 8 equal-count
     tiers by token count (NTILE with doc_id tie-break) and report each
     tier's document count and token budget — the schedule table a
-    length-curriculum trainer consumes. Exact global NTILE implies one
-    single-partition window; that is fine for the bounded gated query —
-    the 100 TB path is range-partitioned binning off approx percentile
-    cut points (operators/percentiles.py), which needs no total sort."""
+    length-curriculum trainer consumes. Scale shape (round-6): exact
+    global NTILE via the two-phase row-index kernel
+    (operators/windows.bucketed_row_index + ntile_from_index) — token
+    counts are low-cardinality, so the length itself is the leading
+    bucket and doc_id ranges the second level; no single-partition sort
+    of the corpus anywhere (plan-pinned in tests/test_plans6.py)."""
+    from g_data_pipeline_spark.operators.windows import (
+        bucketed_row_index,
+        ntile_from_index,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.filter(F.trim(F.col("text")) != "").select(
         "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
-    w = Window.orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
-    binned = sized.withColumn("bin", F.ntile(8).over(w).cast("long"))
+    idx = bucketed_row_index(
+        sized,
+        [("n_tokens", True), ("doc_id", True)],
+        [
+            (F.col("n_tokens"), True),
+            (F.floor(F.col("doc_id") / F.lit(1 << 16)), True),
+        ],
+    )
+    binned = idx.withColumn(
+        "bin", ntile_from_index(F.col("__rn"), F.col("__total"), 8)
+    )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_tokens").alias("min_tokens"),

@@ -110,3 +110,92 @@ def test_grouped_weighted_lower_median_matches_window_form(spark):
         .collect()
     }
     assert got == want
+
+
+def test_bucketed_row_index_matches_row_number(spark):
+    """Two-phase row index == native row_number over a total order, for
+    ascending, descending+partitioned, and composite-bucket forms."""
+    from pyspark.sql import Window
+
+    from g_data_pipeline_spark.operators.windows import (
+        bucketed_row_index,
+        ntile_from_index,
+    )
+
+    rows = [(i, (i * 37) % 500 - 250, (i * 13) % 7) for i in range(4321)]
+    df = spark.createDataFrame(rows, "id long, v long, grp int")
+
+    out = bucketed_row_index(
+        df,
+        [("v", True), ("id", True)],
+        [(F.floor(F.col("v") / F.lit(64)), True)],
+    )
+    w = Window.orderBy("v", "id")
+    ref = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nt", F.ntile(7).over(w)
+    )
+    got = {r.id: (r["__rn"], r["__total"]) for r in out.collect()}
+    want = {r.id: r.rn for r in ref.collect()}
+    assert all(got[i][0] == want[i] for i in want)
+    assert all(got[i][1] == 4321 for i in got)
+
+    # ntile_from_index == native NTILE (and for total < n)
+    out2 = out.withColumn(
+        "nt", ntile_from_index(F.col("__rn"), F.col("__total"), 7)
+    )
+    assert {r.id: r.nt for r in out2.collect()} == {
+        r.id: r.nt for r in ref.collect()
+    }
+    small = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    o = bucketed_row_index(
+        small, [("id", True)], [(F.floor(F.col("id") / F.lit(2)), True)]
+    ).withColumn("nt", ntile_from_index(F.col("__rn"), F.col("__total"), 7))
+    ws = Window.orderBy("id")
+    rs = small.withColumn("nt", F.ntile(7).over(ws))
+    assert {r.id: r.nt for r in o.collect()} == {
+        r.id: r.nt for r in rs.collect()
+    }
+
+    # descending + group partition + exact-value leading bucket
+    out3 = bucketed_row_index(
+        df,
+        [("v", False), ("id", True)],
+        [(F.floor(F.col("v") / F.lit(32)), False)],
+        partition_cols=("grp",),
+    )
+    wd = Window.partitionBy("grp").orderBy(F.desc("v"), "id")
+    refd = df.withColumn("rn", F.row_number().over(wd))
+    assert {r.id: r["__rn"] for r in out3.collect()} == {
+        r.id: r.rn for r in refd.collect()
+    }
+
+
+def test_bucketed_running_sum_descending_with_tiebreak(spark):
+    from pyspark.sql import Window
+
+    from g_data_pipeline_spark.operators.windows import bucketed_running_sum
+
+    rows = [(i, (i * 37) % 97, (i * 11) % 5 + 1) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, v long, w long")
+    got = {
+        r.id: r.run
+        for r in bucketed_running_sum(
+            df,
+            "v",
+            "w",
+            "run",
+            bucket_width=10,
+            ascending=False,
+            tiebreak_cols=("id",),
+        ).collect()
+    }
+    win = Window.orderBy(F.desc("v"), "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r.id: r.run
+        for r in df.select(
+            "id", F.sum("w").over(win).alias("run")
+        ).collect()
+    }
+    assert got == want
