@@ -759,3 +759,88 @@ def cc_star(
     if return_iterations:
         return labels, iterations
     return labels
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 50,
+) -> DataFrame:
+    """Exact substring-level dedup TRANSFORM (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    sliding ``window_tokens``-token window that also occurs in another
+    document marks a duplicated region; the canonical first occurrence
+    (min doc id, then min position) keeps its text, every other
+    occurrence's covered tokens are CUT and the document reassembled from
+    the surviving tokens. (The paper indexes a suffix array; the
+    Spark-native re-expression is the same hash-window inverted index the
+    ``d_substring_dedup`` report uses — shuffles keyed on window CONTENT,
+    never all-pairs.) Within-document repeats with no cross-document copy
+    are left alone — that is the repetition family's job
+    (operators/repetition.py).
+
+    Returns a total labeling: (id, dedup_text, n_tokens, n_tokens_kept)
+    for EVERY input row; documents shorter than the window pass through
+    unchanged.
+
+    Shape: one window explode -> per-hash stats (count of distinct docs +
+    the canonical occurrence, one content-keyed shuffle) -> join back ->
+    per-doc collect of the REMOVED window start positions (bounded by
+    document length) -> one row-local token filter (no UDF: higher-order
+    ``F.filter``/``F.exists`` over the token array) -> reassembly.
+    """
+    w = int(window_tokens)
+    toks = tokens(F.col("__text"))
+    wins = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(w - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    occ = base.select("id", F.posexplode(wins).alias("pos0", "h"))
+    stats = occ.groupBy("h").agg(
+        F.count_distinct("id").alias("__nd"),
+        # canonical occurrence: (min id, min pos within that id) — one
+        # struct-min, deterministic
+        F.min(F.struct("id", "pos0")).alias("__keep"),
+    )
+    removed = (
+        occ.join(stats, "h")
+        .filter(
+            (F.col("__nd") >= 2)
+            & ~(
+                (F.col("id") == F.col("__keep.id"))
+                & (F.col("pos0") == F.col("__keep.pos0"))
+            )
+        )
+        .groupBy("id")
+        .agg(F.collect_list("pos0").alias("__starts"))
+    )
+    out = base.join(removed, "id", "left").withColumn(
+        "__starts",
+        F.coalesce("__starts", F.array().cast("array<int>")),
+    )
+    t = tokens("__text")
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.size(t)),
+        lambda i: ~F.exists(
+            F.col("__starts"),
+            lambda s: (i >= s + 1) & (i <= s + w),
+        ),
+    )
+    kept = F.when(
+        F.trim(F.col("__text")) == "", F.array().cast("array<string>")
+    ).otherwise(F.transform(keep_idx, lambda i: F.element_at(t, i)))
+    return out.select(
+        "id",
+        F.array_join(kept, " ").alias("dedup_text"),
+        F.when(F.trim(F.col("__text")) == "", F.lit(0))
+        .otherwise(F.size(t))
+        .cast("long")
+        .alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+    )
