@@ -164,15 +164,25 @@ def rolling_hash(col: Column | str, base: int = 31, mod: int = 2**31 - 1) -> Col
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles -> array<string> (empty when fewer than n
-    tokens). Built with sequence+transform — no explode, no UDF."""
+    tokens). No explode, no UDF — and NO array reference inside any
+    higher-order lambda: ``n`` shifted slices are built OUTSIDE the
+    lambdas and folded pairwise with zip_with. (The previous
+    transform-with-slice form referenced the computed token array inside
+    its lambda, which re-evaluates the regex split once PER POSITION —
+    O(n_tokens²) splits per document, measured 3-10x the cost of whole
+    queries at sf0.1.)"""
     toks = tokens(col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(toks) - F.lit(n - 1)  # number of shingles
+    joined = F.slice(toks, 1, m)
+    for k in range(2, n + 1):
+        joined = F.zip_with(
+            joined,
+            F.slice(toks, k, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(F.size(toks) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def chunk_tokens(
@@ -187,13 +197,23 @@ def chunk_tokens(
     empty/blank text yields zero chunks."""
     if not 0 <= overlap < chunk_size:
         raise ValueError("require 0 <= overlap < chunk_size")
+    from g_data_pipeline_spark.functions.expr import let
+
     stride = chunk_size - overlap
-    toks = tokens(col)
+    # let-bound so the tokenization runs once per row, not once per chunk
+    return let(tokens(col), lambda toks: _chunks_of(
+        toks, token_count(col), chunk_size, stride
+    ))
+
+
+def _chunks_of(
+    toks: Column, n_tokens_guard: Column, chunk_size: int, stride: int
+) -> Column:
     n = F.size(toks)
     # chunk starts: 0, stride, 2*stride, ... while start < n. token_count
     # (not size) guards blank text: split("") yields [""], size 1.
     starts = F.when(
-        token_count(col) > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+        n_tokens_guard > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         starts,

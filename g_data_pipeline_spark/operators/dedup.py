@@ -791,16 +791,23 @@ def substring_dedup(
     ``F.filter``/``F.exists`` over the token array) -> reassembly.
     """
     w = int(window_tokens)
-    toks = tokens(F.col("__text"))
+    # Materialize the token array as a COLUMN before any higher-order
+    # lambda touches it: a computed array referenced inside a lambda
+    # re-runs the regex split per element — O(n²) splits per document.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    tc = F.col("__toks")
     wins = F.when(
-        F.size(toks) >= w,
+        F.size(tc) >= w,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(w - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, w))),
+            F.sequence(F.lit(1), F.size(tc) - F.lit(w - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tc, i, w))),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     occ = base.select("id", F.posexplode(wins).alias("pos0", "h"))
     stats = occ.groupBy("h").agg(
         F.count_distinct("id").alias("__nd"),
@@ -824,7 +831,7 @@ def substring_dedup(
         "__starts",
         F.coalesce("__starts", F.array().cast("array<int>")),
     )
-    t = tokens("__text")
+    t = F.col("__toks")  # attribute, cheap inside the lambdas below
     keep_idx = F.filter(
         F.sequence(F.lit(1), F.size(t)),
         lambda i: ~F.exists(

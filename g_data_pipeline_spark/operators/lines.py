@@ -47,15 +47,25 @@ def chunked_lines(text: Column, tokens_per_line: int = TOKENS_PER_LINE) -> Colum
     Pure expressions (split / sequence / transform / slice) — codegen'd,
     no shuffle, no UDF. Mirrored in SQL as
     ``list_transform(range(nlines), i -> array_to_string(toks[i*k+1 : i*k+k], ' '))``.
+    The token array is let-bound (functions/expr.let) so the regex split
+    runs once per row, not once per line.
     """
-    toks = F.split(F.trim(text), r"\s+")
-    n = F.size(toks)
+    from g_data_pipeline_spark.functions.expr import let
+
     k = F.lit(tokens_per_line)
-    n_lines = F.floor((n + k - F.lit(1)) / k.cast("double")).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_lines - F.lit(1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * k + F.lit(1), tokens_per_line)),
-    )
+
+    def body(toks: Column) -> Column:
+        n_lines = F.floor(
+            (F.size(toks) + k - F.lit(1)) / k.cast("double")
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_lines - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * k + F.lit(1), tokens_per_line)
+            ),
+        )
+
+    return let(F.split(F.trim(text), r"\s+"), body)
 
 
 def line_quality_report(

@@ -35,11 +35,8 @@ from g_data_pipeline_spark.functions.text import (
     fingerprint_md5,
     lang_id,
     quality_score,
-    token_count,
     tokens,
-    word_shingles,
 )
-from g_data_pipeline_spark.operators.lines import chunked_lines
 
 
 def max_multiplicity(arr: Column) -> Column:
@@ -80,29 +77,73 @@ def quality_scorecard(
 ) -> DataFrame:
     """One row per document with every signal and the composite ``keep``
     (= gopher_keep AND line_keep). Thresholds mirror the standalone
-    operators' defaults; see module doc for the fusion contract."""
-    text = F.col(text_col)
-    toks = tokens(text)
-    n_tok = F.size(toks)
-    bigrams = word_shingles(text, 2)
-    lines = chunked_lines(text)
-    n_lines = F.size(lines)
+    operators' defaults; see module doc for the fusion contract.
 
-    top_bg = max_multiplicity(bigrams)
+    Performance contract (round-6): the token / bigram / line arrays are
+    MATERIALIZED as columns in a first projection, and every feature
+    reads the column. Referencing a COMPUTED array inside a higher-order
+    lambda re-evaluates the array per element (the regex split ran once
+    per bigram — O(n²) splits per doc, measured 10× the whole scorecard
+    cost at sf0.1); an attribute reference is a cheap array read, and
+    CollapseProject (SPARK-36718) keeps non-cheap aliases used more than
+    once from being inlined back. Bigrams pair adjacent tokens with ONE
+    zip_with over two slices rather than a per-position slice —
+    bit-identical to word_shingles(text, 2) (parity-pinned)."""
+    text = F.col(text_col)
+    staged = docs.select(
+        F.col(id_col),
+        text.alias("__text"),
+        tokens(text).alias("__toks"),
+        # chunked_lines splits trim(text) WITHOUT lowercasing
+        F.split(F.trim(text), r"\s+").alias("__rt"),
+    )
+    txt = F.col("__text")
+    toks = F.col("__toks")
+    n_tok = F.size(toks)
+    bigrams = F.when(
+        n_tok >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n_tok - 1),
+            F.slice(toks, 2, n_tok - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rt = F.col("__rt")
+    k = F.lit(10)
+    n_rt = F.size(rt)
+    n_line_cnt = F.floor((n_rt + k - F.lit(1)) / k.cast("double")).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_line_cnt - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(rt, i * k + F.lit(1), 10)),
+    )
+    staged = staged.select(
+        id_col,
+        "__text",
+        "__toks",
+        bigrams.alias("__bigrams"),
+        lines.alias("__lines"),
+    )
+    bg = F.col("__bigrams")
+    lns = F.col("__lines")
+    n_lines = F.size(lns)
+
+    top_bg = max_multiplicity(bg)
     top_bg_frac = F.coalesce(
-        top_bg / F.nullif(F.size(bigrams), F.lit(0)), F.lit(0.0)
+        top_bg / F.nullif(F.size(bg), F.lit(0)), F.lit(0.0)
     )
     short_line = lambda ln: F.size(F.split(ln, " ")) < F.lit(  # noqa: E731
         short_line_tokens
     )
 
-    out = docs.select(
+    out = staged.select(
         F.col(id_col),
-        token_count(text).alias("n_tokens"),
-        F.length(text).alias("n_chars"),
-        quality_score(text).alias("quality_score"),
-        lang_id(text).alias("lang"),
-        fingerprint_md5(text).alias("fingerprint"),
+        F.when(F.trim(txt) == "", F.lit(0))
+        .otherwise(F.size(toks))
+        .alias("n_tokens"),
+        F.length(txt).alias("n_chars"),
+        quality_score(txt).alias("quality_score"),
+        lang_id(txt).alias("lang"),
+        fingerprint_md5(txt).alias("fingerprint"),
         (F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok).alias(
             "dup_token_ratio"
         ),
@@ -112,13 +153,13 @@ def quality_scorecard(
         top_bg.cast("bigint").alias("top_bigram_count"),
         top_bg_frac.alias("top_bigram_frac"),
         n_lines.cast("long").alias("n_lines"),
-        F.size(F.filter(lines, short_line)).cast("long").alias(
+        F.size(F.filter(lns, short_line)).cast("long").alias(
             "n_short_lines"
         ),
-        (n_lines - F.size(F.array_distinct(lines))).cast("long").alias(
+        (n_lines - F.size(F.array_distinct(lns))).cast("long").alias(
             "n_dup_lines"
         ),
-        F.size(F.filter(lines, lambda ln: ln.rlike('[.!?"]$')))
+        F.size(F.filter(lns, lambda ln: ln.rlike('[.!?"]$')))
         .cast("long")
         .alias("n_terminal_punct_lines"),
     )

@@ -65,15 +65,21 @@ def d_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window report 0/0/0."""
     w = SUBSTRING_WINDOW
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # tokens materialized as a COLUMN: a computed array referenced inside
+    # the transform lambda re-runs the regex split per window position
+    staged = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__toks"),
+    )
+    tc = F.col("__toks")
     wins = F.when(
-        F.size(toks) >= w,
+        F.size(tc) >= w,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(w - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, w))),
+            F.sequence(F.lit(1), F.size(tc) - F.lit(w - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tc, i, w))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    spans = docs.select("doc_id", F.explode(wins).alias("h"))
+    spans = staged.select("doc_id", F.explode(wins).alias("h"))
     stats = spans.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
     per_doc = (
         spans.join(stats, "h")

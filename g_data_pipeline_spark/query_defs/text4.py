@@ -401,14 +401,30 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     column pruning diverges the branch subtrees, so ReuseExchange cannot
     collapse them — the fix is to not need reuse at all."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokens("text")
-    per_doc = docs.filter(F.trim("text") != "").select(
+    # Materialize the token array as a COLUMN before the per-term filters:
+    # referencing a computed array inside a higher-order lambda re-runs
+    # the regex split per element (measured 6x the whole query at sf0.1);
+    # an attribute reference is a cheap array read.
+    staged = docs.filter(F.trim("text") != "").select(
+        "doc_id", X.tokens("text").alias("__toks")
+    )
+    tc = F.col("__toks")
+    proj = staged.select(
         "doc_id",
-        F.size(toks).alias("dlen"),
+        F.size(tc).alias("dlen"),
         *[
-            F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"__tf{i}")
+            F.size(F.filter(tc, lambda x: x == F.lit(t))).alias(f"__tf{i}")
             for i, t in enumerate(_BM25_TERMS)
         ],
+    )
+    # One row per doc_id THROUGH AN AGGREGATE: enforces the uniqueness
+    # contract the length/tf semantics assume, and lands the tokenization
+    # behind a shuffle so the post-shuffle stages (and any repeated
+    # action — shuffle map outputs persist per plan) never re-tokenize.
+    # The tf/dlen expressions evaluate map-side, once per document.
+    per_doc = proj.groupBy("doc_id").agg(
+        F.first("dlen").alias("dlen"),
+        *[F.first(f"__tf{i}").alias(f"__tf{i}") for i in range(len(_BM25_TERMS))],
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
