@@ -851,3 +851,141 @@ def substring_dedup(
         .alias("n_tokens"),
         F.size(kept).cast("long").alias("n_tokens_kept"),
     )
+
+
+def substring_window_directory(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 50,
+) -> DataFrame:
+    """The persistent state behind incremental substring dedup: one row
+    per DISTINCT window hash with its canonical first occurrence
+    ``(md5_hash h, owner_id, owner_pos)``. Built once from the historical
+    corpus (or maintained by appending each batch's NEW hashes — see
+    :func:`incremental_substring_dedup`); at 100 TB this directory is a
+    bucketed-by-hash table so only the batch side ever shuffles."""
+    w = int(window_tokens)
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    tc = F.col("__toks")
+    wins = F.when(
+        F.size(tc) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tc) - F.lit(w - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tc, i, w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("id", F.posexplode(wins).alias("pos0", "h"))
+    return occ.groupBy("h").agg(
+        F.min(F.struct("id", "pos0")).alias("__o")
+    ).select(
+        "h",
+        F.col("__o.id").alias("owner_id"),
+        F.col("__o.pos0").alias("owner_pos"),
+    )
+
+
+def incremental_substring_dedup(
+    batch: DataFrame,
+    directory: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Substring-level dedup at crawl-dump cadence (the incremental form
+    of :func:`substring_dedup`): every batch window whose hash already
+    exists in the HISTORY DIRECTORY — or whose canonical first occurrence
+    within the batch is another document — has its covered tokens cut;
+    the batch is then reassembled from surviving tokens.
+
+    Returns ``(cleaned, directory_delta)``:
+
+    - ``cleaned``: (id, dedup_text, n_tokens, n_tokens_kept) for every
+      batch row (total labeling);
+    - ``directory_delta``: the batch's NEW canonical windows — rows to
+      APPEND to the directory so the next dump dedups against this one
+      (same schema as :func:`substring_window_directory`; survivors'
+      within-batch duplicates are already collapsed to one owner).
+
+    Consistency: history always wins — a batch window matching a
+    directory hash is cut wherever it appears in the batch, so replaying
+    a batch against a directory that already absorbed its delta cuts the
+    batch down to only its never-seen-before text (idempotent-shaped,
+    like incremental_dedup's fingerprint anti-join). Within the batch,
+    the canonical (min id, min pos) occurrence survives, matching the
+    one-shot operator.
+
+    Scale: the only wide operations key on the window HASH (batch windows
+    vs directory anti/semi joins) and on batch doc ids (the removed-start
+    collect) — the 100 TB directory never rescans its corpus, and with a
+    hash-bucketed directory table only the batch side shuffles.
+    """
+    w = int(window_tokens)
+    base = batch.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    tc = F.col("__toks")
+    wins = F.when(
+        F.size(tc) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tc) - F.lit(w - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tc, i, w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("id", F.posexplode(wins).alias("pos0", "h"))
+
+    dir_hashes = directory.select("h")
+    hist_hit = occ.join(dir_hashes, "h", "left_semi")  # cut everywhere
+    fresh = occ.join(dir_hashes, "h", "left_anti")
+    fresh_canon = fresh.groupBy("h").agg(
+        F.min(F.struct("id", "pos0")).alias("__keep")
+    )
+    batch_dup = (
+        fresh.join(fresh_canon, "h")
+        .filter(
+            ~(
+                (F.col("id") == F.col("__keep.id"))
+                & (F.col("pos0") == F.col("__keep.pos0"))
+            )
+        )
+        .select("id", "pos0")
+    )
+    removed = (
+        hist_hit.select("id", "pos0")
+        .unionByName(batch_dup)
+        .groupBy("id")
+        .agg(F.collect_list("pos0").alias("__starts"))
+    )
+    out = base.join(removed, "id", "left").withColumn(
+        "__starts", F.coalesce("__starts", F.array().cast("array<int>"))
+    )
+    t = F.col("__toks")
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.size(t)),
+        lambda i: ~F.exists(
+            F.col("__starts"),
+            lambda s: (i >= s + 1) & (i <= s + w),
+        ),
+    )
+    kept = F.when(
+        F.trim(F.col("__text")) == "", F.array().cast("array<string>")
+    ).otherwise(F.transform(keep_idx, lambda i: F.element_at(t, i)))
+    cleaned = out.select(
+        "id",
+        F.array_join(kept, " ").alias("dedup_text"),
+        F.when(F.trim(F.col("__text")) == "", F.lit(0))
+        .otherwise(F.size(t))
+        .cast("long")
+        .alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+    )
+    delta = fresh_canon.select(
+        "h",
+        F.col("__keep.id").alias("owner_id"),
+        F.col("__keep.pos0").alias("owner_pos"),
+    )
+    return cleaned, delta
