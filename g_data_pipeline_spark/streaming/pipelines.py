@@ -788,3 +788,101 @@ def txn_commit_sink(
     finally:
         q.stop()
     return write_batch
+
+
+def substring_dedup_stream(
+    stream: DataFrame,
+    directory_table: str,
+    out_table: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 50,
+    timeout_s: int = 180,
+    sink_name: str | None = None,
+):
+    """Streaming substring-level dedup (Lee et al. '21 at crawl-dump
+    cadence) with EXACTLY-ONCE semantics end-to-end over manifest tables:
+    each micro-batch is cut against the canonical window-hash DIRECTORY
+    built by all previous batches (operators/dedup.
+    incremental_substring_dedup), the cleaned documents commit to
+    ``out_table`` and the batch's never-seen-hash delta appends to
+    ``directory_table`` — both through the txn commit protocol, so
+    replays no-op on their run_ids.
+
+    The replay subtlety: a failed epoch may have already committed this
+    batch's directory delta — a naive latest-version read would then see
+    the batch's OWN windows in the directory and cut the whole batch to
+    empty text on replay. The directory is therefore read AS OF the
+    version PRECEDING this batch's own delta commit (the manifest's
+    parent), pinned by the delta run_id — a replay reads exactly the
+    state the first attempt saw. run_ids are namespaced per checkpoint
+    dir (the txn_commit_sink lesson: batch ids restart at 0 per
+    checkpoint).
+
+    Returns the per-batch function after the AvailableNow trigger drains,
+    so tests can invoke simulated replays directly.
+    """
+    import hashlib
+
+    from g_data_pipeline_spark.operators.dedup import (
+        incremental_substring_dedup,
+    )
+    from g_data_pipeline_spark.sources import txn
+
+    if sink_name is None:
+        sink_name = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+
+    _DIR_SCHEMA = "h string, owner_id long, owner_pos int"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta_rid = f"{sink_name}-dir-batch-{int(batch_id)}"
+        out_rid = f"{sink_name}-out-batch-{int(batch_id)}"
+        # Directory AS OF the version before this batch's own delta.
+        read_version = None
+        for v in reversed(txn._manifest_versions(spark, directory_table)):
+            m = txn._load_manifest(spark, directory_table, v)
+            if m["run_id"] == delta_rid:
+                read_version = m["parent"] or -1  # -1: empty directory
+                break
+            if read_version is None:
+                read_version = max(v, read_version or 0)
+        if read_version in (None, -1):
+            directory = spark.createDataFrame([], _DIR_SCHEMA)
+        else:
+            directory = txn.read_committed(
+                spark, directory_table, version=read_version
+            )
+        cleaned, delta = incremental_substring_dedup(
+            batch_df,
+            directory,
+            id_col,
+            text_col,
+            window_tokens=window_tokens,
+        )
+        # both frames derive from one occurrence tree: materialize once
+        cleaned = cleaned.localCheckpoint(eager=True)
+        delta = delta.localCheckpoint(eager=True)
+        txn.commit_write(
+            spark, delta, directory_table, run_id=delta_rid, mode="append"
+        )
+        txn.commit_write(
+            spark, cleaned, out_table, run_id=out_rid, mode="append"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"substring dedup stream did not drain within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return apply_batch

@@ -277,21 +277,28 @@ def test_readability_grade_range(spark):
 
 
 def test_gini_window_over_customer_rollup(spark):
-    """The rank window and final aggregate run over the customer rollup;
-    the orders facts aggregate once before any window."""
+    """Round-6 shape: the rank index runs through the bucketed row-index
+    kernel — (seg, cents-bucket)-partitioned local windows + the tiny
+    offsets window; the customer rollup is derived twice (local + counts
+    branches), so orders/customer scan twice each. No seg-only window
+    anywhere (tests/test_plans6.py pins the spec)."""
     plan = plan_of(spark, "a_gini_coefficient")
     c = op_counts(plan)
-    assert c.get("Window", 0) == 1
-    assert c.get("Scan", 0) == 2  # orders + customer, each exactly once
+    assert c.get("Window", 0) == 2  # bucket-local + bucket offsets
+    assert c.get("Scan", 0) <= 4  # 2 branches x (orders + customer)
     assert "CartesianProduct" not in plan
 
 
 def test_weighted_median_single_fact_shuffle(spark):
-    """Both windows (cumulative + total) and nothing else touch the fact
-    scan: one flag-keyed exchange, reused."""
+    """Round-6 shape: the weighted-selection kernel reduces the fact scan
+    per (flag, price) first — the fact-sized stages shuffle on the
+    HIGH-cardinality composite key; windows run per (flag, bucket) and
+    over the tiny bucket totals. No fact-sized flag-only sort
+    (tests/test_plans6.py pins the window spec)."""
     plan = plan_of(spark, "a_weighted_median")
-    assert shuffle_count(plan) <= 2  # flag exchange + final tiny agg
-    assert op_counts(plan).get("Scan", 0) == 1
+    c = op_counts(plan)
+    assert c.get("Scan", 0) <= 2  # per-value + bucket-totals branches
+    assert c.get("SortMergeJoin", 0) == 0  # offsets broadcast back
 
 
 def test_hhi_dims_broadcast(spark):
@@ -312,13 +319,15 @@ def test_basket_lift_no_cartesian_broadcast_marginals(spark):
 
 
 def test_concurrent_peak_single_sessionize(spark):
-    """Boundaries EXPLODE from the session aggregate — the events scan and
-    the sessionization run ONCE (a union of two selects would double
-    both)."""
+    """Boundaries EXPLODE from the session aggregate (never a union of two
+    selects). Round-6 shape: the two-phase prefix sum derives the
+    per-instant frame twice (local + bucket-totals branches), so the scan
+    and the explode appear at most twice; no unpartitioned sweep window
+    (tests/test_plans6.py pins the spec)."""
     plan = plan_of(spark, "e_concurrent_peak")
     c = op_counts(plan)
-    assert c.get("Scan", 0) == 1
-    assert c.get("Generate", 0) == 1
+    assert c.get("Scan", 0) <= 2
+    assert c.get("Generate", 0) <= 2
     assert "Union" not in plan
 
 
