@@ -200,3 +200,80 @@ def load_merges(path: str) -> list[tuple[str, str]]:
                 )
             merges.append((parts[0], parts[1]))
     return merges
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    pcts: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99),
+) -> DataFrame:
+    """How many top-frequency tokens cover each share of corpus
+    occurrences — the vocabulary-sizing diagnostic run before committing
+    to a tokenizer budget (Zipf corpora typically cover 90% with a tiny
+    head and pay the long tail for the rest).
+
+    Output, one row per requested share: (pct_micro, vocab_size —
+    smallest prefix of the (count DESC, token ASC) ranking whose
+    cumulative occurrences reach the share, coverage_micro — the floored
+    share that prefix actually covers, n_distinct_tokens,
+    total_occurrences).
+
+    Scale shape: one token-count aggregate (shuffle keyed on token
+    content), then rank + cumulative occurrences via the two-phase
+    bucketed kernel (operators/windows.bucketed_row_index with
+    running_sum_of) — the exact count is its own leading bucket (Zipf
+    tails make counts low-cardinality) refined by a token-prefix bucket,
+    so no single-partition sort of the vocabulary ever happens; the
+    thresholds reduce in ONE aggregate over the ranked frame.
+    """
+    from g_data_pipeline_spark.functions.text import tokens
+    from g_data_pipeline_spark.operators.windows import bucketed_row_index
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("tk"))
+    counts = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = bucketed_row_index(
+        counts,
+        [("cnt", False), ("tk", True)],
+        # exact count (desc) as the leading bucket; 2-char token prefix
+        # (asc, a monotone coarsening of the tk order) splits the huge
+        # cnt=1 tie block across tasks
+        [(F.col("cnt"), False), (F.substring("tk", 1, 2), True)],
+        running_sum_of="cnt",
+    )
+    per_pct = []
+    for p in pcts:
+        micro = int(round(p * 1_000_000))
+        hit = F.when(
+            F.col("__cum") * F.lit(1_000_000)
+            >= F.lit(micro) * F.col("__sum_total"),
+            F.struct(F.col("__rn").alias("rn"), F.col("__cum").alias("cum")),
+        )
+        per_pct.append(
+            F.min(hit).alias(f"__h{micro}")
+        )
+    agg = ranked.agg(
+        *per_pct,
+        F.max("__total").alias("__n_vocab"),
+        F.max("__sum_total").alias("__n_occ"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(round(p * 1_000_000))).alias("pct_micro"),
+                F.col(f"__h{int(round(p * 1_000_000))}.rn").alias(
+                    "vocab_size"
+                ),
+                F.floor(
+                    F.col(f"__h{int(round(p * 1_000_000))}.cum")
+                    * F.lit(1_000_000)
+                    / F.col("__n_occ")
+                )
+                .cast("long")
+                .alias("coverage_micro"),
+                F.col("__n_vocab").cast("long").alias("n_distinct_tokens"),
+                F.col("__n_occ").cast("long").alias("total_occurrences"),
+            )
+            for p in pcts
+        ]
+    )
+    return agg.select(F.explode(rows).alias("s")).select("s.*")

@@ -135,6 +135,9 @@ def bucketed_row_index(
     partition_cols: tuple[str, ...] = (),
     rn_col: str = "__rn",
     total_col: str = "__total",
+    running_sum_of: str | None = None,
+    cum_col: str = "__cum",
+    sum_total_col: str = "__sum_total",
 ) -> DataFrame:
     """Global (per ``partition_cols`` group) 1-based ROW INDEX in
     ``order_specs`` order, plus the group row count — the two-phase
@@ -158,6 +161,11 @@ def bucketed_row_index(
     preceding-row offset via a window over the TINY counts frame, then
     broadcast-join back; ``rn = offset + local``.
 
+    ``running_sum_of``: optionally also compute the GLOBAL running sum of
+    a numeric column in the same order (inclusive of the current row) as
+    ``cum_col``, plus the per-group total as ``sum_total_col`` — same two
+    phases, shared windows, no extra pass.
+
     Cost note: the input subtree is derived twice (the local-window
     branch and the counts branch — column pruning diverges the branches,
     so ReuseExchange cannot collapse them; see CLAUDE.md round-6
@@ -172,11 +180,16 @@ def bucketed_row_index(
     order = [
         F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_specs
     ]
-    w_local = Window.partitionBy(*g, *bnames).orderBy(*order)
-    local = with_b.withColumn("__lrn", F.row_number().over(w_local))
-    counts = with_b.groupBy(*g, *bnames).agg(
-        F.count(F.lit(1)).alias("__bc")
-    )
+    w_rank = Window.partitionBy(*g, *bnames).orderBy(*order)
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    local = with_b.withColumn("__lrn", F.row_number().over(w_rank))
+    aggs = [F.count(F.lit(1)).alias("__bc")]
+    if running_sum_of is not None:
+        local = local.withColumn(
+            "__lcum", F.sum(running_sum_of).over(w_cum)
+        )
+        aggs.append(F.sum(running_sum_of).alias("__bs"))
+    counts = with_b.groupBy(*g, *bnames).agg(*aggs)
     border = [
         F.col(n).asc() if asc else F.col(n).desc()
         for n, (_, asc) in zip(bnames, bucket_exprs)
@@ -187,17 +200,25 @@ def bucketed_row_index(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_all = Window.partitionBy(*(g or [F.lit(1)]))
-    offs = counts.select(
-        *g,
-        *bnames,
+    off_cols = [
         F.coalesce(F.sum("__bc").over(w_off), F.lit(0)).alias("__off"),
         F.sum("__bc").over(w_all).alias(total_col),
-    )
-    return (
+    ]
+    if running_sum_of is not None:
+        off_cols += [
+            F.coalesce(F.sum("__bs").over(w_off), F.lit(0)).alias("__soff"),
+            F.sum("__bs").over(w_all).alias(sum_total_col),
+        ]
+    offs = counts.select(*g, *bnames, *off_cols)
+    out = (
         local.join(F.broadcast(offs), [*g, *bnames])
         .withColumn(rn_col, (F.col("__off") + F.col("__lrn")).cast("long"))
-        .drop(*bnames, "__lrn", "__off")
     )
+    drop = [*bnames, "__lrn", "__off"]
+    if running_sum_of is not None:
+        out = out.withColumn(cum_col, F.col("__soff") + F.col("__lcum"))
+        drop += ["__lcum", "__soff"]
+    return out.drop(*drop)
 
 
 def ntile_from_index(rn: Column, total: Column, n: int) -> Column:

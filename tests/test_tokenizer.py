@@ -156,3 +156,45 @@ def test_merges_file_roundtrip_and_interop(spark, tmp_path):
     }
     # 'low' fully merges to one token; other words stay char-level
     assert row[1]["n_words"] == 5 and row[2]["n_words"] == 4
+
+
+def test_vocab_coverage_curve_matches_python_exact(spark):
+    """Kernel-ranked coverage curve == an exact Python recompute on the
+    corpus: smallest (count DESC, token ASC) prefix reaching each share."""
+    from collections import Counter
+
+    from g_data_pipeline_spark.catalog import load_table
+    from g_data_pipeline_spark.operators.tokenizer import vocab_coverage_curve
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pcts = (0.5, 0.9, 0.95, 0.99)
+    got = {
+        r.pct_micro: (
+            r.vocab_size,
+            r.coverage_micro,
+            r.n_distinct_tokens,
+            r.total_occurrences,
+        )
+        for r in vocab_coverage_curve(docs, "text", pcts).collect()
+    }
+
+    c = Counter()
+    for (text,) in docs.select("text").collect():
+        c.update(text.strip().lower().split())
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    want = {}
+    for p in pcts:
+        micro = int(round(p * 1_000_000))
+        cum = 0
+        for i, (tk, n) in enumerate(ranked, start=1):
+            cum += n
+            if cum * 1_000_000 >= micro * total:
+                want[micro] = (i, cum * 1_000_000 // total, len(ranked), total)
+                break
+    assert got == want
+    # sanity: curve is monotone and Zipf-shaped (90% needs far less than
+    # the full vocabulary)
+    sizes = [got[int(p * 1e6)][0] for p in pcts]
+    assert sizes == sorted(sizes)
+    assert sizes[1] < got[990000][2]
