@@ -159,3 +159,38 @@ def group_split(
     last_label = items[-1][0]
     expr = F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
     return df.withColumn("split", expr)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    epoch: int = 0,
+    n_shards: int = 16,
+    seed: str = "shuffle-v1",
+) -> DataFrame:
+    """Reproducible GLOBAL example shuffle for training export: every row
+    gets a ``shard`` and a ``shuffle_pos`` defining a pseudo-random total
+    order that is a PURE FUNCTION of (key, seed, epoch) — the same
+    permutation on any cluster size, input layout, or engine, and a FRESH
+    independent permutation per epoch (vary ``epoch``; the trainer's
+    every-epoch reshuffle without ever re-randomizing state).
+
+    Contract: rows ordered by (shard, shuffle_pos) are the shuffled
+    dataset; write with ``.partitionBy("shard")`` sorted within shard and
+    a dataloader reading shards round-robin sees the permuted stream.
+    ``shuffle_pos`` = xxhash64(key, seed, epoch) with the key as the
+    tiebreak, so ties (hash collisions) stay deterministic.
+
+    Scale: assigning is a zero-shuffle projection; materializing the
+    order is ONE repartition on shard + a within-shard sort — no global
+    single-partition sort (each shard sorts independently).
+    """
+    h = F.xxhash64(
+        *[F.col(c) for c in key_cols], F.lit(seed), F.lit(int(epoch))
+    )
+    out = df.withColumn("shuffle_pos", h).withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("shuffle_pos")), F.lit(int(n_shards)))
+    )
+    return out.repartition(int(n_shards), "shard").sortWithinPartitions(
+        "shard", "shuffle_pos", *key_cols
+    )

@@ -74,3 +74,42 @@ def test_rand_seed_is_not_layout_invariant_baseline(spark):
     # but the CONTRACT is only that md5 buckets are stable) — document the
     # observed instability when it occurs, require stability never breaks:
     assert a != b or len(a) == 0
+
+
+def test_deterministic_shuffle_layout_and_epoch_properties(spark):
+    """deterministic_shuffle: identical (shard, order) under any input
+    partitioning; epochs give different permutations; shards balanced."""
+    from g_data_pipeline_spark.catalog import load_table
+    from g_data_pipeline_spark.operators.sampling import deterministic_shuffle
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+
+    def order_of(df, epoch):
+        out = deterministic_shuffle(df, ["doc_id"], epoch=epoch, n_shards=8)
+        rows = out.select("shard", "shuffle_pos", "doc_id").collect()
+        return sorted((r.shard, r.shuffle_pos, r.doc_id) for r in rows)
+
+    base = order_of(docs, 0)
+    assert order_of(docs.repartition(17), 0) == base
+    assert order_of(docs.coalesce(1), 0) == base
+
+    # a different epoch is a genuinely different permutation of the SAME rows
+    e1 = order_of(docs, 1)
+    assert [t[2] for t in base] != [t[2] for t in e1]
+    assert sorted(t[2] for t in base) == sorted(t[2] for t in e1)
+
+    # shards are reasonably balanced (md5/xxhash uniformity)
+    from collections import Counter
+
+    sizes = Counter(t[0] for t in base)
+    n = sum(sizes.values())
+    assert len(sizes) == 8
+    assert max(sizes.values()) < 2.0 * n / 8
+
+    # within-shard order is by shuffle_pos (the dataloader contract)
+    out = deterministic_shuffle(docs, ["doc_id"], epoch=0, n_shards=4)
+    for pid_rows in out.select("shard", "shuffle_pos").rdd.glom().collect():
+        keys = [(r.shard, r.shuffle_pos) for r in pid_rows]
+        assert keys == sorted(keys)
