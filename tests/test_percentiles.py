@@ -199,3 +199,43 @@ def test_bucketed_running_sum_descending_with_tiebreak(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_bucketed_kernels_survive_extreme_bucket_skew(spark):
+    """A single hot bucket (80% of rows share one order value) must not
+    break correctness: ties are interchangeable for running sums keyed on
+    the value, and the row index stays a permutation. (Parallelism within
+    the hot bucket is bounded by its tie block — the documented trade;
+    choose finer widths or composite buckets when the leading key is
+    low-cardinality, as t_curriculum_bins does.)"""
+    from pyspark.sql import Window
+
+    from g_data_pipeline_spark.operators.windows import (
+        bucketed_row_index,
+        bucketed_running_sum,
+    )
+
+    rows = [(i, 500 if i % 5 != 0 else (i * 7) % 400, 1 + i % 3) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, v long, w long")
+
+    got = {
+        r.id: r.run
+        for r in bucketed_running_sum(
+            df, "v", "w", "run", bucket_width=64, tiebreak_cols=("id",)
+        ).collect()
+    }
+    win = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: r.run
+        for r in df.select("id", F.sum("w").over(win).alias("run")).collect()
+    }
+    assert got == want
+
+    idx = bucketed_row_index(
+        df,
+        [("v", True), ("id", True)],
+        [(F.floor(F.col("v") / F.lit(64)), True)],
+    )
+    wn = Window.orderBy("v", "id")
+    ref = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(wn)).collect()}
+    assert {r.id: r["__rn"] for r in idx.collect()} == ref
