@@ -240,12 +240,17 @@ def vocab_coverage_curve(
         [(F.col("cnt"), False), (F.substring("tk", 1, 2), True)],
         running_sum_of="cnt",
     )
+    # decimal(38,0) before the 1e6 scale-up multiplications: cumulative
+    # occurrence counts are int64, and cum * 1_000_000 overflows a long
+    # under ANSI once total occurrences pass ~9.2e12 — inside the 100 TB
+    # envelope (the xxhash64 checksum-sum convention, CLAUDE.md).
+    cum_dec = F.col("__cum").cast("decimal(38,0)")
+    tot_dec = F.col("__sum_total").cast("decimal(38,0)")
     per_pct = []
     for p in pcts:
         micro = int(round(p * 1_000_000))
         hit = F.when(
-            F.col("__cum") * F.lit(1_000_000)
-            >= F.lit(micro) * F.col("__sum_total"),
+            cum_dec * F.lit(1_000_000) >= F.lit(micro) * tot_dec,
             F.struct(F.col("__rn").alias("rn"), F.col("__cum").alias("cum")),
         )
         per_pct.append(
@@ -256,6 +261,15 @@ def vocab_coverage_curve(
         F.max("__total").alias("__n_vocab"),
         F.max("__sum_total").alias("__n_occ"),
     )
+    def _cov_micro(p: float):
+        # exact integer floor((cum * 1e6) / occ) in decimal(38,0): the
+        # subtract-pmod form avoids decimal division's scale-6 HALF_UP
+        # rounding landing a near-boundary quotient on the wrong floor.
+        micro = int(round(p * 1_000_000))
+        nd = F.col(f"__h{micro}.cum").cast("decimal(38,0)") * F.lit(1_000_000)
+        occ = F.col("__n_occ").cast("decimal(38,0)")
+        return ((nd - F.pmod(nd, occ)) / occ).cast("long")
+
     rows = F.array(
         *[
             F.struct(
@@ -263,13 +277,7 @@ def vocab_coverage_curve(
                 F.col(f"__h{int(round(p * 1_000_000))}.rn").alias(
                     "vocab_size"
                 ),
-                F.floor(
-                    F.col(f"__h{int(round(p * 1_000_000))}.cum")
-                    * F.lit(1_000_000)
-                    / F.col("__n_occ")
-                )
-                .cast("long")
-                .alias("coverage_micro"),
+                _cov_micro(p).alias("coverage_micro"),
                 F.col("__n_vocab").cast("long").alias("n_distinct_tokens"),
                 F.col("__n_occ").cast("long").alias("total_occurrences"),
             )

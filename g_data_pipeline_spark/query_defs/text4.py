@@ -494,12 +494,12 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (Robertson–Spärck Jones, k1=1.2, b=0.75) ranked retrieval for
     a fixed term query — the lexical half of hybrid search next to
-    v_cosine_topk's dense half. Everything derives from ONE per-doc
-    aggregate over ONE token explode (see _bm25_scores — doc length and
-    per-term counts fused into a single reduce, ReuseExchange collapsing
-    the stats branch onto the same scan); the 1-row corpus stats and the
-    |terms|-row idf table broadcast back onto the melted tf rows.
-    Determinism: each (doc, term)
+    v_cosine_topk's dense half. Scoring is explode-free: two corpus scans
+    (plan-pinned, tests/test_plans6.py) each project a per-doc row with
+    array-local ``size(filter(tokens, t = term))`` term counts — tf never
+    leaves the row; pass 1 reduces to the 1-row corpus stats, pass 2
+    broadcast-joins it back and evaluates the BM25 sum row-locally (see
+    _bm25_scores). Determinism: each (doc, term)
     partial score is micro-rounded ONCE (the t_unigram_logprob ln recipe —
     integer sums after, never a float sum), and top-20 rides a full
     (score, doc_id) tiebreak. Scale: shuffles key on token/doc_id; the

@@ -106,6 +106,84 @@ def latest_version(spark: SparkSession, table: str) -> int | None:
     return versions[-1] if versions else None
 
 
+# --- run_id -> version marker index -----------------------------------------
+#
+# Idempotence lookups used to scan every manifest JSON newest-first —
+# O(versions) driver-side reads per commit_write call and per streaming
+# micro-batch, O(n^2) over a stream's lifetime at crawl-dump cadence. Each
+# run now drops a tiny marker file ``_manifests/_runs/<sha(run_id)>.json``
+# mapping run_id -> version, written BEFORE the manifest rename (and
+# required to succeed — a marker-write failure aborts the attempt, never
+# the other way round). That ordering makes the index decisive in BOTH
+# directions with zero manifest scans:
+#
+# - positive: a marker whose target manifest exists AND carries the same
+#   run_id proves the commit (markers are per-run_id files, so only
+#   writers of that run_id ever touch one);
+# - negative: marker missing/torn/invalid => the run_id never committed —
+#   a crash can lose the rename AFTER the marker (stale marker, caught by
+#   the manifest check) but never land the rename WITHOUT the marker.
+#
+# A marker pointing at a vacuumed manifest reads as not-committed, which
+# matches the pre-index scan semantics (the manifest is gone either way).
+
+_RUNS_DIR = f"{MANIFEST_DIR}/_runs"
+
+
+def _run_marker_path(table: str, run_id: str) -> str:
+    import hashlib
+
+    return (
+        f"{table}/{_RUNS_DIR}/"
+        f"{hashlib.sha256(run_id.encode()).hexdigest()[:32]}.json"
+    )
+
+
+def _write_run_marker(
+    spark: SparkSession, table: str, run_id: str, version: int
+) -> None:
+    """Record run_id -> version. Plain overwrite-create: the path is a
+    pure function of run_id, so concurrent writers of the SAME run_id
+    last-write-win and every committed state is one the validator can
+    check against the manifest it names. Raises on failure (the caller
+    must not rename a manifest whose marker didn't land)."""
+    jvm, hpath, fs = _jfs(spark, _run_marker_path(table, run_id))
+    out = fs.create(hpath, True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps({"run_id": run_id, "version": version}).encode(
+                    "utf-8"
+                )
+            )
+        )
+    finally:
+        out.close()
+
+
+def find_run_version(
+    spark: SparkSession, table: str, run_id: str
+) -> int | None:
+    """Version committed under ``run_id``, or None — O(1): one marker
+    read plus one manifest read to validate (see the index invariant
+    above; no manifest scan in either direction)."""
+    path = _run_marker_path(table, run_id)
+    try:
+        jvm, hpath, fs = _jfs(spark, path)
+        if not fs.exists(hpath):
+            return None
+        marker = json.loads(_read_text(spark, path))
+        v = int(marker["version"])
+        if (
+            marker.get("run_id") == run_id
+            and _load_manifest(spark, table, v)["run_id"] == run_id
+        ):
+            return v
+    except Exception:
+        pass  # torn marker / vacuumed target: not committed
+    return None
+
+
 def _staged_files(spark: SparkSession, staging: str) -> list[str]:
     """Relative (to the table root) paths of the parquet files under a
     staging dir. Stored relative so the table directory can be moved or
@@ -138,26 +216,26 @@ def commit_write(
     can both pass the pre-stage idempotence check, so (a) each attempt
     stages under its own ``<run_id>-<attempt-uuid>`` dir — a restage can
     never clobber part files a winner's manifest already references —
-    and (b) the version-race retry loop re-checks the re-listed
-    manifests for the run_id and returns the winner's version instead of
-    committing a duplicate. A loser's orphaned attempt dir is never
-    referenced by any manifest and is reclaimed by
+    and (b) the version-race retry loop re-checks the run-marker index
+    (:func:`find_run_version`, O(1)) and returns the winner's version
+    instead of committing a duplicate. A loser's orphaned attempt dir is
+    never referenced by any manifest and is reclaimed by
     :func:`vacuum_uncommitted`."""
     import uuid
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    for v in reversed(_manifest_versions(spark, table)):
-        if _load_manifest(spark, table, v)["run_id"] == run_id:
-            return v
+    prior = find_run_version(spark, table, run_id)
+    if prior is not None:
+        return prior
     staging = f"{table}/{STAGING_DIR}/{run_id}-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(staging)
     new_files = _staged_files(spark, staging)
     while True:
         versions = _manifest_versions(spark, table)
-        for v in reversed(versions):
-            if _load_manifest(spark, table, v)["run_id"] == run_id:
-                return v  # concurrent holder of our run_id won: idempotent
+        theirs = find_run_version(spark, table, run_id)
+        if theirs is not None:
+            return theirs  # concurrent holder of our run_id won: idempotent
         version = (versions[-1] + 1) if versions else 1
         if mode == "append" and versions:
             parent_files = _load_manifest(spark, table, versions[-1])["files"]
@@ -170,6 +248,11 @@ def commit_write(
             "mode": mode,
             "files": parent_files + new_files,
         }
+        # marker BEFORE rename — the ordering that makes find_run_version's
+        # negative answer decisive (see the index invariant above). A lost
+        # version race leaves a stale marker; the next loop iteration
+        # overwrites it with the retry's version.
+        _write_run_marker(spark, table, run_id, version)
         committed = _write_text_atomic(
             spark,
             f"{table}/{MANIFEST_DIR}/.tmp-{run_id}-{version}.json",

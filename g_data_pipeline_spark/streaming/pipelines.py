@@ -839,15 +839,16 @@ def substring_dedup_stream(
         spark = batch_df.sparkSession
         delta_rid = f"{sink_name}-dir-batch-{int(batch_id)}"
         out_rid = f"{sink_name}-out-batch-{int(batch_id)}"
-        # Directory AS OF the version before this batch's own delta.
-        read_version = None
-        for v in reversed(txn._manifest_versions(spark, directory_table)):
-            m = txn._load_manifest(spark, directory_table, v)
-            if m["run_id"] == delta_rid:
-                read_version = m["parent"] or -1  # -1: empty directory
-                break
-            if read_version is None:
-                read_version = max(v, read_version or 0)
+        # Directory AS OF the version before this batch's own delta —
+        # one O(1) run-marker lookup (txn.find_run_version), not a scan of
+        # every manifest per micro-batch (O(versions) per batch was O(n^2)
+        # over a stream's lifetime at crawl-dump cadence).
+        own_delta = txn.find_run_version(spark, directory_table, delta_rid)
+        if own_delta is not None:  # replay: read what the first attempt saw
+            m = txn._load_manifest(spark, directory_table, own_delta)
+            read_version = m["parent"] or -1  # -1: empty directory
+        else:
+            read_version = txn.latest_version(spark, directory_table)
         if read_version in (None, -1):
             directory = spark.createDataFrame([], _DIR_SCHEMA)
         else:
