@@ -185,15 +185,38 @@ def shingle_containment_pairs(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+def _md5_perm(s: Column, i: int) -> Column:
+    """md5 'permutation' i of a shingle: 60-bit integer from the first 15
+    hex chars of md5(s <US> i) — byte-identical in DuckDB
+    (``CAST('0x' || substring(md5(s || chr(31) || i), 1, 15) AS BIGINT)``),
+    the cross-engine family the oracle-gated estimators pinned
+    (query_defs/sketches.py)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(s, F.lit("\x1f"), F.lit(str(i)))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int, hash_family: str = "xxhash64"
+) -> Column:
     """array<long> signature: per permutation i, min over shingles of
-    xxhash64(shingle, seed=i). Seeded xxhash64 is the permutation family —
-    deterministic everywhere, computed JVM-side inside one expression."""
+    permutation-i's hash. ``hash_family='xxhash64'`` (default, production)
+    uses seeded xxhash64 — deterministic everywhere, computed JVM-side
+    inside one expression, fastest. ``'md5'`` uses the md5 permutation
+    family reproducible in DuckDB SQL — same algebra, used by the
+    oracle-gated registry entries."""
+    if hash_family == "md5":
+        perm = _md5_perm
+    elif hash_family == "xxhash64":
+        def perm(s: Column, i: int) -> Column:
+            return F.xxhash64(s, F.lit(i))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(shingles, lambda s: perm(s, i)))
             for i in range(num_hashes)
         ]
     )
@@ -208,6 +231,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     verify: bool = True,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via MinHash signatures + banded LSH:
 
@@ -222,25 +246,37 @@ def minhash_lsh_pairs(
     candidates only (cheap: candidates ≪ n²), so precision is exact and
     the output is directly comparable to ngram_jaccard_pairs minus LSH
     misses.
+
+    ``hash_family``: 'xxhash64' (default) hashes each band's content to a
+    long bucket — narrowest shuffle key, the production path. 'md5' uses
+    the DuckDB-reproducible md5 permutation family AND keeps the band
+    bucket as the raw value string, so the ENTIRE banding algebra —
+    signatures, band split, bucket grouping, candidate join — has an
+    exact SQL twin (the d_minhash_lsh_pairs oracle); a content-string key
+    also makes the candidate set collision-free by construction.
     """
     r = num_hashes // bands
     assert r * bands == num_hashes, "bands must divide num_hashes"
     sets = shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
-    sigs = sets.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    sigs = sets.withColumn(
+        "sig",
+        minhash_signature(F.col("shingles"), num_hashes, hash_family),
+    )
+
+    def band_key(bi: int) -> Column:
+        content = F.concat_ws(
+            ",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]
+        )
+        if hash_family == "md5":
+            return content.alias("bucket")  # SQL-twin-able, collision-free
+        return F.xxhash64(content).alias("bucket")
 
     band_rows = sigs.select(
         "id",
         F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(bi).alias("band"), band_key(bi))
                     for bi in range(bands)
                 ]
             )
@@ -376,13 +412,33 @@ def dedup_clusters(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_expr(tokens_col: Column, bits: int = 64) -> Column:
+def simhash_expr(
+    tokens_col: Column, bits: int = 64, hash_family: str = "xxhash64"
+) -> Column:
     """SimHash over a token array, fully JVM-side:
 
-    per token: h = xxhash64(token); per bit b: +1 if set else -1, summed
+    per token: h = hash(token); per bit b: +1 if set else -1, summed
     over tokens via one aggregate() with an array accumulator; bit b of the
-    simhash = (sum_b > 0). Returns a LONG."""
-    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+    simhash = (sum_b > 0). Returns a LONG.
+
+    ``hash_family='md5'`` swaps xxhash64 for the DuckDB-reproducible
+    60-bit md5 token hash (first 15 hex chars — the estimator family,
+    query_defs/sketches.py), so the whole vote/sign algebra has an exact
+    SQL twin; bits must be <= 60 in that family (use 32, the gated
+    convention)."""
+    if hash_family == "md5":
+        if bits > 60:
+            raise ValueError("md5 family provides 60 hash bits; bits <= 60")
+        hashes = F.transform(
+            tokens_col,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        )
+    elif hash_family == "xxhash64":
+        hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     acc0 = F.array_repeat(F.lit(0).cast("long"), bits)
     sums = F.aggregate(
         hashes,
@@ -424,20 +480,26 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 8,
     bands: int = 4,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Candidate generation: split the 64-bit simhash into ``bands`` chunks;
-    by pigeonhole, any pair within Hamming distance < bands must agree on
-    at least one chunk -> join on (band, chunk). Exact Hamming verification
-    via bit_count(xor). One shuffle keyed on chunk content.
+    Candidate generation: split the ``bits``-bit simhash into ``bands``
+    chunks; by pigeonhole, any pair within Hamming distance < bands must
+    agree on at least one chunk -> join on (band, chunk). Exact Hamming
+    verification via bit_count(xor). One shuffle keyed on chunk content.
+    ``hash_family='md5'`` (with bits=32) is the DuckDB-reproducible
+    variant the d_simhash_pairs oracle gates end-to-end.
     """
     from g_data_pipeline_spark.functions.text import tokens
 
-    chunk_bits = 64 // bands
+    assert bits % bands == 0, "bands must divide bits"
+    chunk_bits = bits // bands
     mask = (1 << chunk_bits) - 1
     sims = df.select(
-        F.col(id_col).alias("id"), simhash_expr(tokens(text_col)).alias("simhash")
+        F.col(id_col).alias("id"),
+        simhash_expr(tokens(text_col), bits, hash_family).alias("simhash"),
     )
     band_rows = sims.select(
         "id",

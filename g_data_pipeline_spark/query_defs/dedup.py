@@ -1,8 +1,8 @@
 """Dedup queries over ``documents``/``orders``: exact, fingerprint, exact
-n-gram Jaccard (oracle-matched), MinHash-LSH and SimHash (rows-only checks —
-the seeded-xxhash64 permutation family has no DuckDB equivalent; their
-quality is pinned by tests/test_dedup.py against the exact Jaccard oracle
-instead)."""
+n-gram Jaccard, and — since round 7 — the MinHash-LSH banded pair path and
+the SimHash pigeonhole path, all oracle-matched end-to-end (the gated
+entries run the DuckDB-reproducible md5 hash family; the faster xxhash64
+production family keeps its quality pins in tests/test_dedup.py)."""
 
 from __future__ import annotations
 
@@ -103,23 +103,155 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d_minhash_lsh_pairs", oracle=None)
+# md5 "permutation" i of shingle s — the DuckDB twin of
+# operators/dedup._md5_perm (the cross-engine family proven by
+# d_minhash_estimate_pairs, query_defs/sketches.py).
+_LSH_HASHES, _LSH_BANDS = 32, 8
+_LSH_R = _LSH_HASHES // _LSH_BANDS
+
+_SQL_LSH_SETS = r"""
+    sets AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    )
+"""
+
+
+@register(
+    "d_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SQL_LSH_SETS}, sig AS (
+      SELECT doc_id,
+             [list_min(list_transform(sh,
+                s -> CAST(('0x' || substring(md5(s || chr(31)
+                                             || CAST(i AS VARCHAR)), 1, 15))
+                     AS BIGINT)))
+              for i in range(0, {_LSH_HASHES})] AS sg
+      FROM sets WHERE len(sh) > 0
+    ), bands AS (
+      SELECT doc_id, b.band,
+             array_to_string(sg[b.band * {_LSH_R} + 1
+                               : b.band * {_LSH_R} + {_LSH_R}], ',')
+               AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {_LSH_BANDS})) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(sa.sh, sb.sh)) AS common,
+             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+               AS un
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.id_a
+      JOIN sets sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+           CAST(ROUND(common / CAST(un AS DOUBLE) * 1e6) AS BIGINT)
+             AS jaccard_micro
+    FROM verified
+    WHERE common / CAST(un AS DOUBLE) >= 0.5
+    """,
+)
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32 hashes)+LSH(8 bands) candidates, verified to exact
-    Jaccard >= 0.5. Rows-only for the driver (seeded xxhash64 has no SQL
-    twin); recall vs the exact oracle pinned in tests/test_dedup.py."""
+    """MinHash(32 hashes)+LSH(8 bands of r=4) near-dup pairs, verified to
+    exact Jaccard >= 0.5 — oracle-gated END-TO-END (round-7 graduation of
+    the oldest rows-only flagship): signatures from the md5 permutation
+    family, band buckets as raw value strings, candidate self-join,
+    Jaccard verification — every stage has the byte-identical SQL twin
+    DuckDB runs. The banding algebra (1-(1-s^r)^b candidate recall, ~97%
+    at s=0.5) is therefore pinned cross-engine, not just property-tested.
+    The xxhash64 production family (narrower long buckets, fastest
+    shuffle key) stays the operator default; its recall vs the exact
+    inverted-index oracle is pinned in tests/test_dedup.py. Shape: the
+    only shuffles key on (band, bucket-content) and on candidate doc ids
+    — never all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=_LSH_HASHES,
+        bands=_LSH_BANDS,
+        threshold=0.5,
+        hash_family="md5",
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("common").cast("long").alias("common"),
+        F.round(F.col("jaccard") * F.lit(1e6))
+        .cast("long")
+        .alias("jaccard_micro"),
     )
 
 
-@register("d_simhash_pairs", oracle=None)
+_SH_PAIR_BITS, _SH_PAIR_BANDS, _SH_PAIR_MAXHAM = 32, 4, 6
+_SH_CHUNK = 2 ** (_SH_PAIR_BITS // _SH_PAIR_BANDS)
+
+
+@register(
+    "d_simhash_pairs",
+    oracle=rf"""
+    WITH fp AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN list_sum(list_transform(hs,
+                              h -> ((h // (1::BIGINT << j)) % 2) * 2 - 1)) > 0
+                            THEN (1::BIGINT << j) ELSE 0 END
+                       for j in range(0, {_SH_PAIR_BITS})]) AS f
+      FROM (SELECT doc_id,
+                   list_transform(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT))
+                     AS hs
+            FROM documents)
+    ), bands AS (
+      SELECT doc_id, f, b.band,
+             (f // (1::BIGINT << (b.band * {_SH_PAIR_BITS // _SH_PAIR_BANDS})))
+               % {_SH_CHUNK} AS chunk
+      FROM fp
+      CROSS JOIN (SELECT unnest(range(0, {_SH_PAIR_BANDS})) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.f AS fa, b.f AS fb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {_SH_PAIR_MAXHAM}
+    """,
+)
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at Hamming <= 12 via pigeonhole banding.
-    Rows-only; properties pinned in tests/test_dedup.py."""
+    """SimHash near-dup pairs via pigeonhole banding, oracle-gated
+    END-TO-END (round-7 graduation): 32-bit md5-family fingerprints
+    (per-bit +/-1 votes over the raw token multiset), split into 4
+    8-bit chunks — by pigeonhole any pair within Hamming < 4 shares a
+    chunk; candidates verify to Hamming <= 6 with exact bit_count(xor).
+    Every stage (token hash, vote/sign, chunk extraction, candidate
+    join, Hamming) runs byte-identically in DuckDB. The 64-bit xxhash64
+    production variant (operators/dedup.simhash_pairs defaults) stays
+    property-pinned in tests/test_dedup.py. One shuffle keyed on
+    (band, chunk) content — never all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=12, bands=4)
+    pairs = simhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=_SH_PAIR_MAXHAM,
+        bands=_SH_PAIR_BANDS,
+        bits=_SH_PAIR_BITS,
+        hash_family="md5",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 @register(
