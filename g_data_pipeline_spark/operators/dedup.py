@@ -849,8 +849,8 @@ def substring_dedup(
     Shape: one window explode -> per-hash stats (count of distinct docs +
     the canonical occurrence, one content-keyed shuffle) -> join back ->
     per-doc collect of the REMOVED window start positions (bounded by
-    document length) -> one row-local token filter (no UDF: higher-order
-    ``F.filter``/``F.exists`` over the token array) -> reassembly.
+    document length) -> LINEAR row-local merged-interval reassembly (no
+    UDF; see :func:`_reassemble_after_cuts`).
     """
     w = int(window_tokens)
     # Materialize the token array as a COLUMN before any higher-order
@@ -893,17 +893,66 @@ def substring_dedup(
         "__starts",
         F.coalesce("__starts", F.array().cast("array<int>")),
     )
-    t = F.col("__toks")  # attribute, cheap inside the lambdas below
-    keep_idx = F.filter(
-        F.sequence(F.lit(1), F.size(t)),
-        lambda i: ~F.exists(
-            F.col("__starts"),
-            lambda s: (i >= s + 1) & (i <= s + w),
+    return _reassemble_after_cuts(out, w)
+
+
+def _reassemble_after_cuts(out: DataFrame, w: int) -> DataFrame:
+    """Cut every token covered by a removed window start and reassemble —
+    LINEAR in document length (round-7 rewrite; the previous per-token
+    ``F.exists`` over cut starts was O(tokens x cut-windows), worst-case
+    quadratic for a long fully-duplicated document).
+
+    Expects columns (id, __text, __toks, __starts); start ``s`` (0-based
+    window position) cuts 1-based tokens [s+1, s+w]. Shape, all row-local
+    array expressions:
+
+    1. sort starts; a start BEGINS a merged cut interval iff the gap to
+       its predecessor exceeds w, ENDS one iff the gap to its successor
+       does (one O(k) pass via transform's (element, index) lambda +
+       ``F.get`` of the shifted neighbor — nulls at the edges coalesce);
+    2. the KEPT spans are the complement of the merged [lo, hi] cut
+       intervals (zip_with of his-prefixed-with-0 against
+       los-suffixed-with-n+1);
+    3. the surviving text is one ``F.slice`` per kept span, flattened —
+       O(tokens) element moves total, no per-token predicate.
+    """
+    out = out.withColumn("__ss", F.array_sort("__starts"))
+    ss = F.col("__ss")  # attribute: cheap to reference inside lambdas
+    t = F.col("__toks")
+    ann = F.transform(
+        ss,
+        lambda s, i: F.struct(
+            s.alias("s"),
+            ((i == F.lit(0)) | (s - F.get(ss, i - 1) > F.lit(w))).alias(
+                "b"
+            ),
+            F.coalesce(F.get(ss, i + 1) - s > F.lit(w), F.lit(True)).alias(
+                "e"
+            ),
         ),
+    )
+    los = F.transform(F.filter(ann, lambda x: x["b"]), lambda x: x["s"] + 1)
+    his = F.transform(F.filter(ann, lambda x: x["e"]), lambda x: x["s"] + w)
+    kept_spans = F.filter(
+        F.zip_with(
+            F.concat(F.array(F.lit(0)), his),
+            F.concat(los, F.array(F.size(t) + 1)),
+            lambda hi_prev, lo_next: F.struct(
+                (hi_prev + 1).alias("lo"), (lo_next - 1).alias("hi")
+            ),
+        ),
+        lambda sp: sp["hi"] >= sp["lo"],
     )
     kept = F.when(
         F.trim(F.col("__text")) == "", F.array().cast("array<string>")
-    ).otherwise(F.transform(keep_idx, lambda i: F.element_at(t, i)))
+    ).otherwise(
+        F.flatten(
+            F.transform(
+                kept_spans,
+                lambda sp: F.slice(t, sp["lo"], sp["hi"] - sp["lo"] + 1),
+            )
+        )
+    )
     return out.select(
         "id",
         F.array_join(kept, " ").alias("dedup_text"),
@@ -1025,26 +1074,7 @@ def incremental_substring_dedup(
     out = base.join(removed, "id", "left").withColumn(
         "__starts", F.coalesce("__starts", F.array().cast("array<int>"))
     )
-    t = F.col("__toks")
-    keep_idx = F.filter(
-        F.sequence(F.lit(1), F.size(t)),
-        lambda i: ~F.exists(
-            F.col("__starts"),
-            lambda s: (i >= s + 1) & (i <= s + w),
-        ),
-    )
-    kept = F.when(
-        F.trim(F.col("__text")) == "", F.array().cast("array<string>")
-    ).otherwise(F.transform(keep_idx, lambda i: F.element_at(t, i)))
-    cleaned = out.select(
-        "id",
-        F.array_join(kept, " ").alias("dedup_text"),
-        F.when(F.trim(F.col("__text")) == "", F.lit(0))
-        .otherwise(F.size(t))
-        .cast("long")
-        .alias("n_tokens"),
-        F.size(kept).cast("long").alias("n_tokens_kept"),
-    )
+    cleaned = _reassemble_after_cuts(out, w)
     delta = fresh_canon.select(
         "h",
         F.col("__keep.id").alias("owner_id"),

@@ -128,3 +128,28 @@ def test_matches_python_twin_on_real_corpus_sample(spark):
         for r in substring_dedup(docs, "doc_id", "text", 20).collect()
     }
     assert got == _python_twin(rows, 20)
+
+
+def test_long_fully_duplicated_doc_linear_reassembly(spark):
+    """Perf pin for the round-7 merged-interval reassembly: a long doc
+    duplicated verbatim cuts EVERY window of the loser — the worst case
+    for the old per-token ``exists`` over cut starts (O(tokens x cuts),
+    ~9e8 predicate evaluations at this size). The linear form must stay
+    interactive AND bit-exact: the loser collapses to empty text, the
+    canonical copy is untouched."""
+    import time
+
+    n, w = 30_000, 50
+    text = _words("tok", n)
+    df = _mk(spark, [(1, text), (2, text)])
+    t0 = time.perf_counter()
+    got = {
+        r.id: (r.dedup_text, r.n_tokens, r.n_tokens_kept)
+        for r in substring_dedup(df, "doc_id", "text", w).collect()
+    }
+    elapsed = time.perf_counter() - t0
+    assert got[1] == (text.lower(), n, n)
+    assert got[2] == ("", n, 0)
+    # generous wall bound (local[32] CI noise) — the quadratic shape blew
+    # far past this; the linear one runs in low single-digit seconds.
+    assert elapsed < 20, f"reassembly took {elapsed:.1f}s"
