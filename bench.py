@@ -198,7 +198,67 @@ HEADLINE = [
     "d_substring_dedup",
     "p_profile_moments",
     "t_quality_scorecard",
+    # round-7 additions (first recorded cost becomes their baseline).
+    # NOTE: d_minhash_lsh_pairs (already above) switched to the gated md5
+    # hash family in round 7 — signature cost sits below the band-bucket
+    # exchange, so timed repeats (which reuse shuffle map outputs) are
+    # comparable round-over-round; the warm pass absorbs the delta.
+    "t_vocab_coverage",
+    "d_substring_transform",
+    "t_perplexity_buckets",
+    "t_context_fit_report",
 ]
+
+
+# Runtime-metric regression gate: counters compared round-over-round, with
+# a noise floor below which growth is ignored (tiny absolute values ratio
+# wildly), and the growth ratio that trips a violation. A tripped entry
+# must either be fixed or waived with a reason in
+# BENCH_ALLOWED_REGRESSIONS.json — tests/test_bench_regression.py fails on
+# unwaived violations recorded in the committed BENCH_DETAIL.json.
+REGRESSION_METRICS = {
+    "shuffle_bytes_written": 1 << 20,  # floor: 1 MiB
+    "rows_scanned": 100_000,
+    "spill_bytes": 1 << 20,
+}
+REGRESSION_RATIO = 2.0
+
+
+def check_runtime_regressions(
+    prev: dict[str, dict], new: dict[str, dict], allowed: dict[str, str]
+) -> tuple[list[dict], list[dict]]:
+    """Diff per-entry runtime counters against the prior recorded run:
+    any tracked metric growing past REGRESSION_RATIO (above its noise
+    floor) is a violation — the machine-caught version of the BM25
+    5x-scan class of bug — unless the entry is waived with a reason.
+    Entries are only compared under the SAME collect-count definition
+    (accumulators grow with repeats; see _runtime_summary). Returns
+    (violations, waived)."""
+    violations: list[dict] = []
+    waived: list[dict] = []
+    for name, p in prev.items():
+        q = new.get(name)
+        if q is None or p.get("collects") != q.get("collects"):
+            continue
+        for metric, floor in REGRESSION_METRICS.items():
+            pv, nv = p.get(metric), q.get(metric)
+            if pv is None or nv is None or max(pv, nv) < floor:
+                continue
+            base = max(pv, floor)
+            if nv > REGRESSION_RATIO * base:
+                finding = {
+                    "query": name,
+                    "metric": metric,
+                    "prev": pv,
+                    "new": nv,
+                    "ratio": round(nv / base, 2),
+                }
+                if name in allowed:
+                    finding["waiver"] = allowed[name]
+                    waived.append(finding)
+                else:
+                    violations.append(finding)
+    return violations, waived
 
 
 def emit(
@@ -209,6 +269,31 @@ def emit(
     tests/test_bench_contract.py to stay inside the driver's tail capture).
     """
     total = round(sum(timings.values()), 4)
+    prev_runtime = {}
+    detail_path = Path(REPO_ROOT, "BENCH_DETAIL.json")
+    try:
+        prev_runtime = json.loads(detail_path.read_text()).get(
+            "runtime_metrics", {}
+        )
+    except Exception:
+        pass
+    allowed = {}
+    try:
+        allowed = json.loads(
+            Path(REPO_ROOT, "BENCH_ALLOWED_REGRESSIONS.json").read_text()
+        )
+    except Exception:
+        pass
+    violations, waived = check_runtime_regressions(
+        prev_runtime, runtime, allowed
+    )
+    for v in violations:
+        print(
+            f"RUNTIME REGRESSION {v['query']}.{v['metric']}: "
+            f"{v['prev']} -> {v['new']} ({v['ratio']}x) — fix it or waive "
+            "with a reason in BENCH_ALLOWED_REGRESSIONS.json",
+            file=sys.stderr,
+        )
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -217,10 +302,9 @@ def emit(
         "n_queries": len(timings),
         "queries": timings,
         "runtime_metrics": runtime,
+        "runtime_regressions": {"violations": violations, "waived": waived},
     }
-    Path(REPO_ROOT, "BENCH_DETAIL.json").write_text(
-        json.dumps(detail, indent=1) + "\n"
-    )
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
     top20 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
     )
@@ -257,15 +341,18 @@ def run() -> None:
         run_summary,
     )
 
-    def _runtime_summary(df) -> dict | None:
-        # Harvest the executed plan's SQL metrics (driver-side, read-only;
-        # the last timed collect() already ran the plan). Keep only the
-        # scale-relevant counters for BENCH_DETAIL.json.
+    def _summarize(metrics, collects: int) -> dict | None:
+        # Keep only the scale-relevant counters for BENCH_DETAIL.json.
+        # ``collects`` records how many actions the accumulators absorbed
+        # (metric accumulators grow across executions of one plan, while
+        # shuffle-stage reuse skips map stages on repeats — so counters
+        # are only comparable under the same collect count; the checker
+        # enforces that).
         try:
-            s = run_summary(executed_metrics(df))
+            s = run_summary(metrics)
         except Exception:
             return None
-        return {
+        out = {
             k: s[k]
             for k in (
                 "shuffle_bytes_written",
@@ -276,6 +363,16 @@ def run() -> None:
             )
             if k in s
         }
+        out["collects"] = collects
+        return out
+
+    def _runtime_summary(df, collects: int) -> dict | None:
+        # Harvest the executed plan's SQL metrics (driver-side, read-only;
+        # the last timed collect() already ran the plan).
+        try:
+            return _summarize(executed_metrics(df), collects)
+        except Exception:
+            return None
 
     timings: dict[str, float] = {}
     runtime: dict[str, dict] = {}
@@ -294,8 +391,19 @@ def run() -> None:
             # entries (t_bpe_tokenize, d_semantic_dedup) keep the repeats
             # path: their standing baselines measure the steady-state
             # distributed phase, and switching methodology would fake a
-            # regression.
-            spec.fn(spark, sf_dir)
+            # regression. Runtime metrics: the WARM build runs under the
+            # metrics tap (operators/runprofile.metrics_tap — the kernel's
+            # internal actions call tap_action), giving clean SINGLE-run
+            # counters without touching the timed loop.
+            from g_data_pipeline_spark.operators.runprofile import (
+                metrics_tap,
+            )
+
+            with metrics_tap() as tap:
+                spec.fn(spark, sf_dir)
+            rs = _summarize(tap.metrics, collects=1)
+            if rs is not None:
+                runtime[name] = rs
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -312,7 +420,7 @@ def run() -> None:
             _force(df)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
-        rs = _runtime_summary(df)
+        rs = _runtime_summary(df, collects=4)  # 1 warm + 3 timed
         if rs is not None:
             runtime[name] = rs
         # The headline now spans 50+ entries in ONE JVM: dropped broadcast
@@ -327,8 +435,18 @@ def run() -> None:
     from g_data_pipeline_spark.catalog import load_table
     from g_data_pipeline_spark.profiler import profile
 
+    from g_data_pipeline_spark.operators.runprofile import metrics_tap
+
     li = load_table(spark, sf_dir, "lineitem")
-    profile(li)  # warm
+    # warm run under the metrics tap: the profiler's internal actions
+    # (counts/stats/corr/pcts passes + top-k) harvest as single-run
+    # counters — the plan cache reuses these DataFrames on the timed
+    # repeats, whose accumulators then inflate, so harvest happens HERE.
+    with metrics_tap() as tap:
+        profile(li)
+    rs = _summarize(tap.metrics, collects=1)
+    if rs is not None:
+        runtime["profile_lineitem_full"] = rs
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()

@@ -38,10 +38,16 @@ def exact_percentiles_distributed(
     num_partitions: int | None = None,
 ) -> dict[float, float | None]:
     """Exact linear-interpolated percentiles of ``df[col]``, scalably."""
+    from g_data_pipeline_spark.operators.runprofile import tap_action
+
     vals = df.select(F.col(col).cast("double").alias("v")).filter(
         F.col("v").isNotNull()
     )
-    n = vals.count()
+    # agg+collect (not .count(), which plans its own QueryExecution) so
+    # the runtime-metrics tap can harvest this action's executed plan
+    n_plan = vals.agg(F.count(F.lit(1)).alias("n"))
+    n = n_plan.collect()[0]["n"]
+    tap_action(n_plan)
     if n == 0:
         return {p: None for p in pcts}
 
@@ -60,10 +66,11 @@ def exact_percentiles_distributed(
     # cache: step 3's counts and step 4's pick read the same ranged data
     with_pid.persist()
     try:
-        counts = dict(
-            (r.pid, r.cnt)
-            for r in with_pid.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        counts_plan = with_pid.groupBy("pid").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
+        counts = dict((r.pid, r.cnt) for r in counts_plan.collect())
+        tap_action(counts_plan)
         # prefix sums -> (pid, local 1-based rank) for each needed index
         targets: list[tuple[int, int, int]] = []  # (global_idx, pid, local_rn)
         for g in sorted(need):
@@ -75,18 +82,18 @@ def exact_percentiles_distributed(
                 acc += counts[pid]
 
         w = Window.partitionBy("pid").orderBy("v")
-        picked = (
-            with_pid.withColumn("rn", F.row_number().over(w))
-            .join(
-                F.broadcast(
-                    with_pid.sparkSession.createDataFrame(
-                        [(pid, rn) for _, pid, rn in targets], "pid int, rn int"
-                    )
-                ),
-                ["pid", "rn"],
-            )
-            .collect()
+        pick_plan = with_pid.withColumn(
+            "rn", F.row_number().over(w)
+        ).join(
+            F.broadcast(
+                with_pid.sparkSession.createDataFrame(
+                    [(pid, rn) for _, pid, rn in targets], "pid int, rn int"
+                )
+            ),
+            ["pid", "rn"],
         )
+        picked = pick_plan.collect()
+        tap_action(pick_plan)
     finally:
         with_pid.unpersist()
 

@@ -91,6 +91,66 @@ def executed_metrics(df: DataFrame) -> list[MetricRow]:
     return out
 
 
+# --- multi-action metrics tap ------------------------------------------------
+#
+# Eager/multi-action operators (the full profiler, the range-partition
+# percentile kernel) run SEVERAL internal actions on internal DataFrames —
+# a caller holding only the final result has no plan to harvest, which left
+# the two costliest bench entries without runtime metrics. The tap is a
+# zero-cost seam: operators call ``tap_action(df)`` right after each
+# internal action (a no-op unless a tap is open), and a caller wanting the
+# aggregate opens ``metrics_tap()`` around the whole call. Node sequence
+# ids are re-based per harvested plan so run_summary's distinct-seq
+# counters (n_exchanges, n_operators) stay correct across plans.
+
+_TAP: list[MetricRow] | None = None
+
+
+def tap_action(df: DataFrame) -> None:
+    """Record ``df``'s executed-plan metrics into the open tap (no-op
+    when none is open). Call immediately after an action ON THIS ``df``
+    — actions that plan internally (``df.count()``) execute a different
+    QueryExecution and must be rewritten as agg+collect to be tappable."""
+    global _TAP
+    if _TAP is None:
+        return
+    base = max((m.seq for m in _TAP), default=-1) + 1
+    for m in executed_metrics(df):
+        _TAP.append(
+            MetricRow(
+                seq=base + m.seq,
+                depth=m.depth,
+                node=m.node,
+                metric=m.metric,
+                label=m.label,
+                value=m.value,
+            )
+        )
+
+
+class metrics_tap:
+    """Context manager collecting every ``tap_action`` harvest inside the
+    block; ``.metrics`` holds the combined rows afterwards::
+
+        with metrics_tap() as tap:
+            profile(df)
+        summary = run_summary(tap.metrics)
+    """
+
+    def __init__(self) -> None:
+        self.metrics: list[MetricRow] = []
+
+    def __enter__(self) -> "metrics_tap":
+        global _TAP
+        self._prev = _TAP
+        _TAP = self.metrics
+        return self
+
+    def __exit__(self, *exc) -> None:
+        global _TAP
+        _TAP = self._prev
+
+
 def profile_action(df: DataFrame) -> tuple[list[Row], list[MetricRow]]:
     """Run ``df.collect()`` and harvest the executed plan's metrics —
     the one-call 'what did this query actually do' probe."""

@@ -58,6 +58,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from g_data_pipeline_spark.functions.deterministic import davg, dsum
+from g_data_pipeline_spark.operators.runprofile import (
+    tap_action as _tap_action,
+)
 
 NUMERIC_STATS = ("min", "max", "mean", "median", "std_dev", "percentile_25", "percentile_75")
 
@@ -235,14 +238,15 @@ def sql_corr(c1: str, c2: str) -> str:
 def top_values(df: DataFrame, col: str, k: int = 10) -> dict[str, int]:
     """P10: top-k frequent values for one categorical column (count-desc,
     value-asc tiebreak; nulls excluded from the value map)."""
-    rows = (
+    plan = (
         df.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col(col).asc())
         .limit(k)
-        .collect()
     )
+    rows = plan.collect()
+    _tap_action(plan)
     return {str(r[col]): r["cnt"] for r in rows}
 
 
@@ -330,6 +334,7 @@ def profile(
     for part in ("all", "counts", "stats", "corr"):
         if part in plans:
             row.update(plans[part].collect()[0].asDict())
+            _tap_action(plans[part])
 
     # Second pass: exact percentiles (imperative aggregates — kept out of the
     # codegen'd pass above; see percentile_expr docstring). Three modes:
@@ -348,6 +353,7 @@ def profile(
             row[f"percentile_75_{c}"] = got[0.75]
     elif classes.numeric:
         prow = plans["pcts"].collect()[0].asDict()
+        _tap_action(plans["pcts"])
         for c in classes.numeric:
             p25, med, p75 = prow[f"__pct_{c}"] or (None, None, None)
             row[f"percentile_25_{c}"] = p25

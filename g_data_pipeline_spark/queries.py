@@ -87,16 +87,82 @@ from g_data_pipeline_spark import query_defs  # noqa: E402,F401
 # registered and graded locally by tests/driver_sim.py (and by the judge's
 # re-run of it).
 _DRIVER_WINDOW = (
-    # -- Round-6 rotation (see ROTATION.md). Rule: window entries MUST have
+    # -- Round-7 rotation (see ROTATION.md). Rule: window entries MUST have
     # an oracle (rows-only entries can never turn green — 8 slots were
     # wasted on them in round 2) and MUST output scalar columns only (the
     # driver's pandas canonicalizer crashes on array/map — the round-2
     # v_mean_pool red row). Both pinned by tests/test_registry_oracle.py.
     #
-    # (1) The r6 queue — ALL 25 round-5 extended-session registrations
-    # (sim-green since they landed; the one recurring process failure has
-    # been re-growing this queue, so round 6 promotes the ENTIRE queue
-    # first and trades any new oracle operator against the budget below).
+    # (1) Round-7 NEW/GRADUATED oracle operators, in-window the round
+    # they land (ROTATION.md rule 3): the vocabulary-coverage curve, the
+    # substring-dedup TRANSFORM gate (report half graduated r6), the
+    # CCNet perplexity-bucketed mixing report, the context-fit report,
+    # and the two md5-family graduations of the oldest rows-only
+    # flagships (banded MinHash-LSH pairs, SimHash pigeonhole pairs).
+    "t_vocab_coverage",
+    "d_substring_transform",
+    "t_perplexity_buckets",
+    "t_context_fit_report",
+    "d_minhash_lsh_pairs",
+    "d_simhash_pairs",
+    # -- (2) SURVEY §2 core representatives (one per round, standing).
+    "q1_pricing_summary",
+    "p_numeric_stats",
+    "a_salted_agg",
+    # -- (3) Freshness: the 6 r2-cohort entries deferred from round 6
+    # (their newest green row is r2, five rounds old).
+    "a_stratified_sample",
+    "p_null_unique_counts",
+    "p_correlation_matrix",
+    "p_top_values",
+    "v_cosine_topk",
+    "v_near_dup_pairs",
+    # -- (4) Freshness: the ENTIRE r3-only cohort (newest green row r3,
+    # four rounds old), oldest cohort remaining after (3) — 35 entries,
+    # closing the round-7 budget exactly. After a 50/50 round nothing in
+    # the ledger is older than r4.
+    "v_mean_pool",
+    "v_quantize_int8",
+    "d_dedup_clusters",
+    "d_decontaminate",
+    "d_span_dedup",
+    "d_incremental_dedup",
+    "t_repetition_stats",
+    "t_redact_pii",
+    "t_top_ngrams",
+    "t_pack_sequences",
+    "t_mixture_weights",
+    "j_q2_min_cost_supplier",
+    "j_q4_priority_late_ship",
+    "j_q8_market_share",
+    "j_q9_product_type_profit",
+    "j_q11_important_parts",
+    "j_q12_late_priority_lines",
+    "j_q13_customer_order_distribution",
+    "j_q15_top_supplier",
+    "j_q16_supplier_part_counts",
+    "j_q17_small_quantity_revenue",
+    "j_q20_dominant_suppliers",
+    "j_q21_sole_late_supplier",
+    "j_q22_dormant_rich_customers",
+    "s_except_all",
+    "s_intersect_all",
+    "g_grouping_sets",
+    "w_percent_rank_cume_dist",
+    "a_range_join",
+    "e_funnel_conversion",
+    "t_tfidf_topk",
+    "t_char_diversity",
+    "t_vocab_stats",
+    "d_priority_merge",
+    "d_source_shingle_overlap",
+)
+
+# Queries promoted right after the pinned window (in this order);
+# bench.py and driver_sim still grade them every run.
+_ANALYTICS_HEAD = (
+    # Demoted from the r6 window for the round-7 repack — every one holds
+    # a fresh r6 green row (ROTATION.md).
     "a_rfm_segments",
     "a_trimmed_mean",
     "a_benford_digits",
@@ -122,21 +188,9 @@ _DRIVER_WINDOW = (
     "t_readability",
     "d_boilerplate_lines",
     "d_cluster_size_profile",
-    # -- (2) Round-6 NEW oracle operators, in-window the round they land
-    # (ROTATION.md rule 3): exact substring dedup (Lee et al. '21), the
-    # incremental profile's exact half, the fused scorecard surface.
     "d_substring_dedup",
     "p_profile_moments",
     "t_quality_scorecard",
-    # -- (3) SURVEY §2 core representatives (one per round, standing).
-    "q1_pricing_summary",
-    "p_numeric_stats",
-    "a_salted_agg",
-    # -- (4) Freshness refreshes: the oldest cohort — entries whose newest
-    # green row is round 2 (four rounds old). 19 slots; the 6 youngest of
-    # the cohort (a_stratified_sample, p_null_unique_counts,
-    # p_correlation_matrix, p_top_values, v_cosine_topk, v_near_dup_pairs)
-    # roll to the round-7 budget.
     "t_token_stats",
     "t_quality_features",
     "t_lang_id",
@@ -156,11 +210,6 @@ _DRIVER_WINDOW = (
     "e_session_windows",
     "e_props_extract",
     "a_asof_join",
-)
-
-# Queries promoted right after the pinned window (in this order);
-# bench.py and driver_sim still grade them every run.
-_ANALYTICS_HEAD = (
     # Demoted from the r5 window for the round-6 repack — every one holds
     # a fresh r5 green row (ROTATION.md).
     "a_groupwise_regression",
@@ -247,41 +296,6 @@ _ANALYTICS_HEAD = (
     "r6b_grouped_mean",
     "r7b_grouped_sum",
     "r9_group_by_count",
-    "v_mean_pool",
-    "v_quantize_int8",
-    "d_dedup_clusters",
-    "d_decontaminate",
-    "d_span_dedup",
-    "d_incremental_dedup",
-    "t_repetition_stats",
-    "t_redact_pii",
-    "t_top_ngrams",
-    "t_pack_sequences",
-    "t_mixture_weights",
-    "j_q2_min_cost_supplier",
-    "j_q4_priority_late_ship",
-    "j_q8_market_share",
-    "j_q9_product_type_profit",
-    "j_q11_important_parts",
-    "j_q12_late_priority_lines",
-    "j_q13_customer_order_distribution",
-    "j_q15_top_supplier",
-    "j_q16_supplier_part_counts",
-    "j_q17_small_quantity_revenue",
-    "j_q20_dominant_suppliers",
-    "j_q21_sole_late_supplier",
-    "j_q22_dormant_rich_customers",
-    "s_except_all",
-    "s_intersect_all",
-    "g_grouping_sets",
-    "w_percent_rank_cume_dist",
-    "a_range_join",
-    "e_funnel_conversion",
-    "t_tfidf_topk",
-    "t_char_diversity",
-    "t_vocab_stats",
-    "d_priority_merge",
-    "d_source_shingle_overlap",
 )
 
 

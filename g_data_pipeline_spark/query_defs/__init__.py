@@ -19,6 +19,7 @@ from g_data_pipeline_spark.query_defs import curation3  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation4  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation5  # noqa: F401
 from g_data_pipeline_spark.query_defs import curation6  # noqa: F401
+from g_data_pipeline_spark.query_defs import curation7  # noqa: F401
 from g_data_pipeline_spark.query_defs import dedup  # noqa: F401
 from g_data_pipeline_spark.query_defs import dedup2  # noqa: F401
 from g_data_pipeline_spark.query_defs import events  # noqa: F401
