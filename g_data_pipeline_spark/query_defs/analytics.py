@@ -253,28 +253,78 @@ def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w_ntile_rank_dense",
     oracle="""
-    SELECT c_custkey,
-           NTILE(4)    OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
-           RANK()      OVER (ORDER BY c_nationkey)               AS nation_rank,
-           DENSE_RANK() OVER (ORDER BY c_nationkey)              AS nation_dense
-    FROM customer
+    WITH nat AS (
+      SELECT r.r_name, n.n_name,
+             COUNT(*) AS n_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS bal_cents
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name, n_name,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           bal_cents,
+           CAST(NTILE(4) OVER (PARTITION BY r_name
+                               ORDER BY bal_cents DESC, n_name) AS BIGINT)
+             AS quartile,
+           CAST(RANK() OVER (PARTITION BY r_name
+                             ORDER BY n_customers DESC) AS BIGINT)
+             AS cust_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY r_name
+                                   ORDER BY n_customers DESC) AS BIGINT)
+             AS cust_dense
+    FROM nat
     """,
 )
 def w_ntile_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile/rank/dense_rank over global windows (single-partition window —
-    fine for result-sized data, never for fact tables; documented)."""
+    """ntile/rank/dense_rank SQL-surface parity on a BOUNDED rollup:
+    within-region quartiles of per-nation balance and (tie-prone) rank /
+    dense_rank of per-nation customer counts. Round-7 rework: the
+    previous form ran a global window over the full customer dimension —
+    the last gated entry whose window input grew with the data; now every
+    window is PARTITIONED by region over the nations-per-region rollup
+    (dimension-bounded, scale-free), so the registry-wide unpartitioned-
+    window sweep needs no allowlist entry at all. The balance key is an
+    exact decimal cents sum (order-deterministic); rank ties on customer
+    counts are real, exercising rank-vs-dense_rank divergence."""
     customer = load_table(spark, sf_dir, "customer")
-    return customer.select(
-        "c_custkey",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("c_acctbal").desc(), "c_custkey"))
-        .cast("long")
-        .alias("quartile"),
-        F.rank().over(Window.orderBy("c_nationkey")).cast("long").alias("nation_rank"),
-        F.dense_rank()
-        .over(Window.orderBy("c_nationkey"))
-        .cast("long")
-        .alias("nation_dense"),
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+                * F.lit(100)
+            )
+            .cast("long")
+            .alias("bal_cents"),
+        )
+    )
+    w_bal = Window.partitionBy("r_name").orderBy(
+        F.col("bal_cents").desc(), "n_name"
+    )
+    w_cnt = Window.partitionBy("r_name").orderBy(
+        F.col("n_customers").desc()
+    )
+    return nat.select(
+        "r_name",
+        "n_name",
+        "n_customers",
+        "bal_cents",
+        F.ntile(4).over(w_bal).cast("long").alias("quartile"),
+        F.rank().over(w_cnt).cast("long").alias("cust_rank"),
+        F.dense_rank().over(w_cnt).cast("long").alias("cust_dense"),
     )
 
 

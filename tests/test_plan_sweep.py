@@ -48,9 +48,10 @@ GLOBAL_WINDOW_ALLOWED = {
     "t_oov_rate": "row_number<=50 over the token rollup — WindowGroupLimit",
     "v_hybrid_rrf": "both rank legs keep rn<=50 — TakeOrderedAndProject "
     "is pushed below the windows (verified r5)",
-    "w_ntile_rank_dense": "the SQL window-surface parity demo: its POINT "
-    "is native ntile/rank/dense_rank vs DuckDB; the kernel twin is "
-    "a_decile_stats",
+    # w_ntile_rank_dense left this list in round 7: its windows now
+    # PARTITION by region over the nations-per-region rollup (the parity
+    # point survives; the kernel twin for data-sized inputs is
+    # a_decile_stats).
 }
 
 
