@@ -255,34 +255,10 @@ def minhash_lsh_pairs(
     exact SQL twin (the d_minhash_lsh_pairs oracle); a content-string key
     also makes the candidate set collision-free by construction.
     """
-    r = num_hashes // bands
-    assert r * bands == num_hashes, "bands must divide num_hashes"
     sets = shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
-    sigs = sets.withColumn(
-        "sig",
-        minhash_signature(F.col("shingles"), num_hashes, hash_family),
+    band_rows = _minhash_band_rows(
+        sets, num_hashes=num_hashes, bands=bands, hash_family=hash_family
     )
-
-    def band_key(bi: int) -> Column:
-        content = F.concat_ws(
-            ",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]
-        )
-        if hash_family == "md5":
-            return content.alias("bucket")  # SQL-twin-able, collision-free
-        return F.xxhash64(content).alias("bucket")
-
-    band_rows = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(F.lit(bi).alias("band"), band_key(bi))
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("pos", "bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
     a = band_rows.select(F.col("id").alias("id_a"), "band", "bucket")
     b = band_rows.select(F.col("id").alias("id_b"), "band", "bucket")
     candidates = (
@@ -318,6 +294,169 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "common", "jaccard")
     )
+
+
+def _minhash_band_rows(
+    sets: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bucket) LSH band rows from a ``shingle_sets`` frame —
+    the shared kernel behind :func:`minhash_lsh_pairs` and the
+    incremental archive ops. Bucket = the band's r signature values
+    hashed to a long (xxhash64 family, narrowest shuffle key) or kept as
+    the raw value string (md5 family, SQL-twin-able + collision-free)."""
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+    sigs = sets.withColumn(
+        "sig",
+        minhash_signature(F.col("shingles"), num_hashes, hash_family),
+    )
+
+    def band_key(bi: int) -> Column:
+        content = F.concat_ws(
+            ",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]
+        )
+        if hash_family == "md5":
+            return content.alias("bucket")  # SQL-twin-able, collision-free
+        return F.xxhash64(content).alias("bucket")
+
+    return (
+        sigs.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(F.lit(bi).alias("band"), band_key(bi))
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("pos", "bb"),
+        )
+        .select(
+            "id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+
+
+def minhash_band_directory(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """The persistent state behind incremental NEAR-dup maintenance: one
+    row per DISTINCT LSH band bucket with its canonical owner ``(band,
+    bucket, owner_id)`` — the MinHash twin of
+    :func:`substring_window_directory`. Built once from the historical
+    corpus, then maintained by appending each dump's survivor delta
+    (:func:`incremental_minhash_dedup`); at 100 TB this directory is a
+    bucketed-by-(band,bucket) table so only the batch side ever
+    shuffles."""
+    sets = shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
+    rows = _minhash_band_rows(
+        sets, num_hashes=num_hashes, bands=bands, hash_family=hash_family
+    )
+    return rows.groupBy("band", "bucket").agg(
+        F.min("id").alias("owner_id")
+    )
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    directory: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """NEAR-dup dedup of a new crawl dump against a growing MinHash-LSH
+    archive — the modality production crawl curation runs most (the
+    RefinedWeb/Gopher shape: banded LSH decides, no pairwise
+    verification — the archive keeps band buckets, not documents, so
+    there is nothing to verify against; precision is the banding
+    curve's). The near-dup twin of :func:`incremental_substring_dedup`.
+
+    Decision, one pass, deterministic:
+
+    - ARCHIVE hit: a batch doc band bucket already in ``directory`` with
+      ``owner_id != id`` (self-ownership is excluded so a replay against
+      a directory that already absorbed this batch's delta labels
+      identically — the exactly-once streaming twin relies on it);
+    - BATCH hit: the bucket's minimum id WITHIN the batch is smaller
+      than the doc's (bucket-min survivorship over ALL batch docs —
+      including docs that are themselves archive dups, deliberately:
+      restricting to survivors would flip chained decisions between a
+      first run and a replay). Chained buckets therefore collapse
+      greedily toward the cluster minimum — the one-pass approximation
+      of connected components; full CC is :func:`dedup_clusters`.
+    - ``is_dup`` = any hit; ``n_dup_buckets`` counts the doc's hit
+      buckets (replay-stable: a first-run batch hit becomes an archive
+      hit on replay, same count).
+
+    Returns ``(labeled, delta)``: ``labeled`` = (id, n_buckets,
+    n_dup_buckets, is_dup) for EVERY batch row (docs too short to
+    shingle carry 0/0/false); ``delta`` = the SURVIVORS' band buckets
+    not already in the directory, canonical owner = min surviving id —
+    the rows to append so the next dump dedups against this one.
+
+    Scale: every wide operation keys on (band, bucket) content or batch
+    doc id; the archive is never rescanned — with a (band,
+    bucket)-bucketed directory table only the batch side shuffles.
+    """
+    sets = shingle_sets(batch, id_col, text_col, n).filter(
+        F.col("set_size") > 0
+    )
+    rows = _minhash_band_rows(
+        sets, num_hashes=num_hashes, bands=bands, hash_family=hash_family
+    )
+    dir_slim = directory.select("band", "bucket", "owner_id")
+    hits = rows.join(dir_slim, ["band", "bucket"], "left").withColumn(
+        "__arch", F.col("owner_id").isNotNull() & (F.col("owner_id") != F.col("id"))
+    )
+    batch_min = rows.groupBy("band", "bucket").agg(
+        F.min("id").alias("__bmin")
+    )
+    flagged = (
+        hits.join(batch_min, ["band", "bucket"])
+        .withColumn(
+            "__hit", F.col("__arch") | (F.col("__bmin") < F.col("id"))
+        )
+    )
+    per_doc = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.count_if(F.col("__hit")).alias("n_dup_buckets"),
+    )
+    labeled = (
+        batch.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_buckets", F.lit(0)).cast("long").alias(
+                "n_buckets"
+            ),
+            F.coalesce("n_dup_buckets", F.lit(0)).cast("long").alias(
+                "n_dup_buckets"
+            ),
+            (F.coalesce("n_dup_buckets", F.lit(0)) > 0).alias("is_dup"),
+        )
+    )
+    survivors = per_doc.filter(F.col("n_dup_buckets") == 0).select("id")
+    delta = (
+        rows.join(survivors, "id", "left_semi")
+        .join(dir_slim.select("band", "bucket"), ["band", "bucket"], "left_anti")
+        .groupBy("band", "bucket")
+        .agg(F.min("id").alias("owner_id"))
+    )
+    return labeled, delta
 
 
 # --------------------------------------------------------------------------

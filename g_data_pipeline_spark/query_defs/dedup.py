@@ -254,6 +254,32 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("d_incremental_minhash", oracle=None)
+def d_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup maintenance vs a growing MinHash-LSH band
+    archive (operators/dedup.incremental_minhash_dedup — the RefinedWeb
+    crawl-cadence modality): even doc_ids play the archived history, odd
+    doc_ids the new dump; output = the dump's total labeling (id,
+    n_buckets, n_dup_buckets, is_dup). Rows-only BY DESIGN: the decision
+    composes the banding algebra (oracle-gated end-to-end via
+    d_minhash_lsh_pairs) with directory state, and the one-pass rule is
+    pinned against a pure-Python twin + replay/exactly-once streaming
+    pins in tests/test_incremental_minhash.py."""
+    from g_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_directory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    directory = minhash_band_directory(history, "doc_id", "text")
+    labeled, _delta = incremental_minhash_dedup(
+        batch, directory, "doc_id", "text"
+    )
+    return labeled
+
+
 @register(
     "d_decontaminate",
     oracle=r"""

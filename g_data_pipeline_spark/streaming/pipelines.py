@@ -887,3 +887,107 @@ def substring_dedup_stream(
     finally:
         q.stop()
     return apply_batch
+
+
+def minhash_dedup_stream(
+    stream: DataFrame,
+    directory_table: str,
+    out_table: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+    timeout_s: int = 180,
+    sink_name: str | None = None,
+):
+    """Streaming NEAR-dup maintenance against a growing MinHash-LSH band
+    archive (the crawl-dump cadence form of
+    operators/dedup.incremental_minhash_dedup) with EXACTLY-ONCE
+    semantics end-to-end over manifest tables: each micro-batch labels
+    its documents against the band-bucket DIRECTORY built by all
+    previous batches, the labeled rows commit to ``out_table`` and the
+    batch's survivor band delta appends to ``directory_table`` — both
+    through the txn commit protocol, so replays no-op on their run_ids.
+
+    Same replay subtlety as :func:`substring_dedup_stream`: a failed
+    epoch may already have committed this batch's directory delta, so
+    the directory is read AS OF the version PRECEDING the batch's own
+    delta commit (O(1) via the txn run-marker index). The labeling rule
+    itself is additionally replay-stable by construction — the operator
+    ignores directory rows the batch itself owns (owner_id == id) and
+    bucket-min survivorship runs over all batch docs (see the operator
+    docstring), so a replay emits byte-identical labels.
+    """
+    import hashlib
+
+    from g_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_directory,
+    )
+    from g_data_pipeline_spark.sources import txn
+
+    if sink_name is None:
+        sink_name = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta_rid = f"{sink_name}-dir-batch-{int(batch_id)}"
+        out_rid = f"{sink_name}-out-batch-{int(batch_id)}"
+        own_delta = txn.find_run_version(spark, directory_table, delta_rid)
+        if own_delta is not None:  # replay: read what the first attempt saw
+            m = txn._load_manifest(spark, directory_table, own_delta)
+            read_version = m["parent"] or -1
+        else:
+            read_version = txn.latest_version(spark, directory_table)
+        if read_version in (None, -1):
+            # empty directory with the right (family-dependent) schema
+            directory = minhash_band_directory(
+                batch_df.limit(0),
+                id_col,
+                text_col,
+                n=n,
+                num_hashes=num_hashes,
+                bands=bands,
+                hash_family=hash_family,
+            )
+        else:
+            directory = txn.read_committed(
+                spark, directory_table, version=read_version
+            )
+        labeled, delta = incremental_minhash_dedup(
+            batch_df,
+            directory,
+            id_col,
+            text_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            hash_family=hash_family,
+        )
+        labeled = labeled.localCheckpoint(eager=True)
+        delta = delta.localCheckpoint(eager=True)
+        txn.commit_write(
+            spark, delta, directory_table, run_id=delta_rid, mode="append"
+        )
+        txn.commit_write(
+            spark, labeled, out_table, run_id=out_rid, mode="append"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"minhash dedup stream did not drain within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return apply_batch
