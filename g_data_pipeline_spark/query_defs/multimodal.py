@@ -78,3 +78,57 @@ def m_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = images.unionByName(copies)
     return image_phash_dedup(corpus).orderBy("media_id")
+
+
+def _caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pair_id, content FIMG, caption) pairs: synthetic images keyed by
+    doc_id, captions = the documents' text — the image-text fixture every
+    m_image_text_* entry shares (blobs fabricated executor-side)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    images = synthetic_images(docs.select("doc_id"), "doc_id").select(
+        F.col("media_id").alias("pair_id"), "content"
+    )
+    return images.join(
+        docs.select(
+            F.col("doc_id").alias("pair_id"), F.col("text").alias("caption")
+        ),
+        "pair_id",
+    )
+
+
+@register("m_image_text_filter", oracle=None)
+def m_image_text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-text pair filter (multimodal/imagetext.py):
+    resolution/aspect gates from one Arrow-batched dims decode, caption
+    gates as pure JVM expressions, the CLIP-similarity gate through the
+    deterministic fake scorer (the real-encoder seam raises until an
+    encoder is installed), composed into one keep decision per pair.
+    Rows-only (codec + encoder ops have no SQL twin); gate values pinned
+    byte-exactly in tests/test_imagetext.py."""
+    from g_data_pipeline_spark.multimodal.imagetext import image_text_filter
+
+    return image_text_filter(_caption_pairs(spark, sf_dir)).orderBy(
+        "pair_id"
+    )
+
+
+@register("m_phash_caption_clusters", oracle=None)
+def m_phash_caption_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption behavior per near-duplicate image cluster: aHash clusters
+    (with a planted byte-identical copy of every 4th image carrying a
+    DIFFERENT caption) x caption stats — the duplicate-image /
+    caption-farm diagnostic. Rows-only; cluster invariants pinned in
+    tests/test_imagetext.py."""
+    from g_data_pipeline_spark.multimodal.imagetext import (
+        phash_caption_clusters,
+    )
+
+    pairs = _caption_pairs(spark, sf_dir)
+    copies = pairs.filter(F.col("pair_id") % 4 == 0).select(
+        (F.col("pair_id") + 10_000_000).alias("pair_id"),
+        "content",
+        F.concat(F.lit("alt caption: "), F.col("caption")).alias("caption"),
+    )
+    return phash_caption_clusters(pairs.unionByName(copies)).orderBy(
+        "phash"
+    )

@@ -22,6 +22,8 @@ ARROW_ALLOWED = {
     "m_video_frame_stats",
     "m_audio_features",
     "m_image_phash_dedup",
+    "m_image_text_filter",      # dims decode + fake-CLIP seam (imagetext.py)
+    "m_phash_caption_clusters",  # aHash clusters x caption stats
     "t_bpe_tokenize",           # broadcast-vocab Arrow encode
     "t_compression_signal",     # scalar pandas zlib kernel (operators/grouped.py)
 }
