@@ -235,7 +235,11 @@ def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-sized single-partition window; DuckDB uses the plain window,
     pinning kernel == NTILE bit-for-bit); shuffles key on token, doc_id,
     then (source, tier) — the shares window runs over the sources x 3
-    rollup only."""
+    rollup only. Known constant factor: the kernel derives its scored
+    input twice (column pruning diverges the branches — CLAUDE.md r6
+    ReuseExchange note), so the doc-sized LM rollup pipeline runs 2x;
+    two parallel derivations of a per-doc rollup still beat one global
+    sort of the corpus at any real scale."""
     from g_data_pipeline_spark.functions.text import tokens
     from g_data_pipeline_spark.operators.windows import (
         bucketed_row_index,
