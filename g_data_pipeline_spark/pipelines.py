@@ -57,6 +57,56 @@ def curate_documents(
     )
 
 
+def curate_image_text(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    content_col: str = "content",
+    caption_col: str = "caption",
+    clip_threshold_micro: int = 450_000,
+    model: str = "fake",
+    codec: str = "fake",
+    **filter_kwargs,
+) -> DataFrame:
+    """Curated image-text corpus — the multimodal twin of
+    :func:`curate_documents`, composing the LAION-style stack
+    (multimodal/imagetext.py): resolution/aspect + caption + CLIP gates,
+    then near-duplicate IMAGE collapse — within each aHash cluster the
+    HIGHEST-CLIP pair survives (the published LAION recipe keeps the
+    best-aligned caption per duplicated image, not the smallest id).
+    Returns the surviving pairs with their gate columns.
+
+    Shape: gates are scan-side (one dims decode + one scoring kernel +
+    JVM caption expressions); the only shuffles are the pHash groupBy
+    (keyed on hash content) and the WindowGroupLimit-pruned survivor
+    pick. Swapping ``model='clip'`` / ``codec='pil'`` flips fake to real
+    with no plan change (the seams raise until the libs exist)."""
+    from g_data_pipeline_spark.multimodal.imagetext import image_text_filter
+    from g_data_pipeline_spark.multimodal.media import image_phash
+
+    gates = image_text_filter(
+        pairs,
+        id_col,
+        content_col,
+        caption_col,
+        clip_threshold_micro=clip_threshold_micro,
+        model=model,
+        codec=codec,
+        **filter_kwargs,
+    ).filter(F.col("keep"))
+    hashes = image_phash(pairs, id_col, content_col, codec=codec).select(
+        F.col("media_id").alias("pair_id"), "phash"
+    )
+    w = Window.partitionBy("phash").orderBy(
+        F.col("clip_micro").desc(), F.col("pair_id").asc()
+    )
+    return (
+        gates.join(hashes, "pair_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def export_training_shards(
     df: DataFrame,
     dest: str,

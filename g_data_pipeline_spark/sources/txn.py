@@ -480,10 +480,14 @@ def consume_incremental(
     """
     prefix = f"consume-{state_name}-upto-"
     last = 0
-    for v in _manifest_versions(spark, dest_table):
+    # newest-first with early stop: this consumer's commits land in
+    # increasing source-version order, so the newest prefix-matching
+    # manifest carries the largest consumed version — no full scan.
+    for v in reversed(_manifest_versions(spark, dest_table)):
         rid = _load_manifest(spark, dest_table, v)["run_id"]
         if rid.startswith(prefix):
-            last = max(last, int(rid[len(prefix):]))
+            last = int(rid[len(prefix):])
+            break
     newest = latest_version(spark, src_table)
     if newest is None or newest == last:
         return None

@@ -133,3 +133,32 @@ def test_phash_caption_clusters_surface_divergent_captions(spark):
     assert c.n_pairs == 2
     assert c.n_distinct_captions == 2
     assert c.canonical_pair_id == 1
+
+
+def test_curate_image_text_keeps_best_clip_per_image_cluster(spark):
+    """Pipeline composition: gates filter, then the aHash cluster keeps
+    the HIGHEST-CLIP caption (LAION survivor rule), not the smallest id."""
+    from g_data_pipeline_spark.pipelines import curate_image_text
+
+    rows = [
+        (1, 8, 8, "plain caption words here"),
+        (2, 8, 8, "another caption entirely here"),
+    ]
+    pairs = _pairs(spark, rows)
+    out = curate_image_text(pairs, clip_threshold_micro=0)
+    got = {r.pair_id for r in out.collect()}
+    # both images share the ramp aHash -> ONE survivor, the higher CLIP
+    scores = {
+        r.pair_id: r.clip_micro
+        for r in clip_scores(pairs).collect()
+    }
+    best = max(scores, key=lambda k: (scores[k], -k))
+    assert got == {best}
+    # with the dup gate removed by distinct images, both survive
+    board = bytes(255 if (i // 8 + i) % 2 else 0 for i in range(64))
+    distinct = _pairs(spark, rows, pixels={2: board})
+    assert {r.pair_id for r in curate_image_text(
+        distinct, clip_threshold_micro=0
+    ).collect()} == {1, 2}
+    # gate columns survive the pipeline for downstream reporting
+    assert {"clip_micro", "phash", "keep"} <= set(out.columns)
