@@ -107,6 +107,169 @@ def curate_image_text(
     )
 
 
+def crawl_curation_tick(
+    spark,
+    dump: DataFrame,
+    base_dir: str,
+    dump_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_digit_ratio: float = 0.3,
+    window_tokens: int = 50,
+    num_hashes: int = 32,
+    bands: int = 8,
+    retain_versions: int | None = None,
+    max_files: int = 32,
+) -> dict:
+    """ONE crawl dump through the full incremental curation stack, with
+    exactly-once commits — the production tick a 100 TB pipeline runs per
+    dump (the RefinedWeb/Gopher shape, composed from this repo's
+    operators):
+
+      quality gate + within-dump exact dedup   (curate_documents)
+      -> exact dedup vs the fingerprint archive (anti-join, as-of-parent)
+      -> substring-level cut vs the window-hash directory (Lee et al.)
+      -> near-dup drop vs the MinHash band archive (banding decides)
+      -> commit survivors + all three archive deltas through the txn
+         manifest protocol (one run_id per table per dump)
+      -> optional directory maintenance (compaction/retention/marker GC)
+
+    Exactly-once: every directory is read AS OF the version preceding
+    this dump's own delta (txn.version_before_run — a replay sees what
+    the first attempt saw), every commit no-ops on its run_id, and a
+    fully-committed dump short-circuits on the output run_id. Replay
+    safety holds within the retention horizon — vacuuming a dump's
+    manifests forfeits its replay no-op (the standard lakehouse
+    contract). Archive growth: only SURVIVORS extend any archive (a
+    future exact copy of a dropped near-dup is still caught — its
+    survivor's bands are archived); the substring delta is taken before
+    the near-dup stage (content-level: a later copy of cut text is a
+    duplicate regardless of which doc carried it first).
+
+    Returns a report dict (counts, committed versions, maintenance).
+    """
+    from g_data_pipeline_spark.functions.text import fingerprint_md5
+    from g_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        incremental_substring_dedup,
+        minhash_band_directory,
+    )
+    from g_data_pipeline_spark.sources import txn
+
+    fp_table = f"{base_dir}/fingerprint_directory"
+    sub_table = f"{base_dir}/substring_directory"
+    band_table = f"{base_dir}/band_directory"
+    out_table = f"{base_dir}/clean_docs"
+    rid = f"dump-{dump_id}"
+
+    done = txn.find_run_version(spark, out_table, f"{rid}-out")
+    if done is not None:  # fully-committed dump: replay is a pure no-op
+        return {
+            "dump_id": dump_id,
+            "replay": True,
+            "versions": {"clean_docs": done},
+        }
+
+    curated = curate_documents(
+        dump, id_col, text_col, min_tokens, max_digit_ratio
+    )
+
+    # exact vs archive — fingerprints of every previously KEPT doc
+    v = txn.version_before_run(spark, fp_table, f"{rid}-fp")
+    fp_dir = (
+        txn.read_committed(spark, fp_table, v)
+        if v is not None
+        else spark.createDataFrame([], "fingerprint string")
+    )
+    batch_fp = curated.withColumn("__fp", fingerprint_md5(text_col))
+    fresh = batch_fp.join(
+        fp_dir.select(F.col("fingerprint").alias("__fp")),
+        "__fp",
+        "left_anti",
+    )
+
+    # substring-level cut vs the window-hash directory
+    v = txn.version_before_run(spark, sub_table, f"{rid}-sub")
+    sub_dir = (
+        txn.read_committed(spark, sub_table, v)
+        if v is not None
+        else spark.createDataFrame([], "h string, owner_id long, owner_pos int")
+    )
+    cleaned, sub_delta = incremental_substring_dedup(
+        fresh, sub_dir, id_col, text_col, window_tokens
+    )
+    enriched = cleaned.join(
+        fresh.select(
+            F.col(id_col).alias("id"), "lang_pred", "__fp"
+        ),
+        "id",
+    )
+
+    # near-dup vs the band archive, on the CLEANED text
+    v = txn.version_before_run(spark, band_table, f"{rid}-band")
+    band_dir = (
+        txn.read_committed(spark, band_table, v)
+        if v is not None
+        else minhash_band_directory(
+            enriched.limit(0), "id", "dedup_text",
+            num_hashes=num_hashes, bands=bands,
+        )
+    )
+    labeled, band_delta = incremental_minhash_dedup(
+        enriched, band_dir, "id", "dedup_text",
+        num_hashes=num_hashes, bands=bands,
+    )
+    keep = labeled.filter(~F.col("is_dup")).select("id")
+    out = enriched.join(keep, "id", "left_semi").select(
+        F.col("id").alias(id_col),
+        F.col("dedup_text").alias(text_col),
+        "n_tokens",
+        "n_tokens_kept",
+        "lang_pred",
+    )
+    # the four commit frames share one derivation tree: materialize once
+    out = out.localCheckpoint(eager=True)
+    sub_delta = sub_delta.localCheckpoint(eager=True)
+    band_delta = band_delta.localCheckpoint(eager=True)
+    fp_delta = (
+        enriched.join(keep, "id", "left_semi")
+        .select(F.col("__fp").alias("fingerprint"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    versions = {
+        "fingerprints": txn.commit_write(
+            spark, fp_delta, fp_table, run_id=f"{rid}-fp"
+        ),
+        "substring": txn.commit_write(
+            spark, sub_delta, sub_table, run_id=f"{rid}-sub"
+        ),
+        "bands": txn.commit_write(
+            spark, band_delta, band_table, run_id=f"{rid}-band"
+        ),
+        "clean_docs": txn.commit_write(
+            spark, out, out_table, run_id=f"{rid}-out"
+        ),
+    }
+    maintenance = {}
+    if retain_versions is not None:
+        for t in (fp_table, sub_table, band_table):
+            maintenance[t.rsplit("/", 1)[-1]] = txn.maintain_table(
+                spark, t, retain_versions=retain_versions,
+                max_files=max_files,
+            )
+    return {
+        "dump_id": dump_id,
+        "replay": False,
+        "n_input": dump.count(),
+        "n_kept": out.count(),
+        "versions": versions,
+        "maintenance": maintenance,
+    }
+
+
 def export_training_shards(
     df: DataFrame,
     dest: str,

@@ -265,6 +265,21 @@ def commit_write(
         # retry on top of THEIR manifest (their files become our parent)
 
 
+def version_before_run(
+    spark: SparkSession, table: str, run_id: str
+) -> int | None:
+    """Newest version EXCLUDING ``run_id``'s own commit — the state a
+    replay of ``run_id`` must read. A failed epoch may already have
+    committed its delta; a naive latest read would then see the run's
+    OWN output (e.g. a dedup directory containing the batch's own
+    windows, cutting the batch to nothing on replay). O(1): one marker
+    lookup, one manifest read. Returns None for 'table was empty'."""
+    own = find_run_version(spark, table, run_id)
+    if own is not None:
+        return _load_manifest(spark, table, own)["parent"]
+    return latest_version(spark, table)
+
+
 def read_committed(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:

@@ -840,16 +840,13 @@ def substring_dedup_stream(
         delta_rid = f"{sink_name}-dir-batch-{int(batch_id)}"
         out_rid = f"{sink_name}-out-batch-{int(batch_id)}"
         # Directory AS OF the version before this batch's own delta —
-        # one O(1) run-marker lookup (txn.find_run_version), not a scan of
-        # every manifest per micro-batch (O(versions) per batch was O(n^2)
-        # over a stream's lifetime at crawl-dump cadence).
-        own_delta = txn.find_run_version(spark, directory_table, delta_rid)
-        if own_delta is not None:  # replay: read what the first attempt saw
-            m = txn._load_manifest(spark, directory_table, own_delta)
-            read_version = m["parent"] or -1  # -1: empty directory
-        else:
-            read_version = txn.latest_version(spark, directory_table)
-        if read_version in (None, -1):
+        # one O(1) run-marker lookup (txn.version_before_run), not a scan
+        # of every manifest per micro-batch (O(versions) per batch was
+        # O(n^2) over a stream's lifetime at crawl-dump cadence).
+        read_version = txn.version_before_run(
+            spark, directory_table, delta_rid
+        )
+        if read_version is None:
             directory = spark.createDataFrame([], _DIR_SCHEMA)
         else:
             directory = txn.read_committed(
@@ -936,13 +933,10 @@ def minhash_dedup_stream(
         spark = batch_df.sparkSession
         delta_rid = f"{sink_name}-dir-batch-{int(batch_id)}"
         out_rid = f"{sink_name}-out-batch-{int(batch_id)}"
-        own_delta = txn.find_run_version(spark, directory_table, delta_rid)
-        if own_delta is not None:  # replay: read what the first attempt saw
-            m = txn._load_manifest(spark, directory_table, own_delta)
-            read_version = m["parent"] or -1
-        else:
-            read_version = txn.latest_version(spark, directory_table)
-        if read_version in (None, -1):
+        read_version = txn.version_before_run(
+            spark, directory_table, delta_rid
+        )
+        if read_version is None:
             # empty directory with the right (family-dependent) schema
             directory = minhash_band_directory(
                 batch_df.limit(0),

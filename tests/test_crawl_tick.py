@@ -1,0 +1,162 @@
+"""crawl_curation_tick: the composed per-dump production tick — quality
+gate, exact-vs-archive, substring cut, near-dup drop, exactly-once
+commits, replay no-op, and directory maintenance — over planted
+cross-dump duplicates of all three kinds."""
+
+from __future__ import annotations
+
+from g_data_pipeline_spark.pipelines import crawl_curation_tick
+from g_data_pipeline_spark.sources import txn
+
+W = 10  # substring window for readable fixtures
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _words(prefix, n):
+    # digit-bearing tokens: the tick calls relax max_digit_ratio so the
+    # QUALITY gate only fires on the planted too-short doc
+    return " ".join(f"{prefix}{k}" for k in range(n))
+
+
+def _clean(spark, base):
+    return {
+        r.doc_id: r.text
+        for r in txn.read_committed(spark, f"{base}/clean_docs").collect()
+    }
+
+
+def test_two_dumps_catch_all_three_duplicate_kinds(spark, tmp_path):
+    base = str(tmp_path / "corpus")
+    exact = _words("ex", 30)
+    span = _words("sp", W)
+    # near-dup material: NO shared run reaches W tokens (every 9th word
+    # differs), so the SUBSTRING stage leaves it intact and the MinHash
+    # stage must be the one to catch it; bands=16 of r=1 make the
+    # candidate recall at ~0.5 Jaccard deterministic (miss prob ~2e-5)
+    near_base = [f"nb{k}" for k in range(80)]
+
+    dump1 = [
+        (1, exact),
+        (2, f"{_words('a', 6)} {span} {_words('b', 6)}"),
+        (3, " ".join(near_base)),
+        (4, _words("uniq1", 25)),
+    ]
+    r1 = crawl_curation_tick(
+        spark, _mk(spark, dump1), base, "001",
+        min_tokens=5, max_digit_ratio=0.9, window_tokens=W, num_hashes=16, bands=16,
+    )
+    assert r1["n_kept"] == 4  # nothing to collide with yet
+    assert not r1["replay"]
+
+    near = [w + ("X" if k % 9 == 0 else "") for k, w in enumerate(near_base)]
+    dump2 = [
+        (10, exact),                                   # exact dup of 1
+        (11, f"{_words('c', 5)} {span} {_words('d', 5)}"),  # substring copy
+        (12, " ".join(near)),                          # near-dup of 3
+        (13, _words("uniq2", 25)),                     # novel
+        (14, "too short"),                             # quality-gated
+    ]
+    r2 = crawl_curation_tick(
+        spark, _mk(spark, dump2), base, "002",
+        min_tokens=5, max_digit_ratio=0.9, window_tokens=W, num_hashes=16, bands=16,
+    )
+    got = _clean(spark, base)
+    assert 10 not in got, "exact cross-dump copy must drop"
+    assert 14 not in got, "quality gate must drop the short doc"
+    assert 12 not in got, "near-dup of an archived doc must drop"
+    assert 13 in got and got[13] == _words("uniq2", 25)
+    # the substring copy survives but its duplicated span is CUT
+    assert 11 in got
+    assert span not in got[11]
+    assert got[11] == f"{_words('c', 5)} {_words('d', 5)}"
+    assert r2["n_kept"] == 2  # docs 11 and 13
+    # dump1's docs are untouched in the output table
+    assert got[2] == f"{_words('a', 6)} {span} {_words('b', 6)}"
+
+
+def test_replay_is_a_pure_no_op(spark, tmp_path):
+    base = str(tmp_path / "corpus")
+    dump = [(1, _words("x", 20)), (2, _words("y", 20))]
+    r1 = crawl_curation_tick(
+        spark, _mk(spark, dump), base, "001", min_tokens=5, max_digit_ratio=0.9, window_tokens=W,
+        num_hashes=16, bands=8,
+    )
+    before = _clean(spark, base)
+    vers = {
+        t: txn.latest_version(spark, f"{base}/{t}")
+        for t in ("clean_docs", "fingerprint_directory",
+                  "substring_directory", "band_directory")
+    }
+    r2 = crawl_curation_tick(
+        spark, _mk(spark, dump), base, "001", min_tokens=5, max_digit_ratio=0.9, window_tokens=W,
+        num_hashes=16, bands=8,
+    )
+    assert r2["replay"] is True
+    assert r2["versions"]["clean_docs"] == r1["versions"]["clean_docs"]
+    assert _clean(spark, base) == before
+    for t, v in vers.items():
+        assert txn.latest_version(spark, f"{base}/{t}") == v, t
+
+
+def test_partial_crash_replay_resumes_exactly_once(spark, tmp_path):
+    """Simulate a crash AFTER the directory deltas committed but BEFORE
+    the output commit: the retry must read as-of-parent (not see the
+    dump's own windows/bands) and finish with the same labels a clean
+    run produces."""
+    base = str(tmp_path / "corpus")
+    span = _words("sp", W)
+    dump1 = [(1, f"{_words('a', 6)} {span}")]
+    crawl_curation_tick(
+        spark, _mk(spark, dump1), base, "001", min_tokens=3, max_digit_ratio=0.9,
+        window_tokens=W, num_hashes=16, bands=8,
+    )
+    # dump 2 "crashed": its substring + band deltas landed, output didn't
+    from g_data_pipeline_spark.operators.dedup import (
+        incremental_substring_dedup,
+        substring_window_directory,
+    )
+
+    dump2 = [(20, f"{span} {_words('z', 6)}"), (21, _words("w", 20))]
+    d2 = _mk(spark, dump2)
+    directory = txn.read_committed(spark, f"{base}/substring_directory")
+    _, delta = incremental_substring_dedup(d2, directory, "doc_id", "text", W)
+    txn.commit_write(
+        spark, delta, f"{base}/substring_directory", run_id="dump-002-sub"
+    )
+    # retry of dump 2 end-to-end
+    r = crawl_curation_tick(
+        spark, d2, base, "002", min_tokens=3, max_digit_ratio=0.9, window_tokens=W,
+        num_hashes=16, bands=8,
+    )
+    assert r["replay"] is False
+    got = _clean(spark, base)
+    # doc 20's span is cut against dump 1 — NOT against its own delta
+    # (a latest-version read would have cut doc 21's fresh text too)
+    assert got[20] == _words("z", 6)
+    assert got[21] == _words("w", 20)
+    # the crashed delta commit was reused, not duplicated
+    assert txn.find_run_version(
+        spark, f"{base}/substring_directory", "dump-002-sub"
+    ) == 2
+
+
+def test_maintenance_bounds_directories_across_dumps(spark, tmp_path):
+    base = str(tmp_path / "corpus")
+    for b in range(5):
+        crawl_curation_tick(
+            spark,
+            _mk(spark, [(100 * b + i, _words(f"d{b}x{i}", 15)) for i in range(2)]),
+            base,
+            f"{b:03d}",
+            min_tokens=5, max_digit_ratio=0.9, window_tokens=W, num_hashes=16, bands=8,
+            retain_versions=2, max_files=2,
+        )
+    for t in ("fingerprint_directory", "substring_directory",
+              "band_directory"):
+        vs = txn._manifest_versions(spark, f"{base}/{t}")
+        assert len(vs) <= 2, f"{t} retention failed: {vs}"
+    # all 10 docs were unique: every one is in the output
+    assert len(_clean(spark, base)) == 10
