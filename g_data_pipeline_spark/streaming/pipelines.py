@@ -985,3 +985,61 @@ def minhash_dedup_stream(
     finally:
         q.stop()
     return apply_batch
+
+
+def crawl_curation_stream(
+    stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+    sink_name: str | None = None,
+    **tick_kwargs,
+):
+    """The full crawl-curation loop at streaming cadence: every
+    micro-batch runs pipelines.crawl_curation_tick (quality -> exact ->
+    substring -> near-dup vs the growing archives under ``base_dir``)
+    with ``dump_id = f"{sink_name}-{batch_id}"``.
+
+    Exactly-once comes from the TICK, not from this wrapper: each tick
+    commits through per-table run_ids with as-of-parent directory reads
+    and short-circuits when its output run_id already committed — so
+    Structured Streaming replaying a failed epoch under the same
+    batch_id is a pure no-op at every stage boundary (mid-tick crashes
+    resume from the exact table that missed its commit). run_ids are
+    namespaced per checkpoint dir (the txn_commit_sink lesson: batch ids
+    restart at 0 per checkpoint).
+
+    Returns the per-batch function after the AvailableNow trigger
+    drains, so tests can invoke simulated replays directly.
+    """
+    import hashlib
+
+    from g_data_pipeline_spark.pipelines import crawl_curation_tick
+
+    if sink_name is None:
+        sink_name = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        crawl_curation_tick(
+            batch_df.sparkSession,
+            batch_df,
+            base_dir,
+            f"{sink_name}-{int(batch_id)}",
+            **tick_kwargs,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"crawl curation stream did not drain within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return apply_batch

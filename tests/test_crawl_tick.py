@@ -160,3 +160,47 @@ def test_maintenance_bounds_directories_across_dumps(spark, tmp_path):
         assert len(vs) <= 2, f"{t} retention failed: {vs}"
     # all 10 docs were unique: every one is in the output
     assert len(_clean(spark, base)) == 10
+
+
+def test_streaming_crawl_loop_exactly_once(spark, tmp_path):
+    """crawl_curation_stream: two micro-batch dumps through the full
+    stack, a cross-batch exact dup caught, then simulated replays of
+    both epochs leave every table version untouched."""
+    from g_data_pipeline_spark.streaming.pipelines import (
+        crawl_curation_stream,
+    )
+
+    base = str(tmp_path / "corpus")
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    exact = _words("ex", 20)
+    b0 = [(1, exact), (2, _words("y", 20))]
+    b1 = [(10, exact), (11, _words("z", 20))]
+
+    _mk(spark, b0).write.mode("overwrite").parquet(str(src / "batch=0"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "batch=*")
+    )
+    kw = dict(
+        min_tokens=5, max_digit_ratio=0.9, window_tokens=W,
+        num_hashes=16, bands=8,
+    )
+    apply_batch = crawl_curation_stream(stream, base, ckpt, **kw)
+    _mk(spark, b1).write.mode("overwrite").parquet(str(src / "batch=1"))
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "batch=*")
+    )
+    apply_batch = crawl_curation_stream(stream2, base, ckpt, **kw)
+
+    got = _clean(spark, base)
+    assert set(got) == {1, 2, 11}, got  # the cross-batch copy dropped
+    vers = {
+        t: txn.latest_version(spark, f"{base}/{t}")
+        for t in ("clean_docs", "fingerprint_directory",
+                  "substring_directory", "band_directory")
+    }
+    apply_batch(_mk(spark, b1), 1)  # replay epoch 1
+    apply_batch(_mk(spark, b0), 0)  # replay epoch 0
+    assert _clean(spark, base) == got
+    for t, v in vers.items():
+        assert txn.latest_version(spark, f"{base}/{t}") == v, t

@@ -236,3 +236,34 @@ def test_heavy_hitter_brackets_hold(spark, rows, k):
             Counter(true).most_common(12)
         )
         assert all(r["cnt_lo"] == r["cnt_hi"] for r in top)
+
+
+# ------------------------------------------------- merged-interval reassembly
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(1, 60),                       # n tokens
+    st.integers(1, 12),                       # window w
+    st.lists(st.integers(0, 59), max_size=10),  # raw cut starts
+)
+def test_reassembly_matches_set_semantics(spark, n, w, raw_starts):
+    """The round-7 linear merged-interval reassembly == the set
+    definition (keep token i iff NO start s has s+1 <= i <= s+w), for
+    ANY window size and cut placement — including overlapping, adjacent,
+    duplicate-adjacent, head/tail, and full-coverage cuts that a fixed
+    fixture can miss."""
+    from pyspark.sql import functions as F
+
+    from g_data_pipeline_spark.operators.dedup import _reassemble_after_cuts
+
+    starts = sorted({s for s in raw_starts if s <= max(n - w, 0)})
+    toks = [f"t{i}" for i in range(n)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks), toks, starts)],
+        "id long, __text string, __toks array<string>, __starts array<int>",
+    )
+    row = _reassemble_after_cuts(df, w).collect()[0]
+    cut = {i for s in starts for i in range(s + 1, s + w + 1)}
+    want = [t for i, t in enumerate(toks, start=1) if i not in cut]
+    assert row.dedup_text == " ".join(want)
+    assert row.n_tokens == n
+    assert row.n_tokens_kept == len(want)
