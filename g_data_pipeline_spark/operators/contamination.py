@@ -138,3 +138,53 @@ def sampled_contamination(
         "n_sampled",
         "est_contamination",
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    window_tokens: int = 13,
+) -> tuple["DataFrame", "DataFrame"]:
+    """SURGICAL decontamination: CUT every benchmark-overlapping token
+    window out of the training documents instead of dropping whole docs
+    — the FLAN/GPT-3-style n-gram scrub (Brown et al. '20 removed
+    13-gram collisions with eval sets; ``dedup.decontaminate`` is the
+    document-DROP sibling, this keeps the clean remainder of a long doc
+    that merely quotes a benchmark item).
+
+    Pure reuse of the substring-dedup machinery: the benchmark's sliding
+    ``window_tokens``-token hash windows become the cut DIRECTORY
+    (operators/dedup.substring_window_directory) and the corpus is cut
+    against it (operators/dedup.incremental_substring_dedup — history
+    wins, so EVERY occurrence of benchmark text is removed; the linear
+    merged-interval reassembly applies). Benchmark items shorter than
+    the window contribute no windows — pair with the shingle-level
+    ``dedup.decontaminate`` gate for very short eval items.
+
+    Returns ``(cleaned, directory)``: the total labeling (id,
+    dedup_text, n_tokens, n_tokens_kept) and the benchmark window
+    directory (reusable across corpus shards — at 100 TB land it
+    bucketed by ``h`` so only the corpus side ever shuffles).
+    """
+    from g_data_pipeline_spark.operators.dedup import (
+        incremental_substring_dedup,
+        substring_window_directory,
+    )
+
+    bcol = bench_text_col or text_col
+    directory = substring_window_directory(
+        benchmark.select(
+            F.lit(-1).cast("long").alias("__bench_id"),
+            F.col(bcol).alias("__bench_text"),
+        ),
+        "__bench_id",
+        "__bench_text",
+        window_tokens,
+    )
+    cleaned, _delta = incremental_substring_dedup(
+        docs, directory, id_col, text_col, window_tokens
+    )
+    return cleaned, directory

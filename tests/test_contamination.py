@@ -208,3 +208,54 @@ def test_survivorship_report_planted_dupes(spark):
         assert r.n_docs == r.n_survivors + r.n_dupes
         assert r.survival_rate == pytest.approx(r.n_survivors / r.n_docs)
     assert sum(r.mix_weight for r in rows) == pytest.approx(1.0)
+
+
+def test_decontaminate_spans_cuts_benchmark_text_surgically(spark):
+    """The n-gram scrub (Brown et al. '20 shape): benchmark windows are
+    cut from EVERY training doc occurrence, the clean remainder of a
+    quoting doc survives, untouched docs pass through verbatim, and a
+    doc that IS a benchmark item collapses to empty."""
+    from g_data_pipeline_spark.operators.contamination import (
+        decontaminate_spans,
+    )
+
+    W = 10
+    words = lambda p, n: " ".join(f"{p}{k}" for k in range(n))  # noqa: E731
+    bench_item = words("bench", W + 4)  # > W: contributes windows
+    benchmark = spark.createDataFrame([(bench_item,)], "text string")
+    docs = spark.createDataFrame(
+        [
+            (1, f"{words('a', 8)} {bench_item} {words('b', 8)}"),  # quotes it
+            (2, words("clean", 30)),                               # untouched
+            (3, bench_item),                                       # verbatim copy
+        ],
+        "doc_id long, text string",
+    )
+    cleaned, directory = decontaminate_spans(
+        docs, benchmark, "doc_id", "text", window_tokens=W
+    )
+    got = {
+        r.id: (r.dedup_text, r.n_tokens, r.n_tokens_kept)
+        for r in cleaned.collect()
+    }
+    # every window of the benchmark item is in the directory
+    assert directory.count() == 5  # (W+4) - W + 1
+    # the quoting doc keeps its own prose, loses the quoted span
+    assert got[1][0] == f"{words('a', 8)} {words('b', 8)}"
+    assert got[1][2] == 16
+    # clean doc verbatim (lowercased join), benchmark copy emptied
+    assert got[2] == (words("clean", 30), 30, 30)
+    assert got[3] == ("", W + 4, 0)
+    # the directory is corpus-independent: re-cutting another shard
+    # against the SAME directory needs no benchmark rescan
+    shard2 = spark.createDataFrame(
+        [(9, f"{bench_item} {words('z', 5)}")], "doc_id long, text string"
+    )
+    from g_data_pipeline_spark.operators.dedup import (
+        incremental_substring_dedup,
+    )
+
+    cleaned2, _ = incremental_substring_dedup(
+        shard2, directory, "doc_id", "text", W
+    )
+    assert cleaned2.collect()[0].dedup_text == words("z", 5)
