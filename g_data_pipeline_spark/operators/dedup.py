@@ -418,6 +418,21 @@ def incremental_minhash_dedup(
     rows = _minhash_band_rows(
         sets, num_hashes=num_hashes, bands=bands, hash_family=hash_family
     )
+    return _incremental_band_label(
+        batch.select(F.col(id_col).alias("id")), rows, directory
+    )
+
+
+def _incremental_band_label(
+    ids: DataFrame, rows: DataFrame, directory: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The banded-archive decision core shared by the MinHash and SimHash
+    incremental forms: given a batch's (id, band, bucket) rows and a
+    (band, bucket, owner_id) directory, label every id (archive-hit /
+    bucket-min survivorship — see incremental_minhash_dedup's docstring
+    for the replay-stability argument) and emit the survivors' new-bucket
+    delta. ``ids`` supplies the TOTAL labeling domain (ids with no band
+    rows label 0/0/false)."""
     dir_slim = directory.select("band", "bucket", "owner_id")
     hits = rows.join(dir_slim, ["band", "bucket"], "left").withColumn(
         "__arch", F.col("owner_id").isNotNull() & (F.col("owner_id") != F.col("id"))
@@ -436,8 +451,7 @@ def incremental_minhash_dedup(
         F.count_if(F.col("__hit")).alias("n_dup_buckets"),
     )
     labeled = (
-        batch.select(F.col(id_col).alias("id"))
-        .join(per_doc, "id", "left")
+        ids.join(per_doc, "id", "left")
         .select(
             "id",
             F.coalesce("n_buckets", F.lit(0)).cast("long").alias(
@@ -457,6 +471,94 @@ def incremental_minhash_dedup(
         .agg(F.min("id").alias("owner_id"))
     )
     return labeled, delta
+
+
+def _simhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bucket) pigeonhole chunk rows from per-doc SimHash
+    fingerprints — the Hamming-family twin of :func:`_minhash_band_rows`
+    (bucket = the band's chunk VALUE; any pair within Hamming < bands
+    shares one)."""
+    from g_data_pipeline_spark.functions.text import tokens
+
+    assert bits % bands == 0, "bands must divide bits"
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    sims = df.select(
+        F.col(id_col).alias("id"),
+        simhash_expr(tokens(text_col), bits, hash_family).alias("simhash"),
+    )
+    return sims.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("simhash", bi * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def simhash_band_directory(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Persistent (band, chunk-bucket, owner_id) archive for incremental
+    SimHash near-dup maintenance — the Hamming-family twin of
+    :func:`minhash_band_directory` (pigeonhole: Hamming < bands implies
+    a shared chunk, so archive membership catches close fingerprints
+    without storing them)."""
+    rows = _simhash_band_rows(df, id_col, text_col, bands, bits, hash_family)
+    return rows.groupBy("band", "bucket").agg(
+        F.min("id").alias("owner_id")
+    )
+
+
+def incremental_simhash_dedup(
+    batch: DataFrame,
+    directory: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """SimHash twin of :func:`incremental_minhash_dedup`: a new dump's
+    pigeonhole chunk rows against a growing (band, chunk) archive —
+    catches Hamming-close documents (templated/boilerplate variants,
+    where MinHash's Jaccard lens is the shingle-set view and SimHash's
+    is the weighted-bit view; production crawls run both). Identical
+    decision core (:func:`_incremental_band_label`): archive hits with
+    self-ownership excluded, bucket-min survivorship over all batch
+    docs, replay-stable labels, survivor-only deltas. NOTE pigeonhole
+    precision: a shared 16-bit chunk is weaker evidence than a shared
+    4-value MinHash band — size chunks (bits/bands) to the corpus, or
+    treat ``n_dup_buckets >= 2`` as the drop rule."""
+    rows = _simhash_band_rows(batch, id_col, text_col, bands, bits, hash_family)
+    return _incremental_band_label(
+        batch.select(F.col(id_col).alias("id")), rows, directory
+    )
 
 
 # --------------------------------------------------------------------------

@@ -224,3 +224,80 @@ def test_streaming_twin_exactly_once(spark, tmp_path):
     assert txn.latest_version(spark, out_table) == v_out
     rows = txn.read_committed(spark, out_table).collect()
     assert len(rows) == 4
+
+
+# ---- SimHash twin (shared decision core) ----------------------------------
+
+def _sim_band_rows(spark, rows, bands=8, bits=32):
+    from g_data_pipeline_spark.operators.dedup import _simhash_band_rows
+
+    out = {}
+    for r in _simhash_band_rows(
+        _mk(spark, rows), "doc_id", "text", bands, bits
+    ).collect():
+        out.setdefault(r.id, set()).add((r.band, r.bucket))
+    return out
+
+
+def test_simhash_incremental_flags_hamming_close_docs(spark):
+    from g_data_pipeline_spark.operators.dedup import (
+        incremental_simhash_dedup,
+        simhash_band_directory,
+    )
+
+    base = _corpus_words("a", 60)
+    near = list(base)
+    near[5] = "EDITONE"  # one token: fingerprint moves a few bits at most
+    dump1 = [(1, _doc(base)), (2, _doc(_corpus_words("b", 60)))]
+    dump2 = [(10, _doc(near)), (11, _doc(_corpus_words("z", 60)))]
+    directory = simhash_band_directory(
+        _mk(spark, dump1), "doc_id", "text", bands=8, bits=32
+    )
+    labeled, delta = incremental_simhash_dedup(
+        _mk(spark, dump2), directory, "doc_id", "text", bands=8, bits=32
+    )
+    got = _labels(labeled)
+    assert got[10][2] is True, "Hamming-close doc must flag"
+    assert got[11][2] is False
+    assert {r.owner_id for r in delta.collect()} == {11}
+
+
+def test_simhash_incremental_matches_python_twin_and_replays(spark):
+    from g_data_pipeline_spark.operators.dedup import (
+        incremental_simhash_dedup,
+        simhash_band_directory,
+    )
+    from g_data_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    rows = [(r.doc_id, r.text) for r in docs.limit(100).collect()]
+    dump1 = [t for t in rows if t[0] % 2 == 0]
+    dump2 = [t for t in rows if t[0] % 2 == 1]
+    directory = simhash_band_directory(
+        _mk(spark, dump1), "doc_id", "text", bands=8, bits=32
+    )
+    labeled, delta = incremental_simhash_dedup(
+        _mk(spark, dump2), directory, "doc_id", "text", bands=8, bits=32
+    )
+    dir_py = {(r.band, r.bucket): r.owner_id for r in directory.collect()}
+    want_labels, want_delta = _python_twin(
+        _sim_band_rows(spark, dump2), dir_py
+    )
+    got = _labels(labeled)
+    for i, lab in want_labels.items():
+        assert got[i] == lab, f"doc {i}: {got[i]} != twin {lab}"
+    got_delta = {(r.band, r.bucket): r.owner_id for r in delta.collect()}
+    assert got_delta == want_delta
+    # replay against the absorbed delta: identical labels, empty delta
+    labeled2, delta2 = incremental_simhash_dedup(
+        _mk(spark, dump2),
+        directory.unionByName(delta),
+        "doc_id",
+        "text",
+        bands=8,
+        bits=32,
+    )
+    assert _labels(labeled2) == got
+    assert delta2.count() == 0
