@@ -270,6 +270,59 @@ def crawl_curation_tick(
     }
 
 
+def split_leakage_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    splits: dict[str, float] | None = None,
+    seed: str = "",
+    n: int = 3,
+    leak_fraction: float = 0.5,
+) -> DataFrame:
+    """The post-split leakage audit every training pipeline should run
+    before shipping a train/val/test cut: assign splits (group-keyed via
+    sampling.group_split when ``group_cols`` is given, else row-level on
+    the id — the UNSAFE baseline the audit exists to catch), then
+    measure cross-SPLIT document-level shingle containment
+    (operators/contamination.cross_source_contamination with the split
+    label as the source) and roll up per (split, other_split):
+
+      (split, other_split, n_docs_overlapping — any shared shingle,
+       n_docs_leaked — containment >= leak_fraction, max_contamination)
+
+    A zero-row report means no cross-split shingle sharing at all; rows
+    with n_docs_leaked > 0 mean eval items are effectively IN train.
+    Shuffles: group_split is row-local; the audit's joins key on shingle
+    content and doc id (never all-pairs) — the same scale shape as the
+    source-contamination report it reuses.
+    """
+    from g_data_pipeline_spark.operators.contamination import (
+        cross_source_contamination,
+    )
+    from g_data_pipeline_spark.operators.sampling import group_split
+
+    assigned = group_split(
+        df, group_cols if group_cols else [id_col], splits, seed
+    )
+    per_doc = cross_source_contamination(
+        assigned, id_col, "split", text_col, n
+    )
+    return (
+        per_doc.groupBy(
+            F.col("split"), F.col("other_source").alias("other_split")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_overlapping"),
+            F.count_if(
+                F.col("contamination") >= F.lit(float(leak_fraction))
+            ).alias("n_docs_leaked"),
+            F.round(F.max("contamination"), 6).alias("max_contamination"),
+        )
+        .orderBy("split", "other_split")
+    )
+
+
 def export_training_shards(
     df: DataFrame,
     dest: str,

@@ -204,3 +204,37 @@ def test_streaming_crawl_loop_exactly_once(spark, tmp_path):
     assert _clean(spark, base) == got
     for t, v in vers.items():
         assert txn.latest_version(spark, f"{base}/{t}") == v, t
+
+
+def test_split_leakage_report_group_vs_row_split(spark):
+    """The audit catches what row-level splitting does to near-identical
+    same-host docs (leaked across splits) and confirms group-keyed
+    splitting keeps every host's docs together (zero cross-split
+    overlap from those hosts)."""
+    from g_data_pipeline_spark.pipelines import split_leakage_report
+
+    rows = []
+    # 30 hosts x 3 near-identical pages each (same text -> full overlap)
+    for h in range(30):
+        body = _words(f"host{h}x", 20)  # "x" stops host1+19 == host11+9 token collisions
+        for p in range(3):
+            rows.append((h * 10 + p, f"h{h}.example", body))
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+
+    safe = split_leakage_report(
+        df, "doc_id", "text", group_cols=["host"],
+        splits={"train": 0.6, "val": 0.2, "test": 0.2},
+    ).collect()
+    # group split: a host's identical pages share a split -> no
+    # cross-split sharing exists anywhere in this corpus
+    assert safe == []
+
+    unsafe = split_leakage_report(
+        df, "doc_id", "text", group_cols=None,
+        splits={"train": 0.6, "val": 0.2, "test": 0.2},
+    ).collect()
+    # row-level split: siblings scatter -> full-containment leaks
+    leaked = {(r.split, r.other_split): r for r in unsafe}
+    assert leaked, "row-level split must show cross-split overlap"
+    assert any(r.n_docs_leaked > 0 for r in unsafe)
+    assert max(r.max_contamination for r in unsafe) == 1.0
