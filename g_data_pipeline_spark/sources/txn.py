@@ -166,22 +166,33 @@ def find_run_version(
 ) -> int | None:
     """Version committed under ``run_id``, or None — O(1): one marker
     read plus one manifest read to validate (see the index invariant
-    above; no manifest scan in either direction)."""
+    above; no manifest scan in either direction).
+
+    Failure discipline: only PROVEN not-committed states return None —
+    marker file absent, marker JSON torn (crash mid-write, which by the
+    marker-before-rename ordering implies the rename never happened), or
+    the named manifest absent/owned by another run_id (lost race or
+    vacuumed). Transient IO errors PROPAGATE: swallowing one would
+    misread a committed run as fresh and double-commit it."""
     path = _run_marker_path(table, run_id)
+    jvm, hpath, fs = _jfs(spark, path)
+    if not fs.exists(hpath):
+        return None
     try:
-        jvm, hpath, fs = _jfs(spark, path)
-        if not fs.exists(hpath):
-            return None
         marker = json.loads(_read_text(spark, path))
         v = int(marker["version"])
-        if (
-            marker.get("run_id") == run_id
-            and _load_manifest(spark, table, v)["run_id"] == run_id
-        ):
-            return v
-    except Exception:
-        pass  # torn marker / vacuumed target: not committed
-    return None
+        if marker.get("run_id") != run_id:
+            return None
+    except (ValueError, KeyError, TypeError):
+        return None  # torn marker: rename never happened
+    mpath = jvm.org.apache.hadoop.fs.Path(
+        f"{table}/{MANIFEST_DIR}/{v:020d}.json"
+    )
+    if not fs.exists(mpath):
+        return None  # claimed version lost its race or was vacuumed
+    if _load_manifest(spark, table, v)["run_id"] != run_id:
+        return None
+    return v
 
 
 def _staged_files(spark: SparkSession, staging: str) -> list[str]:

@@ -115,3 +115,35 @@ def test_maintenance_tick_composes_with_incremental_dedup(spark, tmp_path):
     row = cleaned.collect()[0]
     assert row.dedup_text == words("z", 5)  # history (pre-compaction) wins
     assert row.n_tokens_kept == 5
+
+
+def test_torn_and_stale_markers_read_as_not_committed(spark, tmp_path):
+    """find_run_version's failure discipline: a torn marker JSON (crash
+    mid-write — by marker-before-rename ordering the commit never
+    happened) and a marker whose claimed version belongs to another
+    run_id both read as not-committed, and a subsequent commit of that
+    run_id proceeds normally."""
+    table = str(tmp_path / "t")
+    _commit(spark, table, "winner", [("h0", 0, 0)])
+
+    # torn marker for a never-committed run
+    jvm = spark._jvm
+    path = txn._run_marker_path(table, "crashed-run")
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hp, True)
+    out.write(bytearray(b'{"run_id": "crashed-'))  # truncated JSON
+    out.close()
+    assert txn.find_run_version(spark, table, "crashed-run") is None
+
+    # stale marker: claims a version the race winner owns
+    txn._write_run_marker(spark, table, "loser-run", 1)
+    assert txn.find_run_version(spark, table, "loser-run") is None
+    # marker naming a version that does not exist at all
+    txn._write_run_marker(spark, table, "ghost-run", 99)
+    assert txn.find_run_version(spark, table, "ghost-run") is None
+
+    # all three can now commit cleanly and become findable
+    for rid, want in (("crashed-run", 2), ("loser-run", 3), ("ghost-run", 4)):
+        assert _commit(spark, table, rid, [("hx", 1, 1)]) == want
+        assert txn.find_run_version(spark, table, rid) == want
