@@ -238,3 +238,77 @@ def test_split_leakage_report_group_vs_row_split(spark):
     assert leaked, "row-level split must show cross-split overlap"
     assert any(r.n_docs_leaked > 0 for r in unsafe)
     assert max(r.max_contamination for r in unsafe) == 1.0
+
+
+def test_crash_matrix_every_commit_boundary_resumes_identically(
+    spark, tmp_path, monkeypatch
+):
+    """Exactly-once under a crash after EVERY commit boundary: the tick
+    commits 4 tables per dump (fp, substring, band, out); for each k we
+    let the first k commits land, crash, retry the whole tick, and
+    require the final state of ALL FOUR tables to be byte-identical to
+    an uninterrupted run's."""
+    from g_data_pipeline_spark.sources import txn
+
+    kw = dict(
+        min_tokens=5, max_digit_ratio=0.9, window_tokens=W,
+        num_hashes=16, bands=8,
+    )
+    span = _words("sp", W)
+    dump1 = [(1, f"{_words('a', 6)} {span}"), (2, _words("b", 20))]
+    dump2 = [
+        (10, f"{span} {_words('z', 6)}"),   # substring copy of dump1
+        (11, _words("b", 20)),              # exact copy of dump1 doc 2
+        (12, _words("fresh", 20)),          # novel
+    ]
+    tables = (
+        "clean_docs", "fingerprint_directory",
+        "substring_directory", "band_directory",
+    )
+
+    def state(base):
+        out = {}
+        for t in tables:
+            try:
+                rows = txn.read_committed(spark, f"{base}/{t}").collect()
+                out[t] = sorted(tuple(r) for r in rows)
+            except FileNotFoundError:
+                out[t] = None
+        return out
+
+    # the uninterrupted reference
+    ref = str(tmp_path / "ref")
+    crawl_curation_tick(spark, _mk(spark, dump1), ref, "001", **kw)
+    crawl_curation_tick(spark, _mk(spark, dump2), ref, "002", **kw)
+    want = state(ref)
+
+    real_commit = txn.commit_write
+    for k in range(1, 4):  # crash after k of dump-002's 4 commits
+        base = str(tmp_path / f"crash{k}")
+        crawl_curation_tick(spark, _mk(spark, dump1), base, "001", **kw)
+
+        calls = {"n": 0}
+
+        def crashing(spark_, df, table, run_id, mode="append", _k=k):
+            if run_id.startswith("dump-002"):
+                if calls["n"] >= _k:
+                    raise RuntimeError("injected crash")
+                calls["n"] += 1
+            return real_commit(spark_, df, table, run_id, mode=mode)
+
+        monkeypatch.setattr(txn, "commit_write", crashing)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            crawl_curation_tick(spark, _mk(spark, dump2), base, "002", **kw)
+        monkeypatch.setattr(txn, "commit_write", real_commit)
+
+        r = crawl_curation_tick(spark, _mk(spark, dump2), base, "002", **kw)
+        got = state(base)
+        for t in tables:
+            assert got[t] == want[t], f"crash after {k} commits: {t} differs"
+        # a further replay is the committed-output fast path
+        assert crawl_curation_tick(
+            spark, _mk(spark, dump2), base, "002", **kw
+        )["replay"] is True
+        assert r["n_kept"] == 2  # docs 10 (cut) and 12
