@@ -114,6 +114,7 @@ def crawl_curation_tick(
     dump_id: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    url_col: str | None = None,
     min_tokens: int = 10,
     max_digit_ratio: float = 0.3,
     window_tokens: int = 50,
@@ -127,7 +128,9 @@ def crawl_curation_tick(
     dump (the RefinedWeb/Gopher shape, composed from this repo's
     operators):
 
-      quality gate + within-dump exact dedup   (curate_documents)
+      URL-level filter (optional, ``url_col`` — functions/urls.py; the
+        cheapest gate runs first, zero-shuffle scan-stage)
+      -> quality gate + within-dump exact dedup   (curate_documents)
       -> exact dedup vs the fingerprint archive (anti-join, as-of-parent)
       -> substring-level cut vs the window-hash directory (Lee et al.)
       -> near-dup drop vs the MinHash band archive (banding decides)
@@ -171,8 +174,15 @@ def crawl_curation_tick(
             "versions": {"clean_docs": done},
         }
 
+    staged = dump
+    if url_col is not None:
+        from g_data_pipeline_spark.functions.urls import url_quality_signals
+
+        staged = dump.filter(
+            url_quality_signals(F.col(url_col))["keep"]
+        )
     curated = curate_documents(
-        dump, id_col, text_col, min_tokens, max_digit_ratio
+        staged, id_col, text_col, min_tokens, max_digit_ratio
     )
 
     # exact vs archive — fingerprints of every previously KEPT doc

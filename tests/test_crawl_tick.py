@@ -312,3 +312,28 @@ def test_crash_matrix_every_commit_boundary_resumes_identically(
             spark, _mk(spark, dump2), base, "002", **kw
         )["replay"] is True
         assert r["n_kept"] == 2  # docs 10 (cut) and 12
+
+
+def test_url_gate_runs_first_in_the_tick(spark, tmp_path):
+    from g_data_pipeline_spark.sources import txn
+
+    base = str(tmp_path / "corpus")
+    dump = spark.createDataFrame(
+        [
+            (1, "https://news.example.com/story", _words("good", 20)),
+            (2, "https://spam.casino.click/win", _words("spam", 20)),
+        ],
+        "doc_id long, url string, text string",
+    )
+    r = crawl_curation_tick(
+        spark, dump, base, "001", url_col="url",
+        min_tokens=5, max_digit_ratio=0.9, window_tokens=W,
+        num_hashes=16, bands=8,
+    )
+    assert r["n_kept"] == 1
+    assert set(_clean(spark, base)) == {1}
+    # and the blocked doc's content never entered any archive
+    fps = txn.read_committed(
+        spark, f"{base}/fingerprint_directory"
+    ).count()
+    assert fps == 1
