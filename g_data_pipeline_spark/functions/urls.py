@@ -95,7 +95,9 @@ def url_filter_report(
         sig["tld"].alias("tld"),
         sig["path_depth"].alias("path_depth"),
         sig["n_query_params"].alias("n_query_params"),
-        F.round(sig["host_digit_ratio"], 6).alias("host_digit_ratio"),
+        F.round(sig["host_digit_ratio"] * F.lit(1e6))
+        .cast("long")
+        .alias("host_digit_ratio_micro"),
         sig["blocked_token"].alias("blocked_token"),
         sig["blocked_tld"].alias("blocked_tld"),
         sig["keep"].alias("keep"),

@@ -299,7 +299,8 @@ def split_leakage_report(
     label as the source) and roll up per (split, other_split):
 
       (split, other_split, n_docs_overlapping — any shared shingle,
-       n_docs_leaked — containment >= leak_fraction, max_contamination)
+       n_docs_leaked — containment >= leak_fraction,
+       max_contamination_micro)
 
     A zero-row report means no cross-split shingle sharing at all; rows
     with n_docs_leaked > 0 mean eval items are effectively IN train.
@@ -327,7 +328,9 @@ def split_leakage_report(
             F.count_if(
                 F.col("contamination") >= F.lit(float(leak_fraction))
             ).alias("n_docs_leaked"),
-            F.round(F.max("contamination"), 6).alias("max_contamination"),
+            F.round(F.max("contamination") * F.lit(1e6))
+            .cast("long")
+            .alias("max_contamination_micro"),
         )
         .orderBy("split", "other_split")
     )

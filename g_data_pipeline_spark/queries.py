@@ -105,6 +105,14 @@ _DRIVER_WINDOW = (
     "t_context_fit_report",
     "d_minhash_lsh_pairs",
     "d_simhash_pairs",
+    # -- (1b) Round-7 extended session: the three r8 graduation
+    # candidates gate THIS round (first-green outranks a refresh — the
+    # r4 precedent). Slots paid by demoting d_source_shingle_overlap,
+    # t_char_diversity, t_vocab_stats from the r3-freshness block (4);
+    # each keeps its r3 green row and heads the r8 freshness queue.
+    "d_url_filter",
+    "d_split_leakage",
+    "d_decontaminate_spans",
     # -- (2) SURVEY §2 core representatives (one per round, standing).
     "q1_pricing_summary",
     "p_numeric_stats",
@@ -152,10 +160,7 @@ _DRIVER_WINDOW = (
     "a_range_join",
     "e_funnel_conversion",
     "t_tfidf_topk",
-    "t_char_diversity",
-    "t_vocab_stats",
     "d_priority_merge",
-    "d_source_shingle_overlap",
 )
 
 # Queries promoted right after the pinned window (in this order);

@@ -1,0 +1,332 @@
+"""Round-7 extended oracle wave: the three graduation candidates built
+earlier this round gate NOW instead of waiting for round 8 (first-green
+for new coverage outranks a freshness refresh — the r4 precedent;
+ROTATION.md documents the three demotions that paid for the slots).
+
+- d_url_filter: functions/urls.url_filter_report over a planted
+  multi-variant URL recipe exercising EVERY signal (blocked token,
+  blocked TLD, deep path, digit-heavy host, param arity, oversize URL,
+  missing host) — the RefinedWeb-style pre-fetch gate.
+- d_split_leakage: pipelines.split_leakage_report with the UNSAFE
+  row-level split the audit exists to catch — cross-split shingle
+  containment rolled up per (split, other_split).
+- d_decontaminate_spans: operators/contamination.decontaminate_spans —
+  the GPT-3/FLAN-style surgical n-gram scrub (Brown et al. '20) with a
+  benchmark derived deterministically from the corpus itself, gated on
+  the reassembled text byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.catalog import load_table
+from g_data_pipeline_spark.operators.sampling import sql_hash_bucket
+from g_data_pipeline_spark.queries import register
+
+_SQL_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+# ---------------------------------------------------------------------------
+# d_url_filter: URL-level quality gate on a planted multi-variant recipe
+# ---------------------------------------------------------------------------
+
+# One URL variant per doc_id % 8, each tripping exactly one signal (or
+# none — cases 0 and 5 are the keepers). Same literal recipe on both
+# engines, like d_url_dedup's canonicalizer fixture.
+_XS = "x" * 600  # oversize-URL payload (len > 512 gate)
+
+
+def _sql_url_cases() -> str:
+    d = "CAST(doc_id % 10 AS VARCHAR)"
+    return f"""CASE doc_id % 8
+      WHEN 0 THEN 'https://www.example' || {d} || '.com/a/b?x=1'
+      WHEN 1 THEN 'https://play-casino' || {d} || '.example.com/promo'
+      WHEN 2 THEN 'https://site' || {d} || '.click/p'
+      WHEN 3 THEN 'https://deep' || {d}
+                  || '.org/s1/s2/s3/s4/s5/s6/s7/s8/s9/s'
+                  || CAST(doc_id % 5 AS VARCHAR)
+      WHEN 4 THEN 'https://host' || CAST(doc_id % 100 AS VARCHAR)
+                  || '12345678.net/x'
+      WHEN 5 THEN 'https://p' || {d} || '.org/q?a=1&b=2&c=3&utm_x='
+                  || CAST(doc_id % 7 AS VARCHAR)
+      WHEN 6 THEN 'https://l' || {d} || '.org/' || '{_XS}'
+      ELSE 'relative/path/' || CAST(doc_id AS VARCHAR)
+    END"""
+
+
+def _spark_url_cases() -> Column:
+    d = (F.col("doc_id") % 10).cast("string")
+    m = F.col("doc_id") % 8
+    return (
+        F.when(m == 0, F.concat(F.lit("https://www.example"), d, F.lit(".com/a/b?x=1")))
+        .when(m == 1, F.concat(F.lit("https://play-casino"), d, F.lit(".example.com/promo")))
+        .when(m == 2, F.concat(F.lit("https://site"), d, F.lit(".click/p")))
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("https://deep"),
+                d,
+                F.lit(".org/s1/s2/s3/s4/s5/s6/s7/s8/s9/s"),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        )
+        .when(
+            m == 4,
+            F.concat(
+                F.lit("https://host"),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit("12345678.net/x"),
+            ),
+        )
+        .when(
+            m == 5,
+            F.concat(
+                F.lit("https://p"),
+                d,
+                F.lit(".org/q?a=1&b=2&c=3&utm_x="),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .when(m == 6, F.concat(F.lit("https://l"), d, F.lit(".org/"), F.lit(_XS)))
+        .otherwise(F.concat(F.lit("relative/path/"), F.col("doc_id").cast("string")))
+    )
+
+
+# DuckDB twins of url_quality_signals' expressions (functions/urls.py) —
+# same regexes, RE2-safe, no lookaround.
+_SQL_HOST = "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+_SQL_PATH = "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+_SQL_QUERY = "regexp_extract(url, '\\?([^#]*)', 1)"
+
+
+@register(
+    "d_url_filter",
+    oracle=rf"""
+    WITH u AS (
+      SELECT doc_id, {_sql_url_cases()} AS url FROM documents
+    ), sig AS (
+      SELECT doc_id, url,
+             {_SQL_HOST} AS host,
+             len(list_filter(string_split({_SQL_PATH}, '/'),
+                             x -> x <> '')) AS path_depth,
+             CASE WHEN {_SQL_QUERY} = '' THEN 0
+                  ELSE len(string_split({_SQL_QUERY}, '&')) END
+               AS n_query_params,
+             regexp_matches(lower(url), 'casino|viagra|xxx|porn')
+               AS blocked_token
+      FROM u
+    ), sig2 AS (
+      SELECT doc_id, url, host, path_depth, n_query_params, blocked_token,
+             regexp_extract(host, '\.([a-z0-9-]+)$', 1) AS tld,
+             length(regexp_replace(host, '[^0-9]', '', 'g'))
+               * 1e6 / GREATEST(length(host), 1) AS ratio_scaled
+      FROM sig
+    )
+    SELECT doc_id, host, tld,
+           CAST(path_depth AS BIGINT) AS path_depth,
+           CAST(n_query_params AS BIGINT) AS n_query_params,
+           CAST(ROUND(ratio_scaled) AS BIGINT) AS host_digit_ratio_micro,
+           CAST(blocked_token AS BIGINT) AS blocked_token,
+           CAST(tld IN ('click', 'top', 'gq') AS BIGINT) AS blocked_tld,
+           CAST((NOT blocked_token
+                 AND tld NOT IN ('click', 'top', 'gq')
+                 AND path_depth <= 8
+                 AND length(url) <= 512
+                 AND ratio_scaled <= 0.4 * 1e6
+                 AND host <> '') AS BIGINT) AS keep
+    FROM sig2
+    """,
+)
+def d_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level quality gate (functions/urls.url_filter_report) on a
+    planted 8-variant recipe — one variant per signal: clean keeper,
+    blocklisted token in the host, blocklisted TLD, 10-deep path,
+    digit-heavy host, high param arity (reported, not gated), oversize
+    URL, and a scheme-less relative path (no host). The gate fails if ANY
+    signal regex or the composed keep logic diverges between engines.
+    Scan-stage only: zero shuffles, zero UDFs — the cheapest stage of the
+    crawl tick, run before anything touches document content (RefinedWeb
+    §3.1's URL filtering; reference has no crawl surface — extension)."""
+    from g_data_pipeline_spark.functions.urls import url_filter_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = url_filter_report(
+        docs.select("doc_id", _spark_url_cases().alias("url"))
+    )
+    return rep.select(
+        "doc_id",
+        "host",
+        "tld",
+        F.col("path_depth").cast("long").alias("path_depth"),
+        F.col("n_query_params").cast("long").alias("n_query_params"),
+        "host_digit_ratio_micro",
+        F.col("blocked_token").cast("long").alias("blocked_token"),
+        F.col("blocked_tld").cast("long").alias("blocked_tld"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d_split_leakage: post-split contamination audit (row-level = unsafe)
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES3 = (
+    "list_distinct([array_to_string(toks[i:i+2], ' ') "
+    "for i in range(1, len(toks) - 1)])"
+)
+_LEAK_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_LEAK_SEED = "leak-audit-v1"
+
+
+@register(
+    "d_split_leakage",
+    oracle=rf"""
+    WITH assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN b < 800000 THEN 'train'
+                  WHEN b < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   {sql_hash_bucket(['doc_id'], seed=_LEAK_SEED)} AS b
+            FROM documents)
+    ), sh AS (
+      SELECT doc_id, split, {_SQL_SHINGLES3} AS sh
+      FROM (SELECT doc_id, split, {_SQL_TOKS} AS toks FROM assigned)
+      WHERE len(toks) >= 3
+    ), posts AS (
+      SELECT doc_id, split, unnest(sh) AS s FROM sh
+    ), doc_sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM posts GROUP BY doc_id
+    ), src AS (
+      SELECT DISTINCT split AS other_split, s FROM posts
+    ), per_doc AS (
+      SELECT p.doc_id, p.split, o.other_split, d.n,
+             COUNT(*) AS shared
+      FROM posts p
+      JOIN src o ON p.s = o.s AND o.other_split <> p.split
+      JOIN doc_sizes d ON d.doc_id = p.doc_id
+      GROUP BY p.doc_id, p.split, o.other_split, d.n
+    )
+    SELECT split, other_split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_overlapping,
+           CAST(COUNT(*) FILTER (WHERE CAST(shared AS DOUBLE) / n >= 0.5)
+                AS BIGINT) AS n_docs_leaked,
+           CAST(ROUND(MAX(CAST(shared AS DOUBLE) / n) * 1000000) AS BIGINT)
+             AS max_contamination_micro
+    FROM per_doc GROUP BY split, other_split
+    """,
+)
+def d_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-split leakage audit (pipelines.split_leakage_report) under the
+    UNSAFE row-level split the audit exists to catch: documents are
+    assigned train/val/test by a pure md5-bucket of doc_id alone, then
+    cross-SPLIT word-3-gram containment is rolled up per (split,
+    other_split) — n_docs_leaked > 0 means eval text is effectively IN
+    train (the corpus's planted duplicates scatter across splits). The
+    leakage-safe group-keyed sibling is pinned by tests/test_crawl_tick
+    (zero rows on the same corpus). Shuffles key on shingle content and
+    doc id, never all-pairs — identical scale shape to
+    d_contamination_fraction."""
+    from g_data_pipeline_spark.pipelines import split_leakage_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_leakage_report(
+        docs,
+        "doc_id",
+        "text",
+        group_cols=None,
+        splits=dict(_LEAK_SPLITS),
+        seed=_LEAK_SEED,
+        n=3,
+        leak_fraction=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# d_decontaminate_spans: surgical benchmark n-gram scrub (Brown et al. '20)
+# ---------------------------------------------------------------------------
+
+_SCRUB_W = 13  # GPT-3's 13-gram collision window
+
+
+@register(
+    "d_decontaminate_spans",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents
+    ), cwin AS (
+      SELECT doc_id, i - 1 AS pos0,
+             md5(array_to_string(t[i : i + {_SCRUB_W - 1}], ' ')) AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(
+           1, len(t) - {_SCRUB_W - 1})) AS i)
+    ), bwin AS (
+      SELECT DISTINCT h FROM cwin WHERE doc_id % 37 = 0
+    ), hist AS (
+      SELECT c.doc_id, c.pos0 FROM cwin c JOIN bwin b USING (h)
+    ), fresh AS (
+      SELECT c.* FROM cwin c ANTI JOIN bwin b USING (h)
+    ), canon AS (
+      SELECT h, kid, kpos FROM (
+        SELECT h, doc_id AS kid, pos0 AS kpos,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos0) AS rn
+        FROM fresh) WHERE rn = 1
+    ), bdup AS (
+      SELECT f.doc_id, f.pos0
+      FROM fresh f JOIN canon c USING (h)
+      WHERE NOT (f.doc_id = c.kid AND f.pos0 = c.kpos)
+    ), removed AS (
+      SELECT doc_id, list(pos0) AS starts FROM (
+        SELECT * FROM hist UNION ALL SELECT * FROM bdup
+      ) GROUP BY doc_id
+    ), assembled AS (
+      SELECT tk.doc_id, tk.text, tk.t,
+             list_transform(
+               list_filter(range(1, len(tk.t) + 1),
+                 j -> len(list_filter(COALESCE(r.starts, []),
+                          s -> j >= s + 1 AND j <= s + {_SCRUB_W})) = 0),
+               j -> tk.t[j]) AS kept
+      FROM toks tk LEFT JOIN removed r USING (doc_id)
+    )
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN ''
+                ELSE COALESCE(array_to_string(kept, ' '), '') END
+             AS dedup_text,
+           CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(t) END
+                AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(kept) END
+                AS BIGINT) AS n_tokens_kept
+    FROM assembled
+    """,
+)
+def d_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical span decontamination (operators/contamination.
+    decontaminate_spans): every 13-token window of a deterministic
+    benchmark (documents with doc_id % 37 = 0 — both engines derive it
+    identically) is cut from EVERY corpus occurrence, and — because the
+    scrub rides incremental_substring_dedup — non-benchmark windows
+    duplicated within the corpus also collapse to their canonical (min
+    id, min pos) occurrence. Gated byte-for-byte on the reassembled text:
+    DuckDB keeps the naive per-token containment filter while Spark runs
+    the linear merged-interval reassembly, so the gate re-proves the
+    round-7 rewrite on a second window width and a directory-driven cut
+    set. Benchmark docs themselves collapse to '' (every window is in the
+    directory). Scale shape: content-hash keyed joins against a
+    benchmark directory that is built ONCE and broadcast-sized, never
+    all-pairs (Brown et al. '20 §C dedup methodology)."""
+    from g_data_pipeline_spark.operators.contamination import (
+        decontaminate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    cleaned, _directory = decontaminate_spans(
+        docs, bench, "doc_id", "text", window_tokens=_SCRUB_W
+    )
+    return cleaned.select(
+        F.col("id").alias("doc_id"),
+        "dedup_text",
+        "n_tokens",
+        "n_tokens_kept",
+    )

@@ -237,7 +237,7 @@ def test_split_leakage_report_group_vs_row_split(spark):
     leaked = {(r.split, r.other_split): r for r in unsafe}
     assert leaked, "row-level split must show cross-split overlap"
     assert any(r.n_docs_leaked > 0 for r in unsafe)
-    assert max(r.max_contamination for r in unsafe) == 1.0
+    assert max(r.max_contamination_micro for r in unsafe) == 1_000_000
 
 
 def test_crash_matrix_every_commit_boundary_resumes_identically(

@@ -29,7 +29,7 @@ def test_signals_and_gate(spark):
     assert got[2].blocked_token and not got[2].keep
     assert got[3].blocked_tld and got[3].tld == "click" and not got[3].keep
     assert got[4].path_depth == 10 and not got[4].keep
-    assert got[5].host_digit_ratio > 0.4 and not got[5].keep
+    assert got[5].host_digit_ratio_micro > 400_000 and not got[5].keep
     assert got[6].n_query_params == 3 and got[6].keep
     assert got[7].host == "" and not got[7].keep
 
