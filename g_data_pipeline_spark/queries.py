@@ -113,6 +113,12 @@ _DRIVER_WINDOW = (
     "d_url_filter",
     "d_split_leakage",
     "d_decontaminate_spans",
+    # Spark-4 VARIANT shredding gate + the SFT conversation-curation
+    # report (new coverage; slots paid by demoting s_except_all and
+    # j_q16_supplier_part_counts — set ops keep s_intersect_all
+    # in-window, TPC-H joins keep 12 in-window reps).
+    "e_variant_shred",
+    "e_conversation_stats",
     # -- (2) SURVEY §2 core representatives (one per round, standing).
     "q1_pricing_summary",
     "p_numeric_stats",
@@ -148,12 +154,10 @@ _DRIVER_WINDOW = (
     "j_q12_late_priority_lines",
     "j_q13_customer_order_distribution",
     "j_q15_top_supplier",
-    "j_q16_supplier_part_counts",
     "j_q17_small_quantity_revenue",
     "j_q20_dominant_suppliers",
     "j_q21_sole_late_supplier",
     "j_q22_dormant_rich_customers",
-    "s_except_all",
     "s_intersect_all",
     "g_grouping_sets",
     "w_percent_rank_cume_dist",

@@ -45,6 +45,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python DataSource filter pushdown (sources/pydatasource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # managed-table warehouse out of the repo tree (bucketed tables)
         .config("spark.sql.warehouse.dir", f"/tmp/gdp-warehouse-{os.getpid()}")
         .config(

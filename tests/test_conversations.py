@@ -1,0 +1,173 @@
+"""SFT conversation curation (operators/conversations.py): assembly
+ordering (ts + tiebreak), the structure report, chat-template rendering,
+whole-turn context truncation, transcript dedup, and the one-shuffle
+plan shape."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.operators.conversations import (
+    assemble_conversations,
+    conversation_report,
+    dedup_conversations,
+    render_chat_template,
+    truncate_to_context,
+)
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+        "event_type string, props string"
+    )
+
+
+def _fixture(spark):
+    # user 1: two conversations split by a >30-min gap; inside conv 0 two
+    # events share a timestamp (event_id breaks the tie) and the last two
+    # turns repeat the same role (one alternation break).
+    rows = [
+        (1, 1, T0, "user", "hi"),
+        (1, 3, T0 + timedelta(seconds=10), "assistant", "hello"),
+        (1, 2, T0 + timedelta(seconds=10), "assistant", "first-by-id"),
+        (1, 4, T0 + timedelta(minutes=45), "user", "new conv"),
+        (1, 5, T0 + timedelta(minutes=46), "assistant", "yes"),
+        # user 2: a verbatim copy of user 1's first conversation content
+        (2, 6, T0, "user", "hi"),
+        (2, 8, T0 + timedelta(seconds=10), "assistant", "hello"),
+        (2, 7, T0 + timedelta(seconds=10), "assistant", "first-by-id"),
+    ]
+    return _events(spark, rows)
+
+
+def test_report_structure_and_tie_ordering(spark):
+    rep = {
+        (r.user, r.conv_idx): r
+        for r in conversation_report(_fixture(spark)).collect()
+    }
+    c0 = rep[(1, 1)]
+    assert (c0.n_turns, c0.n_roles) == (3, 2)
+    assert c0.alternation_breaks == 1  # assistant twice in a row
+    assert c0.duration_ms == 10_000
+    c1 = rep[(1, 2)]
+    assert (c1.n_turns, c1.alternation_breaks) == (2, 0)
+    # identical content + ordering => identical fingerprint across users
+    assert c0.transcript_fp == rep[(2, 1)].transcript_fp
+
+
+def test_assembly_orders_ties_by_tiebreak(spark):
+    convs = {
+        (r.user, r.conv_idx): [(t.role, t.content) for t in r.turns]
+        for r in assemble_conversations(_fixture(spark)).collect()
+    }
+    assert convs[(1, 1)] == [
+        ("user", "hi"),
+        ("assistant", "first-by-id"),  # event_id 2 before 3 on the tie
+        ("assistant", "hello"),
+    ]
+
+
+def test_render_chat_template_exact(spark):
+    out = render_chat_template(
+        assemble_conversations(_fixture(spark))
+    ).filter((F.col("user") == 1) & (F.col("conv_idx") == 2))
+    assert out.collect()[0].text == (
+        "<|im_start|>user\nnew conv<|im_end|>\n"
+        "<|im_start|>assistant\nyes<|im_end|>"
+    )
+
+
+def test_truncate_keeps_whole_turn_suffix(spark):
+    convs = assemble_conversations(_fixture(spark))
+    got = {
+        (r.user, r.conv_idx): r
+        for r in truncate_to_context(convs, max_tokens=3).collect()
+    }
+    c0 = got[(1, 1)]  # per-turn tokens: [1, 1, 1] -> all 3 fit
+    assert c0.turns_kept == 3 and c0.tokens_kept == 3
+    c1 = got[(1, 2)]  # tokens [2, 1]: both fit exactly
+    assert c1.turns_kept == 2 and c1.tokens_kept == 3
+    tight = {
+        (r.user, r.conv_idx): r
+        for r in truncate_to_context(convs, max_tokens=2).collect()
+    }
+    t1 = tight[(1, 2)]  # last turn (1 tok) fits, adding "new conv" (2) busts
+    assert t1.turns_kept == 1 and t1.tokens_kept == 1
+    assert [t.content for t in t1.turns] == ["yes"]
+
+
+def test_truncate_zero_when_last_turn_exceeds_budget(spark):
+    convs = assemble_conversations(
+        _events(spark, [(9, 1, T0, "user", "a b c d e")])
+    )
+    row = truncate_to_context(convs, max_tokens=3).collect()[0]
+    assert row.turns_kept == 0 and row.tokens_kept == 0 and row.turns == []
+
+
+def test_dedup_conversations_keeps_min_id(spark):
+    convs = assemble_conversations(_fixture(spark))
+    kept = {
+        (r.user, r.conv_idx)
+        for r in dedup_conversations(convs).collect()
+    }
+    # user 2's conversation duplicates user 1's conv 1 -> dropped
+    assert kept == {(1, 1), (1, 2)}
+
+
+def test_report_single_user_shuffle(spark):
+    from g_data_pipeline_spark.operators.planlint import plan_report
+
+    rep = plan_report(conversation_report(_fixture(spark)))
+    # one user-keyed exchange (windows + lag reuse it) + the final
+    # (user, conv) aggregate's own exchange
+    assert rep["shuffles"] <= 2
+    assert not rep["row_python_nodes"] and not rep["arrow_python_nodes"]
+
+
+def test_curate_conversations_end_to_end(spark):
+    """pipelines.curate_conversations: dedup -> structure gates ->
+    whole-turn truncation -> ChatML rendering, one composed pass."""
+    from g_data_pipeline_spark.pipelines import curate_conversations
+
+    rows = [
+        # conv A (user 1): well-formed, 2 roles, fits budget -> kept
+        (1, 1, T0, "user", "hello there"),
+        (1, 2, T0 + timedelta(seconds=5), "assistant", "hi"),
+        # conv B (user 3): duplicate of A's transcript -> deduped away
+        (3, 5, T0, "user", "hello there"),
+        (3, 6, T0 + timedelta(seconds=5), "assistant", "hi"),
+        # conv C (user 4): single role only -> gated out
+        (4, 7, T0, "user", "monologue"),
+        (4, 8, T0 + timedelta(seconds=3), "user", "still me"),
+    ]
+    out = curate_conversations(
+        _events(spark, rows), min_turns=2, min_roles=2, max_tokens=16
+    )
+    got = out.collect()
+    assert [(r.user, r.conv_idx) for r in got] == [(1, 1)]
+    assert got[0].text == (
+        "<|im_start|>user\nhello there<|im_end|>\n"
+        "<|im_start|>assistant\nhi<|im_end|>"
+    )
+    assert got[0].turns_kept == 2 and got[0].tokens_kept == 3
+
+
+def test_curate_conversations_truncation_gate(spark):
+    """A conversation whose kept-suffix falls below min_turns after
+    truncation is dropped, not emitted half-empty."""
+    from g_data_pipeline_spark.pipelines import curate_conversations
+
+    rows = [
+        (7, 1, T0, "user", " ".join(f"w{i}" for i in range(20))),
+        (7, 2, T0 + timedelta(seconds=1), "assistant", "ok fine"),
+    ]
+    out = curate_conversations(
+        _events(spark, rows), min_turns=2, min_roles=2, max_tokens=5
+    )
+    # only the 2-token assistant turn fits the 5-token budget -> < 2 turns
+    assert out.collect() == []
