@@ -336,6 +336,71 @@ def split_leakage_report(
     )
 
 
+def curate_conversations(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    role_col: str = "event_type",
+    content_col: str = "props",
+    gap_us: int = 30 * 60 * 1_000_000,
+    min_turns: int = 2,
+    min_roles: int = 2,
+    max_alternation_breaks: int | None = None,
+    max_tokens: int = 2048,
+) -> DataFrame:
+    """SFT conversation curation, composed (operators/conversations.py):
+
+    1. assemble events into ordered multi-turn conversations (ONE
+       user-keyed shuffle);
+    2. transcript-level exact dedup (retried sessions, mirrored logs);
+    3. structure gates — min turns/roles, optional alternation-break cap
+       (all row-local on the turns array: no report join needed);
+    4. whole-turn truncation to the context budget, re-gated on
+       min_turns (a conversation reduced below it is dropped, not
+       emitted half-empty);
+    5. ChatML rendering to one training string per row.
+
+    Returns (user, conv_idx, turns, turns_kept, tokens_kept, text) —
+    feed ``text`` to export_training_shards / export_jsonl_shards.
+    Everything after the assembly shuffle + the dedup fingerprint
+    aggregate is row-local array work."""
+    from g_data_pipeline_spark.operators.conversations import (
+        assemble_conversations,
+        dedup_conversations,
+        render_chat_template,
+        truncate_to_context,
+    )
+
+    convs = assemble_conversations(
+        events, user_col, ts_col, tiebreak_col, role_col, content_col,
+        gap_us,
+    )
+    deduped = dedup_conversations(convs)
+    t = F.col("turns")
+    roles = F.array_distinct(F.transform(t, lambda x: x["role"]))
+    breaks = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: a["role"] == b["role"],
+            ),
+            lambda x: x,
+        )
+    )
+    gated = deduped.filter(
+        (F.size(t) >= F.lit(int(min_turns)))
+        & (F.size(roles) >= F.lit(int(min_roles)))
+    )
+    if max_alternation_breaks is not None:
+        gated = gated.filter(breaks <= F.lit(int(max_alternation_breaks)))
+    fitted = truncate_to_context(gated, max_tokens).filter(
+        F.col("turns_kept") >= F.lit(int(min_turns))
+    )
+    return render_chat_template(fitted).orderBy("user", "conv_idx")
+
+
 def export_training_shards(
     df: DataFrame,
     dest: str,
