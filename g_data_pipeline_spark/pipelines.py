@@ -57,6 +57,49 @@ def curate_documents(
     )
 
 
+def curation_attrition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_digit_ratio: float = 0.3,
+) -> DataFrame:
+    """Per-document drop-reason audit for :func:`curate_documents` — the
+    Dolma-style attrition ledger ("why did each doc die"): every input
+    row labeled with the FIRST gate that rejected it, in gate order:
+
+      too_few_tokens -> digit_heavy -> exact_duplicate -> kept
+
+    Survivorship is decided among QUALITY-PASSING docs only (matching
+    curate_documents, which filters before it dedups — a duplicate of a
+    rejected doc is judged on its own merits). Returns (id, n_tokens,
+    stage) plus every input column. One content-keyed shuffle (the
+    fingerprint canon aggregate); the labels are row-local."""
+    feats = quality_features(text_col)
+    scored = df.select(
+        "*",
+        token_count(text_col).cast("long").alias("n_tokens"),
+        F.coalesce(feats["digit_ratio"], F.lit(0.0)).alias("__dr"),
+        fingerprint_md5(text_col).alias("__fp"),
+    )
+    canon = (
+        scored.filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("__dr") <= max_digit_ratio)
+        )
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias("__keep_id"))
+    )
+    labeled = scored.join(canon, "__fp", "left").withColumn(
+        "stage",
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_few_tokens"))
+        .when(F.col("__dr") > max_digit_ratio, F.lit("digit_heavy"))
+        .when(F.col(id_col) != F.col("__keep_id"), F.lit("exact_duplicate"))
+        .otherwise(F.lit("kept")),
+    )
+    return labeled.drop("__fp", "__dr", "__keep_id")
+
+
 def curate_image_text(
     pairs: DataFrame,
     id_col: str = "pair_id",

@@ -119,6 +119,9 @@ _DRIVER_WINDOW = (
     # in-window, TPC-H joins keep 12 in-window reps).
     "e_variant_shred",
     "e_conversation_stats",
+    # Curation attrition funnel (drop-reason ledger; slot paid by
+    # demoting t_top_ngrams — the text family keeps 8+ in-window reps).
+    "d_curation_funnel",
     # -- (2) SURVEY §2 core representatives (one per round, standing).
     "q1_pricing_summary",
     "p_numeric_stats",
@@ -143,7 +146,6 @@ _DRIVER_WINDOW = (
     "d_incremental_dedup",
     "t_repetition_stats",
     "t_redact_pii",
-    "t_top_ngrams",
     "t_pack_sequences",
     "t_mixture_weights",
     "j_q2_min_cost_supplier",

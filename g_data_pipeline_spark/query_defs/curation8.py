@@ -330,3 +330,65 @@ def d_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_tokens_kept",
     )
+
+
+# ---------------------------------------------------------------------------
+# d_curation_funnel: per-source drop-reason attrition report
+# ---------------------------------------------------------------------------
+
+_SQL_FP = (
+    r"md5(trim(regexp_replace(regexp_replace("
+    r"lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))"
+)
+
+
+@register(
+    "d_curation_funnel",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE CAST(len({_SQL_TOKS}) AS BIGINT) END AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN len(regexp_extract_all(text, '[0-9]'))
+                       / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS digit_ratio,
+             {_SQL_FP} AS fp
+      FROM documents
+    ), canon AS (
+      SELECT fp, MIN(doc_id) AS keep_id FROM scored
+      WHERE n_tokens >= 10 AND digit_ratio <= 0.3 GROUP BY fp
+    ), labeled AS (
+      SELECT s.source, s.n_tokens,
+             CASE WHEN s.n_tokens < 10 THEN 'too_few_tokens'
+                  WHEN s.digit_ratio > 0.3 THEN 'digit_heavy'
+                  WHEN s.doc_id <> c.keep_id THEN 'exact_duplicate'
+                  ELSE 'kept' END AS stage
+      FROM scored s LEFT JOIN canon c USING (fp)
+    )
+    SELECT source, stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM labeled GROUP BY source, stage
+    """,
+)
+def d_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation attrition funnel (pipelines.curation_attrition rolled up
+    per source): how many documents — and how many tokens — each
+    curate_documents gate kills, with first-fail attribution
+    (too_few_tokens -> digit_heavy -> exact_duplicate -> kept). The
+    ledger Dolma/RefinedWeb publish alongside their corpora, and the
+    observability layer for tuning gate thresholds: a source whose mass
+    dies at one gate is cheap feed, one that dies at dedup is a mirror.
+    Shape: the labeling costs ONE fingerprint-keyed aggregate + a
+    content-keyed join (labels row-local), the rollup one more keyed
+    aggregate; DuckDB reproduces gate expressions, survivorship, and
+    first-fail ordering exactly."""
+    from g_data_pipeline_spark.pipelines import curation_attrition
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = curation_attrition(docs, "doc_id", "text")
+    return labeled.groupBy("source", "stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )

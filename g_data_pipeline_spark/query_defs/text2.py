@@ -383,3 +383,33 @@ def t_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, "doc_id", "text", merges).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@register("t_unigram_tokenize", eager=True)  # rows-only: EM training has no SQL twin; eager: model trained at build time
+def t_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization end-to-end (Kudo '18, the SentencePiece
+    default): one distributed word-count pass -> driver-side seed +
+    hard-EM + prune (explicit tie-breaks, single-char coverage
+    guarantee) -> broadcast-model Arrow-batched Viterbi encode. Output is
+    the per-document token budget (n_words, n_pieces, n_unk). The encode
+    demo runs over a deterministic 10% doc sample (doc_id % 10 = 0) —
+    training statistics always use the FULL corpus word counts; the
+    operator itself is linear in whatever frame it is given. Rows-only;
+    exact-Python parity + layout invariance pinned in
+    tests/test_unigram_lm.py."""
+    from g_data_pipeline_spark.operators.tokenizer import word_counts
+    from g_data_pipeline_spark.operators.unigram_lm import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_unigram(
+        word_counts(docs, "text", top_words=5_000),
+        vocab_size=300,
+        seed_size=1_000,
+    )
+    sample = docs.filter(F.col("doc_id") % 10 == 0)
+    return unigram_encode(sample, "doc_id", "text", model).withColumnRenamed(
+        "id", "doc_id"
+    )

@@ -25,6 +25,7 @@ ARROW_ALLOWED = {
     "m_image_text_filter",      # dims decode + fake-CLIP seam (imagetext.py)
     "m_phash_caption_clusters",  # aHash clusters x caption stats
     "t_bpe_tokenize",           # broadcast-vocab Arrow encode
+    "t_unigram_tokenize",       # broadcast unigram-LM Viterbi encode
     "t_compression_signal",     # scalar pandas zlib kernel (operators/grouped.py)
 }
 # node classes themselves live in operators/planlint.py (the public
