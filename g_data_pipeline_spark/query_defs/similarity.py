@@ -234,3 +234,35 @@ def v_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q"),
     )
+
+
+@register("v_incremental_semantic", oracle=None)
+def v_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup vs a growing embedding archive
+    (operators/incremental_semantic.py — the SemDeDup modality at crawl
+    cadence, completing the incremental family across exact / substring
+    / MinHash / SimHash / semantic): even vec_ids play the archived
+    history under a frozen 8-cell codebook (vec_id < 8 rows, the
+    v_topic_balance convention), odd vec_ids the new dump; output = the
+    dump's total labeling (id, n_dup_neighbors, is_dup). Rows-only BY
+    DESIGN: the decision composes exact cosine (oracle-gated via
+    v_cosine_topk / v_near_dup_pairs) with cell-probed directory state;
+    the one-pass rule is pinned against a pure-Python twin +
+    replay/exactly-once streaming pins in
+    tests/test_incremental_semantic.py."""
+    from g_data_pipeline_spark.operators.incremental_semantic import (
+        embedding_cell_archive,
+        incremental_semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_vec")
+    )
+    history = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    archive = embedding_cell_archive(history, cents)
+    labeled, _delta = incremental_semantic_dedup(
+        batch, archive, cents, threshold=0.95, n_probe=2
+    )
+    return labeled
