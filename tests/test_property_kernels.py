@@ -267,3 +267,43 @@ def test_reassembly_matches_set_semantics(spark, n, w, raw_starts):
     assert row.dedup_text == " ".join(want)
     assert row.n_tokens == n
     assert row.n_tokens_kept == len(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=6), min_size=1, max_size=12
+    ),
+    st.integers(min_value=0, max_value=20),
+)
+def test_truncate_to_context_is_maximal_suffix(spark, turn_tokens, budget):
+    """truncate_to_context's row-local reverse fold == the spec: keep the
+    MAXIMAL whole-turn suffix whose token total fits the budget (random
+    per-turn sizes incl. empty turns, random budgets incl. zero)."""
+    from g_data_pipeline_spark.operators.conversations import (
+        truncate_to_context,
+    )
+
+    turns = [
+        ("user" if i % 2 == 0 else "assistant",
+         " ".join("w" for _ in range(n)))
+        for i, n in enumerate(turn_tokens)
+    ]
+    convs = spark.createDataFrame(
+        [(1, 1, turns)],
+        "user long, conv_idx long, "
+        "turns array<struct<role string, content string>>",
+    )
+    row = truncate_to_context(convs, max_tokens=budget).collect()[0]
+
+    # Python spec: walk from the end while the budget holds
+    kept = tot = 0
+    for n in reversed(turn_tokens):
+        if tot + n > budget:
+            break
+        tot += n
+        kept += 1
+    assert (row.turns_kept, row.tokens_kept) == (kept, tot)
+    assert [t.content for t in row.turns] == [
+        c for _, c in turns[len(turns) - kept:]
+    ]
