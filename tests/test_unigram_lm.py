@@ -73,3 +73,35 @@ def test_encode_matches_python_twin_and_layout_invariance(spark):
         word_counts(df.repartition(7), "text"), vocab_size=20, seed_size=100
     )
     assert model2 == model
+
+
+def test_viterbi_achieves_bruteforce_optimum():
+    """Property: the DP's segmentation score equals the brute-force
+    optimum over ALL segmentations (pieces from a small closed alphabet,
+    every word coverable by single chars)."""
+    import itertools
+
+    pieces = {
+        "a": -2.0, "b": -2.5, "ab": -3.0, "ba": -1.5,
+        "aa": -4.0, "abb": -3.5, "bb": -5.0,
+    }
+
+    def brute(word):
+        def splits(w):
+            if not w:
+                yield []
+                return
+            for k in range(1, min(len(w), 8) + 1):
+                head, rest = w[:k], w[k:]
+                if head in pieces:
+                    for tail in splits(rest):
+                        yield [head] + tail
+
+        return max(
+            (sum(pieces[p] for p in seg) for seg in splits(word)),
+        )
+
+    for n in range(1, 7):
+        for word in ("".join(t) for t in itertools.product("ab", repeat=n)):
+            got = viterbi_segment(word, pieces)
+            assert sum(pieces[p] for p in got) == brute(word), word
