@@ -207,6 +207,18 @@ HEADLINE = [
     "d_substring_transform",
     "t_perplexity_buckets",
     "t_context_fit_report",
+    # round-7 extended-session additions (first recorded cost becomes
+    # their baseline). t_unigram_tokenize is EAGER like t_bpe_tokenize
+    # (EM training at build time; repeats measure the Viterbi encode).
+    "d_url_filter",
+    "d_split_leakage",
+    "d_decontaminate_spans",
+    "e_variant_shred",
+    "e_conversation_stats",
+    "d_curation_funnel",
+    "t_semantic_packing",
+    "t_unigram_tokenize",
+    "v_incremental_semantic",
 ]
 
 

@@ -122,6 +122,9 @@ _DRIVER_WINDOW = (
     # Curation attrition funnel (drop-reason ledger; slot paid by
     # demoting t_top_ngrams — the text family keeps 8+ in-window reps).
     "d_curation_funnel",
+    # ICLM-style semantic packing (cell-streamed pack_sequences; slot
+    # paid by demoting j_q22_dormant_rich_customers — TPC-H keeps 11).
+    "t_semantic_packing",
     # -- (2) SURVEY §2 core representatives (one per round, standing).
     "q1_pricing_summary",
     "p_numeric_stats",
@@ -159,7 +162,6 @@ _DRIVER_WINDOW = (
     "j_q17_small_quantity_revenue",
     "j_q20_dominant_suppliers",
     "j_q21_sole_late_supplier",
-    "j_q22_dormant_rich_customers",
     "s_intersect_all",
     "g_grouping_sets",
     "w_percent_rank_cume_dist",

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from g_data_pipeline_spark.catalog import load_table
 from g_data_pipeline_spark.functions.vectors import sql_cosine_sim
 from g_data_pipeline_spark.operators.similarity import (
+    assign_to_centroids,
     cosine_topk,
     ivf_topk,
     lsh_near_dup_pairs,
@@ -266,3 +267,75 @@ def v_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, archive, cents, threshold=0.95, n_probe=2
     )
     return labeled
+
+
+@register(
+    "t_semantic_packing",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cell, embedding AS c_vec
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT a.vec_id, c.cell,
+             {sql_cosine_sim("a.embedding", "c.c_vec")} AS cos
+      FROM embeddings a CROSS JOIN c
+    ), best AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ), counted AS (
+      SELECT d.doc_id, b.cell,
+             CASE WHEN trim(d.text) = '' THEN 0
+                  ELSE CAST(len(string_split_regex(trim(lower(d.text)),
+                                                   '\\s+')) AS BIGINT)
+             END AS n_tokens
+      FROM documents d JOIN best b ON b.vec_id = d.doc_id
+    ), cum AS (
+      SELECT doc_id, cell, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY cell ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM counted
+    )
+    SELECT doc_id, CAST(cell AS BIGINT) AS cell, n_tokens,
+           CAST(floor((c - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+           CAST((c - n_tokens) % 512 AS BIGINT) AS bin_offset,
+           floor((c - 1) / 512.0) > floor((c - n_tokens) / 512.0)
+             AS spans_bins
+    FROM cum
+    """,
+)
+def t_semantic_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (in-context) packing — ICLM-style (Shi et al. '23,
+    arXiv:2310.10638): pack RELATED documents into shared training
+    contexts by streaming each k-means CELL as its own packing group
+    (cells from the frozen 8-centroid codebook, the v_topic_balance
+    assignment; packing math from operators/packing.pack_sequences) —
+    documents that retrieve together train together, instead of the
+    random adjacency of source-order packing. Composition is fully
+    SQL-expressible, so the gate pins assignment + per-cell prefix sums
+    + bin mapping end-to-end. Shape: broadcast codebook scoring (corpus
+    never shuffles for assignment), one doc-keyed join, one cell-keyed
+    window — parallelism = number of cells, the packing-stream contract
+    (pre-bucket cells by hash(id) %% k for more streams at scale)."""
+    from g_data_pipeline_spark.operators.packing import pack_sequences
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_vec")
+    )
+    best = assign_to_centroids(emb, cents)
+    celled = docs.join(
+        best.select(F.col("vec_id").alias("doc_id"), "cell"), "doc_id"
+    )
+    packed = pack_sequences(celled, "doc_id", "text", "cell", capacity=512)
+    return packed.select(
+        "doc_id",
+        F.col("cell").cast("long").alias("cell"),
+        "n_tokens",
+        "bin_id",
+        "bin_offset",
+        "spans_bins",
+    )
