@@ -171,3 +171,46 @@ def test_curate_conversations_truncation_gate(spark):
     )
     # only the 2-token assistant turn fits the 5-token budget -> < 2 turns
     assert out.collect() == []
+
+
+def test_curated_conversations_export_to_jsonl_shards(spark, tmp_path):
+    """Glue: curate_conversations feeds export_jsonl_shards — the
+    SFT-delivery path (deterministic shard routing on a conversation
+    key, gzip JSONL on disk, text round-trips)."""
+    import gzip
+    import json as _json
+    from pathlib import Path
+
+    from g_data_pipeline_spark.pipelines import (
+        curate_conversations,
+        export_jsonl_shards,
+    )
+
+    rows = [
+        (1, 1, T0, "user", "hello there"),
+        (1, 2, T0 + timedelta(seconds=5), "assistant", "hi"),
+        (2, 3, T0, "user", "different ask"),
+        (2, 4, T0 + timedelta(seconds=9), "assistant", "different answer"),
+    ]
+    curated = curate_conversations(
+        _events(spark, rows), min_turns=2, min_roles=2, max_tokens=64
+    ).withColumn("conv_key", F.concat_ws("-", "user", "conv_idx"))
+    dest = str(tmp_path / "sft")
+    export_jsonl_shards(
+        curated, dest, id_col="conv_key", text_col="text", n_shards=4
+    )
+    texts = set()
+    for p in Path(dest).rglob("*.json*"):
+        if p.name.startswith(".") or p.suffix == ".crc":
+            continue
+        opener = gzip.open if p.suffix == ".gz" else open
+        with opener(p, "rt", encoding="utf-8") as fh:
+            for line in fh:
+                if line.strip():
+                    texts.add(_json.loads(line)["text"])
+    assert texts == {
+        "<|im_start|>user\nhello there<|im_end|>\n"
+        "<|im_start|>assistant\nhi<|im_end|>",
+        "<|im_start|>user\ndifferent ask<|im_end|>\n"
+        "<|im_start|>assistant\ndifferent answer<|im_end|>",
+    }
