@@ -219,6 +219,7 @@ HEADLINE = [
     "t_semantic_packing",
     "t_unigram_tokenize",
     "v_incremental_semantic",
+    "t_code_signals",
 ]
 
 

@@ -125,6 +125,9 @@ _DRIVER_WINDOW = (
     # ICLM-style semantic packing (cell-streamed pack_sequences; slot
     # paid by demoting j_q22_dormant_rich_customers — TPC-H keeps 11).
     "t_semantic_packing",
+    # Code-data curation gate, The Stack/StarCoder filters (slot paid
+    # by demoting j_q21_sole_late_supplier — TPC-H keeps 10 reps).
+    "t_code_signals",
     # -- (2) SURVEY §2 core representatives (one per round, standing).
     "q1_pricing_summary",
     "p_numeric_stats",
@@ -161,7 +164,6 @@ _DRIVER_WINDOW = (
     "j_q15_top_supplier",
     "j_q17_small_quantity_revenue",
     "j_q20_dominant_suppliers",
-    "j_q21_sole_late_supplier",
     "s_intersect_all",
     "g_grouping_sets",
     "w_percent_rank_cume_dist",

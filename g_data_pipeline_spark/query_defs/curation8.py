@@ -392,3 +392,138 @@ def d_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t_code_signals: The Stack / StarCoder-style code-curation gate
+# ---------------------------------------------------------------------------
+
+# Planted per-doc suffix: every 5th doc embeds a fenced, indented,
+# symbol-dense code block (signals must fire), every 5th+1 an
+# auto-generated minified blob (the gate must REJECT it), the rest stay
+# raw prose (signals must stay quiet). Same literal recipe both engines.
+_SQL_CODE_TEXT = (
+    "CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || '```' || chr(10)"
+    " || 'if (x' || CAST(doc_id % 7 AS VARCHAR) || ' == '"
+    " || CAST(doc_id % 3 AS VARCHAR) || ') {' || chr(10)"
+    " || '    y[' || CAST(doc_id % 5 AS VARCHAR) || '] = (x + 1);'"
+    " || chr(10) || '    return y;' || chr(10) || '}' || chr(10) || '```'"
+    " WHEN doc_id % 5 = 1 THEN text || chr(10)"
+    " || '// auto-generated do not edit' || chr(10) || repeat('z=1;', 300)"
+    " ELSE text END"
+)
+
+
+def _spark_code_text() -> Column:
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    code = F.concat(
+        F.col("text"), nl, F.lit("```"), nl,
+        F.lit("if (x"), (d % 7).cast("string"), F.lit(" == "),
+        (d % 3).cast("string"), F.lit(") {"), nl,
+        F.lit("    y["), (d % 5).cast("string"), F.lit("] = (x + 1);"),
+        nl, F.lit("    return y;"), nl, F.lit("}"), nl, F.lit("```"),
+    )
+    autogen = F.concat(
+        F.col("text"), nl, F.lit("// auto-generated do not edit"), nl,
+        F.lit("z=1;" * 300),
+    )
+    return (
+        F.when(d % 5 == 0, code)
+        .when(d % 5 == 1, autogen)
+        .otherwise(F.col("text"))
+    )
+
+
+_SQL_CODE_MICRO = "CAST(({num} * 1000000) // GREATEST({den}, 1) AS BIGINT)"
+
+
+@register(
+    "t_code_signals",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_CODE_TEXT} AS txt FROM documents
+    ), geom AS (
+      SELECT doc_id, txt,
+             string_split(txt, chr(10)) AS lines,
+             length(txt) AS total_len,
+             length(regexp_replace(txt, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(txt, '[^{{}}\[\]();=<>]', '', 'g'))
+               AS n_symbol,
+             len(string_split(txt, '```')) - 1 AS fence_count,
+             regexp_matches(lower(txt),
+               'auto-generated|do not edit|generated by') AS autogen
+      FROM t
+    ), s AS (
+      SELECT doc_id, fence_count, autogen,
+             len(lines) AS n_lines,
+             list_max(list_transform(lines, x -> length(x)))
+               AS max_line_len,
+             list_sum(list_transform(lines, x -> length(x))) AS sum_len,
+             len(list_filter(lines, x -> length(x) > 120)) AS n_long,
+             len(list_filter(lines,
+                 x -> regexp_matches(x, '^(    |\t)'))) AS n_indent,
+             total_len, n_alpha, n_symbol
+      FROM geom
+    ), m AS (
+      SELECT doc_id,
+             CAST(n_lines AS BIGINT) AS n_lines,
+             CAST(max_line_len AS BIGINT) AS max_line_len,
+             {_SQL_CODE_MICRO.format(num="sum_len", den="n_lines")}
+               AS avg_line_len_micro,
+             {_SQL_CODE_MICRO.format(num="n_long", den="n_lines")}
+               AS long_line_share_micro,
+             {_SQL_CODE_MICRO.format(num="n_alpha", den="total_len")}
+               AS alpha_ratio_micro,
+             {_SQL_CODE_MICRO.format(num="n_symbol", den="total_len")}
+               AS symbol_ratio_micro,
+             {_SQL_CODE_MICRO.format(num="n_indent", den="n_lines")}
+               AS indent_share_micro,
+             CAST(fence_count AS BIGINT) AS fence_count,
+             autogen, max_line_len AS _maxl
+      FROM s
+    )
+    SELECT doc_id, n_lines, max_line_len, avg_line_len_micro,
+           long_line_share_micro, alpha_ratio_micro, symbol_ratio_micro,
+           indent_share_micro, fence_count,
+           CAST(autogen AS BIGINT) AS autogen,
+           CAST((symbol_ratio_micro > 30000 OR indent_share_micro > 200000
+                 OR fence_count > 0) AS BIGINT) AS is_code_like,
+           CAST(((symbol_ratio_micro > 30000 OR indent_share_micro > 200000
+                  OR fence_count > 0)
+                 AND NOT autogen AND _maxl <= 1000
+                 AND alpha_ratio_micro >= 250000) AS BIGINT)
+             AS keep_for_code
+    FROM m
+    """,
+)
+def t_code_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-data curation gate (functions/code.code_filter_report — The
+    Stack / StarCoder data-prep filters) on a planted 3-variant recipe:
+    every 5th document embeds a fenced + indented + symbol-dense code
+    block (fence/indent/symbol signals and is_code_like must fire and
+    the gate must KEEP it), every 5th+1 an auto-generated minified blob
+    (marker + 1200-char line: the gate must REJECT it twice over), the
+    rest stay prose (signals quiet). Every line-geometry and ratio
+    signal hash-compares against DuckDB's list-kernel twin. Scan-stage
+    only: one line-split per document, zero shuffles, zero UDFs."""
+    from g_data_pipeline_spark.functions.code import code_filter_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = code_filter_report(
+        docs.select("doc_id", _spark_code_text().alias("text"))
+    )
+    return rep.select(
+        "doc_id",
+        "n_lines",
+        "max_line_len",
+        "avg_line_len_micro",
+        "long_line_share_micro",
+        "alpha_ratio_micro",
+        "symbol_ratio_micro",
+        "indent_share_micro",
+        "fence_count",
+        F.col("autogen").cast("long").alias("autogen"),
+        F.col("is_code_like").cast("long").alias("is_code_like"),
+        F.col("keep_for_code").cast("long").alias("keep_for_code"),
+    )
