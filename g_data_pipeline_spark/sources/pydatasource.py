@@ -233,12 +233,13 @@ class CrawlDumpStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         names = self._files(start["upto"])
         end = {"upto": names[-1] if names else start["upto"]}
-        # materialized: the simple-reader protocol pickles the rows into
-        # its prefetch cache (a generator cannot cross that boundary)
-        return list(self._rows(names)), end
+        # iter(list(...)): the prefetch cache requires an ITERATOR
+        # (`next(it)` on empty reads), but a generator cannot be pickled
+        # into the cache — a materialized list_iterator satisfies both
+        return iter(list(self._rows(names))), end
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
-        return list(self._rows(self._files(start["upto"], end["upto"])))
+        return iter(list(self._rows(self._files(start["upto"], end["upto"]))))
 
 
 class CrawlDumpDataSource(DataSource):

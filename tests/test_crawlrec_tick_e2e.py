@@ -96,3 +96,63 @@ def test_crawlrec_dumps_through_the_tick(spark, tmp_path):
     r2b = _tick(spark, _load(d2), base, "d2")
     assert r2b.get("replay") is True
     assert txn.latest_version(spark, f"{base}/clean_docs") == v
+
+
+def test_crawlrec_streaming_into_curation_stream(spark, tmp_path):
+    """The full production loop: bespoke-format dump files -> the custom
+    Python STREAMING DataSource -> crawl_curation_stream (exactly-once
+    tick per micro-batch). A second dump lands between two availableNow
+    runs over one checkpoint; re-running with no new files is a no-op."""
+    from g_data_pipeline_spark.streaming.pipelines import (
+        crawl_curation_stream,
+    )
+
+    spark.dataSource.register(CrawlDumpDataSource)
+    base = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    src = tmp_path / "dumps"
+    src.mkdir()
+    keep1 = _words("alpha", 20)
+    (src / "d0.crawlrec").write_text(
+        _rec("https://a.example/one", keep1)
+        + _rec("https://b.example/two", _words("beta", 25)),
+        encoding="utf-8",
+    )
+
+    def _run():
+        stream = (
+            spark.readStream.format("crawlrec")
+            .option("path", str(src))
+            .load()
+            .select(
+                F.xxhash64("url").alias("doc_id"),
+                F.col("payload").alias("text"),
+                "url",
+            )
+        )
+        return crawl_curation_stream(
+            stream, base, ckpt, timeout_s=300,
+            url_col="url", min_tokens=5, max_digit_ratio=0.9,
+            window_tokens=W, num_hashes=16, bands=8,
+        )
+
+    _run()
+    assert len(txn.read_committed(spark, f"{base}/clean_docs").collect()) == 2
+
+    # second dump: a cross-dump exact duplicate + a fresh doc
+    (src / "d1.crawlrec").write_text(
+        _rec("https://c.example/mirror", keep1)
+        + _rec("https://d.example/fresh", _words("delta", 22)),
+        encoding="utf-8",
+    )
+    _run()
+    texts = {
+        r.text
+        for r in txn.read_committed(spark, f"{base}/clean_docs").collect()
+    }
+    assert texts == {keep1, _words("beta", 25), _words("delta", 22)}
+
+    # a third run with NO new files moves nothing
+    v = txn.latest_version(spark, f"{base}/clean_docs")
+    _run()
+    assert txn.latest_version(spark, f"{base}/clean_docs") == v
