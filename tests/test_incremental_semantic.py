@@ -192,3 +192,43 @@ def test_streaming_twin_exactly_once(spark, tmp_path):
     assert txn.latest_version(spark, arch_table) == v_arch
     assert txn.latest_version(spark, out_table) == v_out
     assert len(txn.read_committed(spark, out_table).collect()) == 6
+
+
+def test_embedding_archive_maintenance_preserves_dedup(spark, tmp_path):
+    """The embedding archive is an ever-growing manifest table like the
+    band/window directories: after several dumps, maintain_table
+    compacts + retains without changing any future labeling decision."""
+    from g_data_pipeline_spark.sources import txn
+
+    cents = _cents(spark)
+    arch_table = str(tmp_path / "embedding_archive")
+    # seed several appends so the snapshot fragments across versions
+    empty = spark.createDataFrame(
+        [], "cell long, vec_id long, embedding array<float>"
+    )
+    archive = empty
+    for k, batch in enumerate((B0, B1)):
+        labeled, delta = incremental_semantic_dedup(
+            _mk(spark, batch), archive, cents, TAU, n_probe=2
+        )
+        txn.commit_write(
+            spark, delta, arch_table, run_id=f"dump-{k}", mode="append"
+        )
+        archive = txn.read_committed(spark, arch_table)
+
+    before = sorted(
+        (r.cell, r.vec_id) for r in txn.read_committed(spark, arch_table).collect()
+    )
+    rep = txn.maintain_table(
+        spark, arch_table, retain_versions=1, max_files=1
+    )
+    after_tbl = txn.read_committed(spark, arch_table)
+    after = sorted((r.cell, r.vec_id) for r in after_tbl.collect())
+    assert after == before, rep
+
+    # a probe batch labels identically against the maintained archive
+    probe = [(99, [1.0, 0.055, 0.0, 0.0])]  # near-dup of archived 1
+    labeled, _ = incremental_semantic_dedup(
+        _mk(spark, probe), after_tbl, cents, TAU, n_probe=2
+    )
+    assert _labels(labeled) == [(99, 1, True)]
