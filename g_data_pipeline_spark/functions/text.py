@@ -30,16 +30,68 @@ PUNCT_CLASS = r"[.!?,;:]"
 # BPE-ish token regex: word pieces or single non-space symbols.
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# Scripts written WITHOUT word-separating whitespace (Han ideographs,
+# kana, hangul syllables): under the default whitespace tokenizer an
+# entire CJK sentence counts as ONE token, which silently corrupts every
+# token-based signal (stats, shingle dedup, packing budgets) on a
+# multilingual crawl. ``mode="script"`` applies the mBERT/XLM fallback —
+# each such character becomes its own token (wordpieces then split
+# further; one char per token is the standard pre-tokenization), while
+# whitespace-delimited scripts keep their words. EXPLICIT code-point
+# ranges rather than \\p{script=...} classes so Spark's java.util.regex
+# and DuckDB's RE2 agree by construction (oracle-mirrorable):
+CJK_CHAR_CLASS = (
+    "["
+    "぀-ヿ"  # Hiragana + Katakana
+    "㐀-䶿"  # CJK Unified Ideographs Extension A
+    "一-鿿"  # CJK Unified Ideographs
+    "가-힯"  # Hangul syllables
+    "豈-﫿"  # CJK Compatibility Ideographs
+    "]"
+)
 
-def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization of trimmed, lowercased text -> array<string>."""
+_TOKEN_MODES = ("whitespace", "script")
+
+
+def _check_mode(mode: str) -> None:
+    if mode not in _TOKEN_MODES:
+        raise ValueError(f"token mode must be one of {_TOKEN_MODES}, got {mode!r}")
+
+
+def space_out_cjk(col: Column | str) -> Column:
+    """Surround every CJK character with spaces (the script-aware
+    pre-tokenization pass). Identity for pure whitespace-script text."""
     c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, f"({CJK_CHAR_CLASS})", " $1 ")
+
+
+def tokens(col: Column | str, mode: str = "whitespace") -> Column:
+    """Tokenization of trimmed, lowercased text -> array<string>.
+
+    ``mode="whitespace"`` (default): split on whitespace runs — byte-
+    identical to the historical behavior. ``mode="script"``: CJK
+    characters are first spaced out (one token per character, the
+    mBERT/XLM convention — see CJK_CHAR_CLASS), then the same
+    whitespace split runs; Latin-only text tokenizes identically in
+    both modes."""
+    _check_mode(mode)
+    c = F.col(col) if isinstance(col, str) else col
+    if mode == "script":
+        c = space_out_cjk(c)
     return F.split(F.trim(F.lower(c)), r"\s+")
 
 
-def token_count(col: Column | str) -> Column:
-    """Whitespace token count (0 for blank text)."""
+def token_count(col: Column | str, mode: str = "whitespace") -> Column:
+    """Token count under ``mode`` (0 for blank text)."""
+    _check_mode(mode)
     c = F.col(col) if isinstance(col, str) else col
+    if mode == "script":
+        # count CJK chars directly + whitespace tokens of the residual
+        # text (cheaper than materializing the spaced-out array)
+        residual = F.regexp_replace(c, CJK_CHAR_CLASS, " ")
+        return F.when(F.trim(residual) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(residual), r"\s+"))
+        ) + F.regexp_count(c, F.lit(CJK_CHAR_CLASS))
     return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
 
 
@@ -162,16 +214,20 @@ def rolling_hash(col: Column | str, base: int = 31, mod: int = 2**31 - 1) -> Col
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
+def word_shingles(
+    col: Column | str, n: int = 3, mode: str = "whitespace"
+) -> Column:
     """Word n-gram shingles -> array<string> (empty when fewer than n
-    tokens). No explode, no UDF — and NO array reference inside any
-    higher-order lambda: ``n`` shifted slices are built OUTSIDE the
-    lambdas and folded pairwise with zip_with. (The previous
-    transform-with-slice form referenced the computed token array inside
-    its lambda, which re-evaluates the regex split once PER POSITION —
-    O(n_tokens²) splits per document, measured 3-10x the cost of whole
-    queries at sf0.1.)"""
-    toks = tokens(col)
+    tokens). ``mode="script"`` shingles over script-aware tokens (CJK
+    chars are tokens — without it a whole CJK sentence is one "word"
+    and shingle dedup goes blind on CJK corpora). No explode, no UDF —
+    and NO array reference inside any higher-order lambda: ``n``
+    shifted slices are built OUTSIDE the lambdas and folded pairwise
+    with zip_with. (The previous transform-with-slice form referenced
+    the computed token array inside its lambda, which re-evaluates the
+    regex split once PER POSITION — O(n_tokens²) splits per document,
+    measured 3-10x the cost of whole queries at sf0.1.)"""
+    toks = tokens(col, mode)
     m = F.size(toks) - F.lit(n - 1)  # number of shingles
     joined = F.slice(toks, 1, m)
     for k in range(2, n + 1):

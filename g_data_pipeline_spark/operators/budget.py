@@ -35,6 +35,7 @@ def plan_token_budget(
     target_tokens: int,
     alpha: float = 0.5,
     max_epochs: int = 4,
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """Per-source plan: ``(source, natural_tokens, mix_weight_micro,
     budget_tokens, epochs_micro, keep_fraction_micro, repeat_warning)``.
@@ -54,8 +55,13 @@ def plan_token_budget(
     weight window runs over that tiny frame only."""
     from pyspark.sql import Window
 
+    # token_mode="script" counts CJK characters as tokens (functions/
+    # text.CJK_CHAR_CLASS) — without it a CJK-heavy source's supply is
+    # undercounted ~50x and the alpha-mix starves it.
     supply = df.groupBy(F.col(source_col).alias("source")).agg(
-        F.sum(token_count(text_col).cast("long")).alias("natural_tokens")
+        F.sum(token_count(text_col, token_mode).cast("long")).alias(
+            "natural_tokens"
+        )
     )
     if alpha == 0.5:
         w_scaled = F.floor(
@@ -67,18 +73,30 @@ def plan_token_budget(
             * F.lit(1_000_000.0)
         ).cast("long")
     everything = Window.partitionBy()
+    # The micro-scaled weights multiply against trillion-token targets
+    # (__w ~ supply^alpha * 1e6, target up to ~1e13): products reach
+    # ~1e25, far past BIGINT — all cross-products run in decimal(38,0)
+    # (exact, ANSI-safe); only the final floored quotients (< target)
+    # come back as long. (Round-8 ADVICE fix.)
+    dec = "decimal(38,0)"
     weighted = supply.withColumn("__w", w_scaled).withColumn(
-        "__wsum", F.sum("__w").over(everything)
+        "__wsum", F.sum(F.col("__w").cast(dec)).over(everything)
     )
     budget = _floordiv(
-        F.col("__w") * F.lit(int(target_tokens)), F.col("__wsum")
+        F.col("__w").cast(dec) * F.lit(int(target_tokens)).cast(dec),
+        F.col("__wsum"),
     )
     nat = F.col("natural_tokens")
-    epochs = _floordiv(F.col("budget_tokens") * F.lit(1_000_000), nat)
+    epochs = _floordiv(
+        F.col("budget_tokens").cast(dec) * F.lit(1_000_000).cast(dec), nat
+    )
     return (
         weighted.withColumn(
             "mix_weight_micro",
-            _floordiv(F.col("__w") * F.lit(1_000_000), F.col("__wsum")),
+            _floordiv(
+                F.col("__w").cast(dec) * F.lit(1_000_000).cast(dec),
+                F.col("__wsum"),
+            ),
         )
         .withColumn("budget_tokens", budget)
         .withColumn("epochs_micro", epochs)

@@ -92,7 +92,13 @@ def conversation_report(
         events, user_col, ts_col, tiebreak_col, role_col, content_col, gap_us
     )
     wconv = Window.partitionBy("user", "conv_idx").orderBy("us", "tiebreak")
-    line = F.concat_ws(":", "role", "content")
+    # NULL content is pinned to the EMPTY STRING ("role:" stays a line):
+    # bare concat_ws would SKIP the null (line collapses to "role"),
+    # while the DuckDB oracle's role || ':' || content nulls the whole
+    # line and string_agg drops it — the fingerprint would diverge on
+    # the first NULL-content row (round-8 ADVICE fix; oracle side
+    # COALESCEs identically).
+    line = F.concat_ws(":", "role", F.coalesce("content", F.lit("")))
     per_turn = turns.select(
         "user",
         "conv_idx",
@@ -248,7 +254,11 @@ def dedup_conversations(
         F.array_join(
             F.transform(
                 F.col(turns_col),
-                lambda x: F.concat_ws(":", x["role"], x["content"]),
+                # NULL content pins to '' — same line shape as
+                # conversation_report's transcript_fp
+                lambda x: F.concat_ws(
+                    ":", x["role"], F.coalesce(x["content"], F.lit(""))
+                ),
             ),
             "\n",
         )

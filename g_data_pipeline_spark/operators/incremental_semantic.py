@@ -21,10 +21,28 @@ replay against an absorbed delta labels identically — and (b) batch
 rows with a SMALLER id in a shared probed cell and cosine >= threshold,
 computed over ALL batch rows (not survivors), so chained decisions
 match between first run and replay. ``n_dup_neighbors`` counts DISTINCT
-neighbor ids across both sources — stable under replay because an
-absorbed batch survivor that was a batch-neighbor reappears as the same
-archive-neighbor id (larger-id survivors above the threshold cannot
-exist: they would have been batch-dups of this vector).
+neighbor ids across both sources.
+
+Replay-stability proof when ``n_probe`` < number of cells (round-8
+audit of an advisory claim that the shared-probed-cell batch rule
+breaks replay; the claim is FALSE and the edge is pinned by
+``tests/test_incremental_semantic.py::
+test_replay_stable_when_probe_sets_diverge``): a replay's only new
+information is absorbed survivors, visible to query ``i`` exactly when
+``top1(j) in probes(i)`` (the archive stores each survivor under its
+top-1 cell; ``assign_to_centroids`` and ``_probe_cells`` rank
+identically — max cosine, ties to the lowest cell). Since ``j`` always
+probes its own top-1 cell, ``top1(j) in probes(i)`` implies the pair
+SHARES probed cell ``top1(j)``; therefore for ``j < i`` the batch pass
+already counted ``j`` on the first run, and for ``j > i`` the batch
+pass labeled ``j`` a dup of ``i`` so ``j`` never survived into the
+archive. Batch-pass results themselves replay bit-identically (the
+pass recomputes over ALL batch rows). Note the inviting "fix" of
+keying the batch neighbor side by top-1 cell only — to mirror the
+archive condition — would BREAK stability in the reverse direction: a
+pair where ``top1(i) in probes(j)`` but ``top1(j) not in probes(i)``
+(rankings diverge near a cell boundary) would leave both docs clean
+and archived on the first run, then flip ``i`` to dup on replay.
 """
 
 from __future__ import annotations
@@ -46,7 +64,9 @@ def _probe_cells(
     """Top-``n_probe`` cells per vector against a DataFrame codebook:
     broadcast the k x dim codebook, rank cells row-locally by
     (cos desc, cell asc), explode the head. Zero shuffles; fan-out
-    n_probe rows per vector (the IVF query-side probe)."""
+    n_probe rows per vector (the IVF query-side probe). The first-ranked
+    cell equals ``assign_to_centroids``' assignment (same ordering) —
+    the cell the archive stores the vector under."""
     codebook = F.broadcast(
         centroids.agg(
             F.collect_list(
@@ -112,6 +132,19 @@ def incremental_semantic_dedup(
       this one (anti-join on vec_id makes an absorbed replay's delta
       empty).
 
+    Replay-stability of the batch pass (round-8 proof): a replay's only
+    new information is absorbed survivors, visible as archive rows at
+    their TOP-1 cell. A surviving j flips query i's label only if
+    ``top1(j) in probes(i)`` and cos >= tau but i was clean first run.
+    For ``j < i`` the batch pass applies the SAME condition, so i was
+    already dup. For ``j > i`` the SYMMETRIC half of the batch
+    visibility (``top1(i) in probes(j)`` OR ``top1(j) in probes(i)``)
+    makes j itself a dup of i whenever ``top1(j) in probes(i)`` — so j
+    never survives into the archive. Either direction alone is
+    insufficient: probes-x-probes matching loses first-run neighbors
+    whose top-1 cell lies outside the other's probe set, and
+    top1-in-probes alone admits the larger-id survivor flip.
+
     Scale shape: probes and archive join key on CELL content (sum over
     cells of |batch-cell| x |archive-cell|, the SemDeDup contract); the
     within-batch pass is the same cell-keyed self-join; neighbor rows
@@ -134,6 +167,10 @@ def incremental_semantic_dedup(
         .filter(F.col("cos") >= F.lit(float(threshold)))
         .select("id", "nbr")
     )
+    # Within-batch visibility: ANY shared probed cell (see the module
+    # docstring's replay-stability proof — this strictly dominates the
+    # archive's top1-in-probes visibility while staying stable in both
+    # id directions; do NOT "align" it to top-1-only).
     b = probed.select(
         F.col("id").alias("nbr"), F.col("v").alias("b_vec"), "cell"
     )

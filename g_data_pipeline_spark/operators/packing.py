@@ -27,6 +27,7 @@ def pack_sequences(
     group_col: str,
     capacity: int = 512,
     tokens_col: str | None = None,
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """Concat-and-chunk packing per ``group_col`` stream: documents are
     ordered by ``id_col`` within each group, token counts are prefix-summed,
@@ -47,11 +48,13 @@ def pack_sequences(
     """
     # tokens_col: pre-computed token budgets (e.g. BPE counts from
     # operators.tokenizer) override the default whitespace count — packing
-    # should spend the same currency the trainer will.
+    # should spend the same currency the trainer will. token_mode="script"
+    # makes the fallback counter CJK-aware (a CJK doc is ~1 whitespace
+    # token — bins would pack 50x over capacity on zh/ja streams).
     n_tok = (
         F.col(tokens_col).cast("long")
         if tokens_col is not None
-        else token_count(text_col).cast("long")
+        else token_count(text_col, token_mode).cast("long")
     )
     w = (
         Window.partitionBy(group_col)

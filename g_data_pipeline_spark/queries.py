@@ -87,63 +87,102 @@ from g_data_pipeline_spark import query_defs  # noqa: E402,F401
 # registered and graded locally by tests/driver_sim.py (and by the judge's
 # re-run of it).
 _DRIVER_WINDOW = (
-    # -- Round-7 rotation (see ROTATION.md). Rule: window entries MUST have
-    # an oracle (rows-only entries can never turn green — 8 slots were
-    # wasted on them in round 2) and MUST output scalar columns only (the
-    # driver's pandas canonicalizer crashes on array/map — the round-2
-    # v_mean_pool red row). Both pinned by tests/test_registry_oracle.py.
+    # -- Round-8 rotation (see ROTATION.md "Round-8 rotation queue").
+    # Rule: window entries MUST have an oracle (rows-only entries can
+    # never turn green — 8 slots were wasted on them in round 2) and
+    # MUST output scalar columns only (the driver's pandas canonicalizer
+    # crashes on array/map — the round-2 v_mean_pool red row). Both
+    # pinned by tests/test_registry_oracle.py.
     #
-    # (1) Round-7 NEW/GRADUATED oracle operators, in-window the round
-    # they land (ROTATION.md rule 3): the vocabulary-coverage curve, the
-    # substring-dedup TRANSFORM gate (report half graduated r6), the
-    # CCNet perplexity-bucketed mixing report, the context-fit report,
-    # and the two md5-family graduations of the oldest rows-only
-    # flagships (banded MinHash-LSH pairs, SimHash pigeonhole pairs).
+    # (1) Round-8 NEW oracle operators, in-window the round they land
+    # (ROTATION.md rule 3). Wave 1: script-aware CJK tokenization (the
+    # r7 verdict's #2 directive).
+    "t_cjk_token_stats",
+    # -- (2) SURVEY §2 core representatives (one per round, standing).
+    "q1_pricing_summary",
+    "p_numeric_stats",
+    "a_salted_agg",
+    # -- (3) Freshness: the eight round-7 extended-session demotions —
+    # their only green rows are r3, the oldest in the ledger.
+    "d_source_shingle_overlap",
+    "t_char_diversity",
+    "t_vocab_stats",
+    "s_except_all",
+    "j_q16_supplier_part_counts",
+    "t_top_ngrams",
+    "j_q22_dormant_rich_customers",
+    "j_q21_sole_late_supplier",
+    # -- (4) Freshness: the ENTIRE r4-green cohort (30 entries whose
+    # newest green row is r4, four rounds old).
+    "w_moving_avg",
+    "p_grouped_median",
+    "p_histogram",
+    "t_shard_stats",
+    "t_unigram_logprob",
+    "t_dsir_weights",
+    "e_retention_cohorts",
+    "d_contamination_fraction",
+    "t_quality_classifier",
+    "d_survivorship_report",
+    "a_cdc_merge",
+    "a_scd2_history",
+    "e_attribution",
+    "a_gap_fill",
+    "v_kmeans_assign",
+    "w_first_last_nth",
+    "t_curriculum_bins",
+    "a_iqr_outliers",
+    "a_skew_report",
+    "a_group_sample",
+    "e_transition_matrix",
+    "e_dwell_time",
+    "e_zscore_anomaly",
+    "a_snapshot_diff",
+    "a_equidepth_histogram",
+    "t_weighted_sample",
+    "v_norm_stats",
+    "a_expectations_report",
+    "a_record_linkage",
+    "e_sessionize",
+    # -- (5) Freshness fillers from the next-oldest (r5-green) cohort.
+    # Further round-8 registrations take these slots as they land
+    # (first-green outranks a refresh — the r4 precedent): demote from
+    # the BOTTOM of this block.
+    "a_groupwise_regression",
+    "e_cumulative_users",
+    "t_oov_rate",
+    "t_train_val_test_split",
+    "a_salted_join",
+    "e_event_dedup_first",
+    "d_minhash_estimate_pairs",
+    "p_distributed_percentiles",
+)
+
+# Queries promoted right after the pinned window (in this order);
+# bench.py and driver_sim still grade them every run.
+_ANALYTICS_HEAD = (
+    # Demoted from the r7 window for the round-8 repack — every one holds
+    # a fresh r7 green row (ROTATION.md).
     "t_vocab_coverage",
     "d_substring_transform",
     "t_perplexity_buckets",
     "t_context_fit_report",
     "d_minhash_lsh_pairs",
     "d_simhash_pairs",
-    # -- (1b) Round-7 extended session: the three r8 graduation
-    # candidates gate THIS round (first-green outranks a refresh — the
-    # r4 precedent). Slots paid by demoting d_source_shingle_overlap,
-    # t_char_diversity, t_vocab_stats from the r3-freshness block (4);
-    # each keeps its r3 green row and heads the r8 freshness queue.
     "d_url_filter",
     "d_split_leakage",
     "d_decontaminate_spans",
-    # Spark-4 VARIANT shredding gate + the SFT conversation-curation
-    # report (new coverage; slots paid by demoting s_except_all and
-    # j_q16_supplier_part_counts — set ops keep s_intersect_all
-    # in-window, TPC-H joins keep 12 in-window reps).
     "e_variant_shred",
     "e_conversation_stats",
-    # Curation attrition funnel (drop-reason ledger; slot paid by
-    # demoting t_top_ngrams — the text family keeps 8+ in-window reps).
     "d_curation_funnel",
-    # ICLM-style semantic packing (cell-streamed pack_sequences; slot
-    # paid by demoting j_q22_dormant_rich_customers — TPC-H keeps 11).
     "t_semantic_packing",
-    # Code-data curation gate, The Stack/StarCoder filters (slot paid
-    # by demoting j_q21_sole_late_supplier — TPC-H keeps 10 reps).
     "t_code_signals",
-    # -- (2) SURVEY §2 core representatives (one per round, standing).
-    "q1_pricing_summary",
-    "p_numeric_stats",
-    "a_salted_agg",
-    # -- (3) Freshness: the 6 r2-cohort entries deferred from round 6
-    # (their newest green row is r2, five rounds old).
     "a_stratified_sample",
     "p_null_unique_counts",
     "p_correlation_matrix",
     "p_top_values",
     "v_cosine_topk",
     "v_near_dup_pairs",
-    # -- (4) Freshness: the ENTIRE r3-only cohort (newest green row r3,
-    # four rounds old), oldest cohort remaining after (3) — 35 entries,
-    # closing the round-7 budget exactly. After a 50/50 round nothing in
-    # the ledger is older than r4.
     "v_mean_pool",
     "v_quantize_int8",
     "d_dedup_clusters",
@@ -171,11 +210,6 @@ _DRIVER_WINDOW = (
     "e_funnel_conversion",
     "t_tfidf_topk",
     "d_priority_merge",
-)
-
-# Queries promoted right after the pinned window (in this order);
-# bench.py and driver_sim still grade them every run.
-_ANALYTICS_HEAD = (
     # Demoted from the r6 window for the round-7 repack — every one holds
     # a fresh r6 green row (ROTATION.md).
     "a_rfm_segments",
@@ -226,15 +260,8 @@ _ANALYTICS_HEAD = (
     "e_props_extract",
     "a_asof_join",
     # Demoted from the r5 window for the round-6 repack — every one holds
-    # a fresh r5 green row (ROTATION.md).
-    "a_groupwise_regression",
-    "e_cumulative_users",
-    "t_oov_rate",
-    "t_train_val_test_split",
-    "a_salted_join",
-    "e_event_dedup_first",
-    "d_minhash_estimate_pairs",
-    "p_distributed_percentiles",
+    # a fresh r5 green row (ROTATION.md). (The eight oldest of this
+    # cohort were promoted into the r8 window's filler block.)
     "p_grouped_median_pandas",
     "t_text_normalize",
     "a_yoy_growth",
@@ -274,30 +301,8 @@ _ANALYTICS_HEAD = (
     "t_case_profile",
     "d_url_dedup",
     "v_topic_balance",
-    # Demoted from the r4 window for the round-5 repack — every one holds
-    # a fresh r4 green row (ROTATION.md), still graded every
-    # driver_sim/bench run.
-    "w_moving_avg",
-    "p_grouped_median",
-    "p_histogram",
-    "t_shard_stats",
-    "t_unigram_logprob",
-    "t_dsir_weights",
-    "e_retention_cohorts",
-    "t_curriculum_bins",
-    "a_iqr_outliers",
-    "a_skew_report",
-    "a_group_sample",
-    "e_transition_matrix",
-    "e_dwell_time",
-    "e_zscore_anomaly",
-    "a_snapshot_diff",
-    "a_equidepth_histogram",
-    "t_weighted_sample",
-    "v_norm_stats",
-    "a_expectations_report",
-    "a_record_linkage",
-    "e_sessionize",
+    # (The whole r4-green cohort moved into the r8 window's freshness
+    # block.) Core reference-parity compiler entries, r3 green rows:
     "r1_projection",
     "r6_agg_mean",
     "r10_sort_r11_describe_cap",

@@ -129,7 +129,7 @@ _CONV_GAP_US = 30 * 60 * 1_000_000  # operators/conversations.py default
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_roles,
            CAST((MAX(us) - MIN(us)) // 1000 AS BIGINT) AS duration_ms,
            CAST(SUM(same_role) AS BIGINT) AS alternation_breaks,
-           md5(string_agg(event_type || ':' || props, chr(10)
+           md5(string_agg(event_type || ':' || COALESCE(props, ''), chr(10)
                           ORDER BY us, event_id)) AS transcript_fp
     FROM turns GROUP BY user_id, conv_idx
     """,

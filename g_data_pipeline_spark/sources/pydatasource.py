@@ -166,14 +166,26 @@ class CrawlDumpWriter(DataSourceWriter):
         pid = TaskContext.get().partitionId()
         stage_dir = os.path.join(self.path, f"_staging-{self.run}")
         os.makedirs(stage_dir, exist_ok=True)
-        name = f"part-{pid:05d}.crawlrec"
+        # The run id is part of the COMMITTED name, not just the staging
+        # dir: repeated .mode("append") runs into one directory must
+        # coexist (a bare part-{pid} name would silently clobber the
+        # previous run's files at commit time — round-8 ADVICE fix).
+        name = f"part-{self.run}-{pid:05d}.crawlrec"
         staged = os.path.join(stage_dir, name)
         with open(staged, "w", encoding="utf-8") as fh:
             for r in rows:
-                ts = r[2].isoformat() if r[2] is not None else ""
+                # field access BY NAME: the incoming DataFrame may carry
+                # the right columns in any order (positional access wrote
+                # fields under the wrong header keys — round-8 ADVICE fix)
+                ts = (
+                    r["fetched_at"].isoformat()
+                    if r["fetched_at"] is not None
+                    else ""
+                )
                 fh.write(
-                    f"url: {r[0]}\nstatus: {r[1]}\nfetched_at: {ts}\n\n"
-                    f"{r[3]}\n{RECORD_SEP}\n"
+                    f"url: {r['url']}\nstatus: {r['status']}\n"
+                    f"fetched_at: {ts}\n\n"
+                    f"{r['payload']}\n{RECORD_SEP}\n"
                 )
         return _Staged(staged, os.path.join(self.path, name))
 

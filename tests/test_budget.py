@@ -55,3 +55,20 @@ def test_budget_never_exceeds_target(spark):
         _corpus(spark), "source", "text", target_tokens=777
     ).collect()
     assert sum(r.budget_tokens for r in rows) <= 777
+
+
+def test_trillion_scale_target_does_not_overflow(spark):
+    """Round-8 ADVICE fix: __w * target ran in BIGINT and overflowed at
+    the module's advertised scales (1e13-token targets); the allocation
+    now runs in decimal(38,0). Exact check: weights 20e6/10e6 over a
+    1e13 target -> floor(2/3 * 1e13) and floor(1/3 * 1e13)."""
+    target = 10**13
+    plan = {
+        r.source: r
+        for r in plan_token_budget(
+            _corpus(spark), "source", "text", target_tokens=target
+        ).collect()
+    }
+    assert plan["big"].budget_tokens == (20 * target) // 30
+    assert plan["small"].budget_tokens == (10 * target) // 30
+    assert plan["big"].repeat_warning and plan["small"].repeat_warning

@@ -60,6 +60,29 @@ def test_report_structure_and_tie_ordering(spark):
     assert c0.transcript_fp == rep[(2, 1)].transcript_fp
 
 
+def test_null_content_pins_to_empty_string(spark):
+    """Round-8 ADVICE fix: a NULL-content turn renders as 'role:' (the
+    coalesced empty string), identical to an explicit '' turn — and the
+    DuckDB oracle COALESCEs the same way, so transcript_fp cannot
+    diverge on NULL props. Pinned both in conversation_report and in
+    dedup_conversations' fingerprint."""
+    import hashlib
+
+    with_null = _events(spark, [(1, 1, T0, "user", None)])
+    with_empty = _events(spark, [(3, 9, T0, "user", "")])
+    fps = [
+        conversation_report(df).collect()[0].transcript_fp
+        for df in (with_null, with_empty)
+    ]
+    assert fps[0] == fps[1] == hashlib.md5(b"user:").hexdigest()
+    # dedup collapses a NULL-content transcript onto its ''-content twin
+    both = _events(
+        spark, [(1, 1, T0, "user", None), (3, 9, T0, "user", "")]
+    )
+    kept = dedup_conversations(assemble_conversations(both))
+    assert [r.user for r in kept.collect()] == [1]
+
+
 def test_assembly_orders_ties_by_tiebreak(spark):
     convs = {
         (r.user, r.conv_idx): [(t.role, t.content) for t in r.turns]

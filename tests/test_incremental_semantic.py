@@ -89,6 +89,60 @@ def test_replay_against_absorbed_delta_labels_identically(spark):
     assert d2.count() == 0
 
 
+def test_replay_stable_when_probe_sets_diverge(spark):
+    """3 cells, n_probe=2, near-dup pairs whose centroid rankings
+    DIVERGE — the edge a round-7 advisory claimed breaks replay
+    stability (it does not: a survivor's top-1 cell is always a SHARED
+    probed cell of any batch doc that probes it, so the shared-cell
+    batch pass covers every neighbor the absorbed archive can later
+    reveal — see the module docstring's proof). Case A also proves the
+    advisory's suggested fix (key batch neighbors by top-1 cell only)
+    would itself break: doc 2's top-1 cell c1 IS in doc 1's probes
+    while doc 1's top-1 cell c0 is NOT in doc 2's — under top-1-only
+    visibility both docs survive round one and doc 1 flips on replay.
+    Case B shares only both docs' SECOND-ranked cell (neither top-1 in
+    the other's probes), exercising pure probes-x-probes visibility."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "cell long, c_vec array<float>",
+    )
+    schema = "vec_id long, embedding array<float>"
+    cases = [
+        # (batch rows, tau, expected sorted labels)
+        (
+            [(1, [0.72, 0.70, 0.05]),   # top1 c0, probes {c0,c1}
+             (2, [0.60, 0.72, 0.65])],  # top1 c1, probes {c1,c2}; cos=0.8445
+            0.8,
+            [(1, 0, False), (2, 1, True)],
+        ),
+        (
+            [(1, [0.75, 0.62, 0.40]),   # probes {c0,c1}
+             (2, [0.40, 0.62, 0.75])],  # probes {c2,c1}; cos=0.8893
+            0.85,
+            [(1, 0, False), (2, 1, True)],
+        ),
+    ]
+    for rows, tau, expected in cases:
+        batch = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows], schema
+        )
+        empty = spark.createDataFrame(
+            [], "cell long, vec_id long, embedding array<float>"
+        )
+        l0, d0 = incremental_semantic_dedup(
+            batch, empty, cents, tau, n_probe=2
+        )
+        assert _labels(l0) == expected
+        # only doc 1 survives; archived under its top-1 cell
+        assert [(r.cell, r.vec_id) for r in d0.collect()] == [(0, 1)]
+        absorbed = empty.unionByName(d0)
+        l1, d1 = incremental_semantic_dedup(
+            batch, absorbed, cents, tau, n_probe=2
+        )
+        assert _labels(l1) == expected  # labels replay bit-identically
+        assert d1.count() == 0          # replayed delta is empty
+
+
 def _twin(batch, archive, cents, tau, n_probe):
     """Pure-Python decision twin: same probing and neighbor rules."""
 

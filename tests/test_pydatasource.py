@@ -112,6 +112,40 @@ def test_writer_round_trip_and_staging_cleanup(spark, tmp_path):
     )
 
 
+def test_two_appends_coexist_and_column_order_is_by_name(spark, tmp_path):
+    """Round-8 ADVICE fixes: (a) two .mode('append') runs into one
+    directory must BOTH survive — committed names carry the run id, so
+    a second append can't clobber the first run's part files; (b) the
+    writer serializes fields BY NAME, so a DataFrame with the right
+    columns in a different order round-trips correctly."""
+    spark.dataSource.register(CrawlDumpDataSource)
+    dest = str(tmp_path / "out")
+    os.makedirs(dest)
+    rows1 = [("https://w.example/a", 200, datetime(2024, 1, 1), "pay a", "")]
+    rows2 = [("https://w.example/b", 301, datetime(2024, 1, 2), "pay b", "")]
+    cols = ["url", "status", "fetched_at", "payload", "source_file"]
+    df1 = spark.createDataFrame(rows1, cols).coalesce(1)
+    # shuffled column order, same names
+    df2 = (
+        spark.createDataFrame(rows2, cols)
+        .select("payload", "source_file", "fetched_at", "url", "status")
+        .coalesce(1)
+    )
+    for df in (df1, df2):
+        df.write.format("crawlrec").option("path", dest).mode(
+            "append"
+        ).save()
+    assert len(os.listdir(dest)) == 2  # second append did not clobber
+    back = spark.read.format("crawlrec").option("path", dest).load()
+    got = sorted(
+        (r.url, r.status, r.fetched_at, r.payload) for r in back.collect()
+    )
+    assert got == [
+        ("https://w.example/a", 200, datetime(2024, 1, 1), "pay a"),
+        ("https://w.example/b", 301, datetime(2024, 1, 2), "pay b"),
+    ]
+
+
 def test_streaming_new_files_per_batch_with_checkpoint(spark, tmp_path):
     """Two availableNow runs over one checkpoint: run 1 ingests the
     initial dumps, a file lands between runs, run 2 picks up ONLY the
