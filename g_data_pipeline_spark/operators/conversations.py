@@ -138,22 +138,57 @@ def assemble_conversations(
     role_col: str = "event_type",
     content_col: str = "props",
     gap_us: int = _GAP_US_DEFAULT,
+    max_turns: int | None = None,
 ) -> DataFrame:
     """Materialize whole conversations: ``(user, conv_idx,
     turns array<struct<role, content>>)`` with turns in (ts, tiebreak)
     order — the input shape for :func:`render_chat_template` /
     :func:`truncate_to_context`. One user-keyed shuffle; per-row state
-    bounded by conversation length."""
+    bounded by conversation length.
+
+    ``max_turns`` (round-8, verdict #8): gap-sessionization bounds
+    conversations on real SFT feeds, but a pathological single-user raw
+    event stream (a bot, a log mirror) can concentrate one giant array
+    in one task. With ``max_turns`` set, only the FIRST ``max_turns``
+    turns (by the same (ts, tiebreak) order) are materialized and two
+    audit columns are added — ``n_turns_total`` (the uncapped count)
+    and ``overflowed`` — so callers can route oversized conversations
+    to review instead of silently training on a prefix. The cap filter
+    runs on the same user-partitioned window (no extra shuffle) and
+    bounds collect_list state at ``max_turns`` structs."""
     turns = conversation_turns(
         events, user_col, ts_col, tiebreak_col, role_col, content_col, gap_us
     )
+    if max_turns is None:
+        ordered = F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("us", "tiebreak", "role", "content"))
+            ),
+            lambda x: F.struct(
+                x["role"].alias("role"), x["content"].alias("content")
+            ),
+        )
+        return turns.groupBy("user", "conv_idx").agg(ordered.alias("turns"))
+    w = Window.partitionBy("user", "conv_idx").orderBy("us", "tiebreak")
+    capped = turns.withColumn("__tn", F.row_number().over(w))
     ordered = F.transform(
         F.array_sort(
-            F.collect_list(F.struct("us", "tiebreak", "role", "content"))
+            F.collect_list(
+                F.when(
+                    F.col("__tn") <= int(max_turns),
+                    F.struct("us", "tiebreak", "role", "content"),
+                )
+            )
         ),
-        lambda x: F.struct(x["role"].alias("role"), x["content"].alias("content")),
+        lambda x: F.struct(
+            x["role"].alias("role"), x["content"].alias("content")
+        ),
     )
-    return turns.groupBy("user", "conv_idx").agg(ordered.alias("turns"))
+    return capped.groupBy("user", "conv_idx").agg(
+        ordered.alias("turns"),
+        F.max("__tn").cast("long").alias("n_turns_total"),
+        (F.max("__tn") > int(max_turns)).alias("overflowed"),
+    )
 
 
 def render_chat_template(

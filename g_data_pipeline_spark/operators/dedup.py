@@ -375,7 +375,8 @@ def incremental_minhash_dedup(
     text_col: str,
     n: int = 3,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
+    threshold: float = 0.8,
     hash_family: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """NEAR-dup dedup of a new crawl dump against a growing MinHash-LSH
@@ -411,7 +412,24 @@ def incremental_minhash_dedup(
     Scale: every wide operation keys on (band, bucket) content or batch
     doc id; the archive is never rescanned — with a (band,
     bucket)-bucketed directory table only the batch side shuffles.
+
+    Banding (round-8, verdict #7): when ``bands`` is None the split is
+    DERIVED from the target Jaccard ``threshold`` via the LSH banding
+    planner (operators/banding.recommend_banding — sharpest
+    factorization of ``num_hashes`` whose S-curve recall at the
+    threshold still clears the planner's floor). The defaults
+    (num_hashes=32, threshold=0.8) reproduce the historical hard-coded
+    8 bands x 4 rows exactly (test-pinned); pass ``bands`` explicitly
+    to override the planner. NOTE an incremental directory bakes its
+    banding in: changing (bands, rows) mid-stream orphans existing
+    buckets — pick per archive, once.
     """
+    if bands is None:
+        from g_data_pipeline_spark.operators.banding import (
+            recommend_banding,
+        )
+
+        bands = recommend_banding(num_hashes, threshold).bands
     sets = shingle_sets(batch, id_col, text_col, n).filter(
         F.col("set_size") > 0
     )

@@ -151,6 +151,81 @@ def margin_report(
     )
 
 
+def preference_audit(
+    pairs: DataFrame,
+    eval_prompts: DataFrame,
+    group_cols: list[str] | None = None,
+    id_col: str = "pair_id",
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    chosen_score: str | None = None,
+    rejected_score: str | None = None,
+) -> DataFrame:
+    """The composed per-group DPO-data gate report (round-8 oracle
+    graduation of this module — verdict #6): runs the pair dedup /
+    conflict scan and eval-prompt contamination, then rolls everything
+    into one scalar row per group:
+
+    ``(group..., n_pairs, n_dups, n_conflicts, n_contaminated,
+    chosen_longer_micro, mean_abs_token_delta_micro[,
+    negative_margin_micro, zero_margin_micro])``
+
+    Gate-safe arithmetic: every micro is a floor-division of NONNEGATIVE
+    integers (counts, absolute deltas), so Spark's subtract-pmod floor
+    equals DuckDB's truncating ``//`` (mean_token_delta / mean_margin
+    can be negative and stay in their pytest-pinned single reports).
+    Shape: the two fingerprint windows + one broadcast contamination
+    join + one rollup aggregate — content-keyed only."""
+    flagged = dedup_preference_pairs(
+        pairs, id_col, prompt_col, chosen_col, rejected_col
+    )
+    flagged = prompt_contamination(flagged, eval_prompts, prompt_col)
+    lc = token_count(chosen_col).cast("long")
+    lr = token_count(rejected_col).cast("long")
+    cols = [
+        F.col("is_dup").cast("int").alias("__dup"),
+        F.col("is_conflict").cast("int").alias("__conf"),
+        F.col("is_contaminated").cast("int").alias("__cont"),
+        (lc > lr).cast("int").alias("__longer"),
+        F.abs(lc - lr).alias("__absd"),
+    ]
+    with_margin = chosen_score is not None and rejected_score is not None
+    if with_margin:
+        m = F.round(F.col(chosen_score) * F.lit(1e6)).cast("long") - F.round(
+            F.col(rejected_score) * F.lit(1e6)
+        ).cast("long")
+        cols += [
+            (m < 0).cast("int").alias("__neg"),
+            (m == 0).cast("int").alias("__zero"),
+        ]
+    base = flagged.select(*(group_cols or []), *cols)
+    n = F.count(F.lit(1))
+
+    def micro(cnt_col: str) -> F.Column:
+        s = F.sum(cnt_col) * F.lit(1_000_000)
+        return ((s - F.pmod(s, n)) / n).cast("long")
+
+    aggs = [
+        n.cast("long").alias("n_pairs"),
+        F.sum("__dup").cast("long").alias("n_dups"),
+        F.sum("__conf").cast("long").alias("n_conflicts"),
+        F.sum("__cont").cast("long").alias("n_contaminated"),
+        micro("__longer").alias("chosen_longer_micro"),
+        micro("__absd").alias("mean_abs_token_delta_micro"),
+    ]
+    if with_margin:
+        aggs += [
+            micro("__neg").alias("negative_margin_micro"),
+            micro("__zero").alias("zero_margin_micro"),
+        ]
+    return (
+        base.groupBy(*group_cols).agg(*aggs)
+        if group_cols
+        else base.agg(*aggs)
+    )
+
+
 def prompt_contamination(
     pairs: DataFrame,
     eval_prompts: DataFrame,

@@ -41,9 +41,11 @@ def _floordiv(a: Column, b: Column) -> Column:
 
 
 def _gain(rel: Column) -> Column:
-    # graded gain 2^rel - 1 (0 -> 0, 1 -> 1, 2 -> 3, 3 -> 7): exact
-    # integer shift, no doubles
-    return F.shiftleft(F.lit(1), rel.cast("int")) - F.lit(1)
+    # graded gain 2^rel - 1 (0 -> 0, 1 -> 1, 2 -> 3, 3 -> 7). pow is
+    # double-typed but exact for any realistic grade (integral powers of
+    # two are exact doubles up to 2^52); the cast back to long is then
+    # exact, matching the SQL twin's (1 << rel) - 1.
+    return (F.pow(F.lit(2.0), rel.cast("int")).cast("long")) - F.lit(1)
 
 
 def retrieval_eval(

@@ -96,8 +96,15 @@ _DRIVER_WINDOW = (
     #
     # (1) Round-8 NEW oracle operators, in-window the round they land
     # (ROTATION.md rule 3). Wave 1: script-aware CJK tokenization (the
-    # r7 verdict's #2 directive).
+    # r7 verdict's #2 directive). Wave 2: ranked-retrieval quality
+    # eval (verdict #5; slot paid by demoting the
+    # p_distributed_percentiles filler — it keeps its r5 green row).
+    # Wave 3: the composed preference-pair audit graduates oracle-gated
+    # (verdict #6; slot paid by demoting the d_minhash_estimate_pairs
+    # filler — r5 green row).
     "t_cjk_token_stats",
+    "v_retrieval_eval",
+    "e_preference_audit",
     # -- (2) SURVEY §2 core representatives (one per round, standing).
     "q1_pricing_summary",
     "p_numeric_stats",
@@ -154,8 +161,6 @@ _DRIVER_WINDOW = (
     "t_train_val_test_split",
     "a_salted_join",
     "e_event_dedup_first",
-    "d_minhash_estimate_pairs",
-    "p_distributed_percentiles",
 )
 
 # Queries promoted right after the pinned window (in this order);
@@ -261,7 +266,11 @@ _ANALYTICS_HEAD = (
     "a_asof_join",
     # Demoted from the r5 window for the round-6 repack — every one holds
     # a fresh r5 green row (ROTATION.md). (The eight oldest of this
-    # cohort were promoted into the r8 window's filler block.)
+    # cohort were promoted into the r8 window's filler block;
+    # p_distributed_percentiles / d_minhash_estimate_pairs returned here
+    # when waves 2-3 took their slots.)
+    "d_minhash_estimate_pairs",
+    "p_distributed_percentiles",
     "p_grouped_median_pandas",
     "t_text_normalize",
     "a_yoy_growth",

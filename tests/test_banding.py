@@ -69,3 +69,51 @@ def test_invalid_inputs_raise():
     with pytest.raises(ValueError):
         banding_plan(0, 0.5)
     assert not math.isnan(curve_midpoint(1, 1))
+
+
+def test_recommendation_drives_incremental_minhash_default():
+    """Round-8 (verdict #7): incremental_minhash_dedup's banding is now
+    planner-derived when bands=None. The defaults (32 hashes, threshold
+    0.8) must reproduce the historical hard-coded 8 bands x 4 rows; the
+    choice shifts with the threshold exactly as the S-curve dictates."""
+    from g_data_pipeline_spark.operators.banding import recommend_banding
+
+    c = recommend_banding(32, 0.8)
+    assert (c.bands, c.rows) == (8, 4)
+    # looser threshold -> wider bands for recall: 0.5 -> 16 x 2
+    assert (recommend_banding(32, 0.5).bands,
+            recommend_banding(32, 0.5).rows) == (16, 2)
+    # 0.9: the sharper 4 x 8 split misses the 0.9 recall floor by a hair
+    # (0.8948) so the planner holds 8 x 4; relaxing the floor flips it
+    assert (recommend_banding(32, 0.9).bands,
+            recommend_banding(32, 0.9).rows) == (8, 4)
+    relaxed = recommend_banding(32, 0.9, min_recall=0.85)
+    assert (relaxed.bands, relaxed.rows) == (4, 8)
+
+
+def test_incremental_minhash_planner_path_matches_explicit(spark):
+    """bands=None (planner) labels bit-identically to the explicit
+    historical bands=8 at the default threshold."""
+    from g_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    words = [f"w{i}" for i in range(30)]
+    doc = " ".join(words)
+    near = " ".join(words[:-1] + ["zz"])
+    batch = spark.createDataFrame(
+        [(1, doc), (2, near), (3, "completely different text entirely here")],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame(
+        [], "band int, bucket long, owner_id long"
+    )
+    auto_l, auto_d = incremental_minhash_dedup(
+        batch, empty, "doc_id", "text"
+    )
+    exp_l, exp_d = incremental_minhash_dedup(
+        batch, empty, "doc_id", "text", bands=8
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(auto_l) == key(exp_l)
+    assert key(auto_d) == key(exp_d)

@@ -95,6 +95,28 @@ def test_assembly_orders_ties_by_tiebreak(spark):
     ]
 
 
+def test_max_turns_guard_caps_and_flags(spark):
+    """Round-8 verdict #8: max_turns keeps the FIRST n turns (ts,
+    tiebreak order), reports the uncapped total, and flags overflow;
+    conversations within the cap are untouched and unflagged."""
+    rows = [(1, i, T0 + timedelta(seconds=i), "user", f"m{i}") for i in range(5)]
+    rows += [(2, 10, T0, "user", "short"), (2, 11, T0 + timedelta(seconds=1), "assistant", "ok")]
+    got = {
+        r.user: r
+        for r in assemble_conversations(
+            _events(spark, rows), max_turns=3
+        ).collect()
+    }
+    big, small = got[1], got[2]
+    assert [t.content for t in big.turns] == ["m0", "m1", "m2"]
+    assert (big.n_turns_total, big.overflowed) == (5, True)
+    assert [t.content for t in small.turns] == ["short", "ok"]
+    assert (small.n_turns_total, small.overflowed) == (2, False)
+    # uncapped call keeps the historical schema (no audit columns)
+    plain = assemble_conversations(_events(spark, rows))
+    assert plain.columns == ["user", "conv_idx", "turns"]
+
+
 def test_render_chat_template_exact(spark):
     out = render_chat_template(
         assemble_conversations(_fixture(spark))

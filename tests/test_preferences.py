@@ -84,3 +84,51 @@ def test_zero_python_nodes(spark):
     assert not rep["row_python_nodes"] and not rep["arrow_python_nodes"]
     # two content-keyed window exchanges, no joins
     assert rep["shuffles"] <= 2
+
+
+def test_preference_audit_composed_rollup(spark):
+    """Round-8 oracle-graduation twin (e_preference_audit): the composed
+    per-group rollup, exact-micro pinned on the fixture. Pairs carry
+    scores so the margin fractions appear; pair 3 conflicts with 1/2,
+    pair 2 is a dup; prompt 'Name a color.' is an eval prompt."""
+    from g_data_pipeline_spark.operators.preferences import preference_audit
+
+    rows = [p + (0.9, 0.2, "s1") for p in PAIRS[:3]]
+    rows += [
+        PAIRS[3] + (0.4, 0.4, "s2"),  # zero margin
+        PAIRS[4] + (0.1, 0.7, "s2"),  # negative margin
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        "pair_id long, prompt string, chosen string, rejected string, "
+        "cscore double, rscore double, source string",
+    )
+    bench = spark.createDataFrame([("name a COLOR",)], "prompt string")
+    got = {
+        r.source: r
+        for r in preference_audit(
+            pairs,
+            bench,
+            group_cols=["source"],
+            chosen_score="cscore",
+            rejected_score="rscore",
+        ).collect()
+    }
+    s1, s2 = got["s1"], got["s2"]
+    assert (s1.n_pairs, s1.n_dups, s1.n_conflicts, s1.n_contaminated) == (
+        3, 1, 3, 0,
+    )
+    assert (s2.n_pairs, s2.n_dups, s2.n_conflicts, s2.n_contaminated) == (
+        2, 0, 0, 2,
+    )
+    # s1: all three pairs are one-token vs one-token -> no length bias
+    assert s1.chosen_longer_micro == 0
+    assert s1.mean_abs_token_delta_micro == 0
+    # s2: pair 4 chosen longer by 3 (4 vs 1), pair 5 shorter by 4 (1 vs 5)
+    assert s2.chosen_longer_micro == 500_000
+    assert s2.mean_abs_token_delta_micro == 3_500_000
+    # margins: s1 all +0.7; s2 one zero, one negative
+    assert (s1.negative_margin_micro, s1.zero_margin_micro) == (0, 0)
+    assert (s2.negative_margin_micro, s2.zero_margin_micro) == (
+        500_000, 500_000,
+    )
