@@ -308,7 +308,13 @@ def crawl_curation_tick(
     }
     maintenance = {}
     if retain_versions is not None:
-        for t in (fp_table, sub_table, band_table):
+        # clean_docs included since round 8: compaction commits carry
+        # rewrite_of, so consume_incremental readers skip the pure
+        # rewrite instead of breaking (txn.read_incremental; verdict
+        # #3). Consumers must still keep up within retain_versions —
+        # vacuuming a checkpointed manifest forces a snapshot rebuild
+        # (the standard retention contract, unchanged).
+        for t in (fp_table, sub_table, band_table, out_table):
             maintenance[t.rsplit("/", 1)[-1]] = txn.maintain_table(
                 spark, t, retain_versions=retain_versions,
                 max_files=max_files,

@@ -82,6 +82,69 @@ def _write_text_atomic(
     return True
 
 
+# --- atomic-publish backends (round 8, verdict #4) ---------------------------
+#
+# The ONE primitive the whole protocol leans on is "make this manifest
+# visible at <version>.json iff nothing is there yet". Factored behind a
+# two-method-free seam so the S3 story is an implementation swap, not a
+# protocol change:
+#
+# - RenameCommitBackend (default): stage + rename. Atomic on HDFS and
+#   POSIX; on plain S3 rename is copy+delete and the existence check
+#   races (the documented caveat above).
+# - ConditionalPutCommitBackend: ONE conditional PUT with
+#   put-if-absent semantics (S3 `If-None-Match: *` — GA since Nov 2024,
+#   GCS `x-goog-if-generation-match: 0`, ABS `If-None-Match: *`). No
+#   temp object, no rename, no lock service. ``put_if_absent`` is the
+#   injectable store call; the bundled default uses the Hadoop FS
+#   ``create(path, overwrite=False)`` call, which maps to the real
+#   conditional PUT on s3a when ``fs.s3a.create.conditional.enabled``
+#   is on (Hadoop 3.4.1+) and to O_EXCL-style creation on HDFS/POSIX.
+#
+# Contract (both backends): at most ONE publisher of a given final path
+# returns True; losers return False and the commit loop retries at the
+# next version. tests/test_txn_backends.py races two committers through
+# an interleaving-injecting fake to pin serialization, and the live-S3
+# check is env-gated like tests/test_storage_contract.py.
+
+
+class RenameCommitBackend:
+    """Stage-then-rename publisher (the historical primitive)."""
+
+    def publish(
+        self, spark: SparkSession, tmp_path: str, final_path: str, text: str
+    ) -> bool:
+        return _write_text_atomic(spark, tmp_path, final_path, text)
+
+
+class ConditionalPutCommitBackend:
+    """Put-if-absent publisher. ``put_if_absent(final_path, data) ->
+    bool`` injects the store call (live S3 client, or a race-injecting
+    fake in tests); default = Hadoop ``create(overwrite=False)``."""
+
+    def __init__(self, put_if_absent=None):
+        self._put = put_if_absent
+
+    def publish(
+        self, spark: SparkSession, tmp_path: str, final_path: str, text: str
+    ) -> bool:
+        if self._put is not None:
+            return bool(self._put(final_path, text.encode("utf-8")))
+        jvm, final, fs = _jfs(spark, final_path)
+        try:
+            out = fs.create(final, False)
+        except Exception:
+            return False  # already exists: lost the conditional put
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+
+DEFAULT_COMMIT_BACKEND = RenameCommitBackend()
+
+
 def _manifest_versions(spark: SparkSession, table: str) -> list[int]:
     jvm, mdir, fs = _jfs(spark, f"{table}/{MANIFEST_DIR}")
     if not fs.exists(mdir):
@@ -215,6 +278,8 @@ def commit_write(
     table: str,
     run_id: str,
     mode: str = "append",
+    extra: dict | None = None,
+    backend=None,
 ) -> int:
     """Stage ``df`` under ``<table>/_staging/<run_id>/`` and atomically
     commit a new manifest version referencing it. ``mode='append'`` keeps
@@ -231,7 +296,15 @@ def commit_write(
     (:func:`find_run_version`, O(1)) and returns the winner's version
     instead of committing a duplicate. A loser's orphaned attempt dir is
     never referenced by any manifest and is reclaimed by
-    :func:`vacuum_uncommitted`."""
+    :func:`vacuum_uncommitted`.
+
+    ``extra``: additional manifest fields (merged last; cannot override
+    the protocol keys) — :func:`compact_table` stamps ``rewrite_of``
+    through this so :func:`read_incremental` can recognize pure
+    rewrites. ``backend``: the atomic-publish primitive (default
+    ``DEFAULT_COMMIT_BACKEND`` — rename; pass
+    :class:`ConditionalPutCommitBackend` on object stores where rename
+    is not atomic)."""
     import uuid
 
     if mode not in ("append", "overwrite"):
@@ -252,19 +325,22 @@ def commit_write(
             parent_files = _load_manifest(spark, table, versions[-1])["files"]
         else:
             parent_files = []
-        manifest = {
-            "version": version,
-            "parent": versions[-1] if versions else None,
-            "run_id": run_id,
-            "mode": mode,
-            "files": parent_files + new_files,
-        }
+        manifest = dict(extra or {})
+        manifest.update(
+            {
+                "version": version,
+                "parent": versions[-1] if versions else None,
+                "run_id": run_id,
+                "mode": mode,
+                "files": parent_files + new_files,
+            }
+        )
         # marker BEFORE rename — the ordering that makes find_run_version's
         # negative answer decisive (see the index invariant above). A lost
         # version race leaves a stale marker; the next loop iteration
         # overwrites it with the retry's version.
         _write_run_marker(spark, table, run_id, version)
-        committed = _write_text_atomic(
+        committed = (backend or DEFAULT_COMMIT_BACKEND).publish(
             spark,
             f"{table}/{MANIFEST_DIR}/.tmp-{run_id}-{version}.json",
             f"{table}/{MANIFEST_DIR}/{version:020d}.json",
@@ -373,7 +449,17 @@ def compact_table(
     the compacted source version (``compact-upto-<v>``), so a crashed
     and retried compaction no-ops instead of stacking rewrites. Returns
     the new version, or None if the newest version is already a
-    compaction of itself (nothing to do)."""
+    compaction of itself (nothing to do).
+
+    The commit carries ``rewrite_of: <v>`` in its manifest — the
+    round-8 consumer-safety marker: it declares the overwrite a PURE
+    REWRITE of version ``v``'s rows, which lets
+    :func:`read_incremental` swap its file baseline instead of raising
+    (incrementally-consumed tables can now be compacted; verdict #3).
+    The declaration is only true under the single-maintainer contract
+    this module already assumes — an append racing between the snapshot
+    read and the overwrite commit would be dropped by ANY compaction,
+    rewrite marker or not."""
     import math
 
     newest = latest_version(spark, table)
@@ -391,7 +477,14 @@ def compact_table(
         ).getLen()
     parts = max(1, math.ceil(total / target_file_bytes))
     snap = read_committed(spark, table, newest).repartition(parts)
-    return commit_write(spark, snap, table, run_id=run_id, mode="overwrite")
+    return commit_write(
+        spark,
+        snap,
+        table,
+        run_id=run_id,
+        mode="overwrite",
+        extra={"rewrite_of": newest},
+    )
 
 
 def maintain_table(
@@ -435,12 +528,22 @@ def read_incremental(
     the newest manifest — the file-level change feed that lets a
     downstream job consume a 100 TB table incrementally (process new
     files, checkpoint the version, repeat) instead of rescanning it.
-    Only valid across a pure-append lineage: an intervening OVERWRITE
-    retracted rows the consumer already processed, so "new files only"
-    is silently wrong — that case raises and the consumer must re-read
-    the full snapshot (the contract Delta's change feed enforces on
-    non-append commits). Also raises on since_version > newest and on a
-    vacuumed since_version manifest."""
+    Only valid across a pure-append lineage with one exception
+    (round 8, verdict #3): an overwrite DECLARED a pure rewrite
+    (``rewrite_of: r`` — :func:`compact_table`) is transparent at ANY
+    consumer lag within retention. The rewrite's files mix rows the
+    consumer has and hasn't seen, so they are never scanned for the
+    delta; instead the unconsumed appends in ``(consumed, r]`` are
+    harvested from the PRE-rewrite manifest ``r`` (retained, so its
+    immutable staging files are still on disk — vacuum keeps every file
+    a retained manifest references), then the file baseline swaps to
+    the rewrite's file set and the scan continues. A plain overwrite
+    (no ``rewrite_of``) still raises — rows were retracted and the
+    consumer must re-read the full snapshot (the contract Delta's
+    change feed enforces on non-append commits); so does a rewrite
+    whose pre-rewrite manifest was already vacuumed (checkpoint
+    predates retention). Also raises on since_version > newest and on
+    a vacuumed since_version manifest."""
     newest = latest_version(spark, table)
     if newest is None or since_version > newest:
         raise ValueError(
@@ -455,19 +558,39 @@ def read_incremental(
             f"manifest v{since_version} was vacuumed — the consumer "
             "checkpoint predates retention; re-read the full snapshot"
         )
-    for v in versions:
-        if since_version < v <= newest:
-            if _load_manifest(spark, table, v)["mode"] != "append":
-                raise ValueError(
-                    f"v{v} is an overwrite — rows before it were "
-                    "retracted; re-read the full snapshot"
-                )
     old = (
         set(_load_manifest(spark, table, since_version)["files"])
         if since_version > 0
         else set()
     )
-    new_files = [
+    vset = set(versions)
+    consumed = since_version
+    new_files: list[str] = []
+    for v in versions:
+        if since_version < v <= newest:
+            m = _load_manifest(spark, table, v)
+            if m["mode"] == "append":
+                continue
+            rewrite_of = m.get("rewrite_of")
+            if rewrite_of is None:
+                raise ValueError(
+                    f"v{v} is an overwrite — rows before it were "
+                    "retracted; re-read the full snapshot"
+                )
+            if rewrite_of > consumed:
+                # harvest the unconsumed appends (consumed, rewrite_of]
+                # from the pre-rewrite manifest before the baseline swap
+                if rewrite_of not in vset:
+                    raise ValueError(
+                        f"v{v} rewrote v{rewrite_of}, whose manifest was "
+                        "vacuumed — the consumer checkpoint predates "
+                        "retention; re-read the full snapshot"
+                    )
+                pre = _load_manifest(spark, table, rewrite_of)["files"]
+                new_files += [f for f in pre if f not in old]
+            old = set(m["files"])
+            consumed = v
+    new_files += [
         f
         for f in _load_manifest(spark, table, newest)["files"]
         if f not in old

@@ -155,11 +155,55 @@ def test_maintenance_bounds_directories_across_dumps(spark, tmp_path):
             retain_versions=2, max_files=2,
         )
     for t in ("fingerprint_directory", "substring_directory",
-              "band_directory"):
+              "band_directory", "clean_docs"):
         vs = txn._manifest_versions(spark, f"{base}/{t}")
         assert len(vs) <= 2, f"{t} retention failed: {vs}"
     # all 10 docs were unique: every one is in the output
     assert len(_clean(spark, base)) == 10
+
+
+def test_clean_docs_compaction_is_consumer_safe(spark, tmp_path):
+    """Round-8 verdict #3 end-to-end: the tick now maintains clean_docs
+    too (compaction commits carry rewrite_of), and a downstream
+    consume_incremental reader that keeps up produces output
+    byte-identical to a run with maintenance off."""
+    def run(maintained, tag):
+        base = str(tmp_path / f"c-{tag}")
+        dest = str(tmp_path / f"d-{tag}")
+        for b in range(3):
+            crawl_curation_tick(
+                spark,
+                _mk(spark, [
+                    (100 * b + i, _words(f"c{b}x{i}", 15)) for i in range(2)
+                ]),
+                base,
+                f"{b:03d}",
+                min_tokens=5, max_digit_ratio=0.9, window_tokens=W,
+                num_hashes=16, bands=8,
+                retain_versions=3 if maintained else None, max_files=1,
+            )
+            # consumer keeps up: one consume per dump
+            txn.consume_incremental(
+                spark, f"{base}/clean_docs", dest,
+                lambda d: d.selectExpr("doc_id", "n_tokens"),
+            )
+        return sorted(
+            map(tuple, txn.read_committed(spark, dest).collect())
+        )
+
+    plain = run(False, "plain")
+    maintained = run(True, "maint")
+    assert maintained == plain and len(plain) == 6
+    # the maintained clean_docs really did compact (rewrite_of present)
+    base = str(tmp_path / "c-maint")
+    vs = txn._manifest_versions(spark, f"{base}/clean_docs")
+    rewrites = [
+        v for v in vs
+        if txn._load_manifest(
+            spark, f"{base}/clean_docs", v
+        ).get("rewrite_of") is not None
+    ]
+    assert rewrites, "expected at least one rewrite_of commit"
 
 
 def test_streaming_crawl_loop_exactly_once(spark, tmp_path):

@@ -227,3 +227,83 @@ def test_table_history(spark, table):
     assert v2["n_files"] == v1["n_files"] + v2["n_new_files"]
     assert v3["n_files"] == v3["n_new_files"]  # overwrite starts fresh
     assert v1["parent"] is None and v2["parent"] == 1 and v3["parent"] == 2
+
+
+def test_compaction_transparent_to_incremental_consumer(spark, tmp_path):
+    """Round-8 verdict #3: a table consumed via consume_incremental can
+    be compacted mid-stream — the rewrite_of marker lets the consumer
+    skip the pure rewrite, and its dest output is byte-identical to a
+    twin run with no compaction."""
+    def run(compact_between):
+        src = str(tmp_path / f"src-{compact_between}")
+        dest = str(tmp_path / f"dest-{compact_between}")
+        txn.commit_write(spark, _df(spark, 0, 10), src, run_id="b1")
+        txn.commit_write(spark, _df(spark, 10, 20), src, run_id="b2")
+        txn.consume_incremental(
+            spark, src, dest, lambda d: d.selectExpr("id", "v * 10 AS v")
+        )
+        if compact_between:
+            rep = txn.maintain_table(
+                spark, src, retain_versions=2, max_files=1
+            )
+            assert rep["compacted_to_version"] is not None
+        txn.commit_write(spark, _df(spark, 20, 30), src, run_id="b3")
+        txn.consume_incremental(
+            spark, src, dest, lambda d: d.selectExpr("id", "v * 10 AS v")
+        )
+        return sorted(
+            map(tuple, txn.read_committed(spark, dest).collect())
+        )
+
+    plain = run(False)
+    compacted = run(True)
+    assert compacted == plain
+    assert [t[0] for t in plain] == list(range(30))
+
+
+def test_rewrite_past_consumer_checkpoint_harvests_pre_rewrite(spark, table):
+    """A compaction that rewrote versions the consumer has NOT yet
+    consumed: the delta comes from the retained PRE-rewrite manifest's
+    append files (never from the mixed rewritten files), at any lag
+    within retention."""
+    txn.commit_write(spark, _df(spark, 0, 10), table, run_id="b1")   # v1
+    txn.commit_write(spark, _df(spark, 10, 20), table, run_id="b2")  # v2
+    assert txn.compact_table(spark, table, target_file_bytes=1 << 30) == 3
+    # consumer lagging at v1 still gets exactly v2's appends
+    assert _ids(txn.read_incremental(spark, table, since_version=1)) == list(
+        range(10, 20)
+    )
+    # a consumer already at v2: baseline swap, empty delta
+    assert txn.read_incremental(spark, table, since_version=2).count() == 0
+    # appends after the compaction flow through for both checkpoints
+    txn.commit_write(spark, _df(spark, 20, 25), table, run_id="b3")
+    assert _ids(txn.read_incremental(spark, table, since_version=2)) == list(
+        range(20, 25)
+    )
+    assert _ids(txn.read_incremental(spark, table, since_version=1)) == list(
+        range(10, 25)
+    )
+    # a consumer from the very beginning (0) reads everything exactly once
+    assert _ids(txn.read_incremental(spark, table, since_version=0)) == list(
+        range(25)
+    )
+
+
+def test_rewrite_with_vacuumed_pre_manifest_raises(spark, table):
+    txn.commit_write(spark, _df(spark, 0, 10), table, run_id="b1")   # v1
+    txn.commit_write(spark, _df(spark, 10, 20), table, run_id="b2")  # v2
+    txn.compact_table(spark, table, target_file_bytes=1 << 30)       # v3
+    txn.commit_write(spark, _df(spark, 20, 25), table, run_id="b3")  # v4
+    txn.vacuum_uncommitted(spark, table, retain_versions=2)  # keeps v3, v4
+    # v1 itself is vacuumed -> checkpoint error either way
+    with pytest.raises(ValueError, match="vacuumed"):
+        txn.read_incremental(spark, table, since_version=1)
+
+
+def test_plain_overwrite_still_raises_for_consumers(spark, table):
+    txn.commit_write(spark, _df(spark, 0, 5), table, run_id="b1")
+    txn.commit_write(
+        spark, _df(spark, 0, 5), table, run_id="ow", mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="overwrite"):
+        txn.read_incremental(spark, table, since_version=1)
