@@ -220,6 +220,16 @@ HEADLINE = [
     "t_unigram_tokenize",
     "v_incremental_semantic",
     "t_code_signals",
+    # round-8 additions (first recorded cost becomes their baseline).
+    "t_cjk_token_stats",
+    "v_retrieval_eval",
+    "e_preference_audit",
+    "t_license_detect",
+    "t_synthetic_artifacts",
+    "t_format_profile",
+    "d_host_diversity",
+    "d_rouge_dedup_pairs",
+    "d_paragraph_dedup",
 ]
 
 
@@ -285,9 +295,14 @@ def emit(
     prev_runtime = {}
     detail_path = Path(REPO_ROOT, "BENCH_DETAIL.json")
     try:
-        prev_runtime = json.loads(detail_path.read_text()).get(
-            "runtime_metrics", {}
-        )
+        prev_detail = json.loads(detail_path.read_text())
+        # counters only compare LIKE-FOR-LIKE: a run at a different
+        # scale factor (e.g. a local sf0.01 verify pass) must not
+        # become the baseline for sf0.1 driver runs — every entry
+        # would "regress" ~10x (round-8 incident). Cross-sf runs
+        # re-base the chain instead of comparing.
+        if prev_detail.get("sf") == sf:
+            prev_runtime = prev_detail.get("runtime_metrics", {})
     except Exception:
         pass
     allowed = {}

@@ -82,3 +82,40 @@ def compression_ratio_udf():
         return s.map(ratio)
 
     return zlib_ratio
+
+
+def lcs_length_udf(max_tokens: int = 256):
+    """Vectorized token-LCS length kernel (two array<string> columns ->
+    long): the exact dynamic program behind ROUGE-L (Lin '04), the
+    dedup metric Self-Instruct (Wang et al. '22) applies to instruction
+    corpora. O(len_a * len_b) per pair over a rolling DP row; both
+    sides are truncated to ``max_tokens`` (a documented bound — ROUGE-L
+    dedup of instructions operates on short texts; candidate PAIRING
+    happens JVM-side first, this kernel only ever sees blocked
+    candidates — operators/rouge.py)."""
+
+    @F.pandas_udf("long")
+    def lcs_len(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for xa, xb in zip(a, b):
+            if xa is None or xb is None:
+                out.append(0)
+                continue
+            la, lb = list(xa)[:max_tokens], list(xb)[:max_tokens]
+            if len(la) > len(lb):
+                la, lb = lb, la
+            if not la:
+                out.append(0)
+                continue
+            prev = [0] * (len(la) + 1)
+            for tok in lb:
+                cur = [0]
+                for j, t in enumerate(la, 1):
+                    cur.append(
+                        prev[j - 1] + 1 if t == tok else max(cur[-1], prev[j])
+                    )
+                prev = cur
+            out.append(prev[-1])
+        return pd.Series(out, dtype="int64")
+
+    return lcs_len

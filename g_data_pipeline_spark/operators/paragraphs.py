@@ -1,0 +1,72 @@
+"""Exact PARAGRAPH-level dedup — the Dolma corpus rule (Soldaini et
+al. '24: documents are kept, but a paragraph whose exact text already
+occurred anywhere in the corpus is removed; first occurrence wins).
+Paragraph granularity sits between document-level exact dedup
+(operators/dedup.exact_dedup) and token-window substring dedup (Lee
+'21): it kills cross-site boilerplate blocks (navigation, subscribe
+footers, license blurbs) without cutting inside sentences.
+
+Spark-first shape: one posexplode on the paragraph split, one
+content-hash-keyed window for first-occurrence survivorship (never
+all-pairs), one per-doc rollup that reassembles survivors in original
+order. All wide ops key on md5(paragraph) content or doc id. Oracle
+twin: query_defs/curation9.py (`d_paragraph_dedup`) — lockstep
+unnest + the same (doc, pos) window in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PARA_SEP = "\n\n"
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Remove corpus-duplicated paragraphs, keep first occurrence by
+    (doc id, position). Returns one row per input doc:
+    ``(id, n_paragraphs, n_removed, cleaned)`` — ``cleaned`` is the
+    surviving paragraphs rejoined with the blank-line separator (''
+    for a fully-boilerplate doc — pinned to the empty string on both
+    engines, the array_join-vs-NULL oracle gotcha).
+
+    Blank paragraphs (consecutive separators) participate like any
+    other content: they hash equal everywhere, so only the very first
+    blank in the corpus survives — consistent with the exact-match
+    contract (Dolma normalizes upstream; pass pre-normalized text)."""
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), PARA_SEP)).alias(
+            "pos", "para"
+        ),
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("id", "pos")
+    ranked = paras.withColumn("__rk", F.row_number().over(w))
+    kept_agg = (
+        ranked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+            F.sum((F.col("__rk") > 1).cast("int"))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rk") == 1,
+                                F.struct("pos", "para"),
+                            )
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+                PARA_SEP,
+            ).alias("cleaned"),
+        )
+    )
+    return df.select(F.col(id_col).alias("id")).join(kept_agg, "id")

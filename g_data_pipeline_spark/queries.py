@@ -102,9 +102,24 @@ _DRIVER_WINDOW = (
     # Wave 3: the composed preference-pair audit graduates oracle-gated
     # (verdict #6; slot paid by demoting the d_minhash_estimate_pairs
     # filler — r5 green row).
+    # Wave 4: SPDX/phrase license gate (The Stack's primary filter;
+    # slot paid by demoting the e_event_dedup_first filler — r5 row).
+    # Wave 5: synthetic-text (AI-generation) contamination gate (slot
+    # paid by demoting the a_salted_join filler — r5 row).
+    # Wave 6: document structure/format profile (slot paid by demoting
+    # the t_train_val_test_split filler — r5 row).
+    # Wave 7: crawl host-diversity/concentration report (slot paid by
+    # demoting the t_oov_rate filler — r5 row).
+    # Wave 8: Dolma-style exact paragraph dedup transform (slot paid by
+    # demoting the e_cumulative_users filler — r5 row).
     "t_cjk_token_stats",
     "v_retrieval_eval",
     "e_preference_audit",
+    "t_license_detect",
+    "t_synthetic_artifacts",
+    "t_format_profile",
+    "d_host_diversity",
+    "d_paragraph_dedup",
     # -- (2) SURVEY §2 core representatives (one per round, standing).
     "q1_pricing_summary",
     "p_numeric_stats",
@@ -156,11 +171,6 @@ _DRIVER_WINDOW = (
     # (first-green outranks a refresh — the r4 precedent): demote from
     # the BOTTOM of this block.
     "a_groupwise_regression",
-    "e_cumulative_users",
-    "t_oov_rate",
-    "t_train_val_test_split",
-    "a_salted_join",
-    "e_event_dedup_first",
 )
 
 # Queries promoted right after the pinned window (in this order);
@@ -267,8 +277,15 @@ _ANALYTICS_HEAD = (
     # Demoted from the r5 window for the round-6 repack — every one holds
     # a fresh r5 green row (ROTATION.md). (The eight oldest of this
     # cohort were promoted into the r8 window's filler block;
-    # p_distributed_percentiles / d_minhash_estimate_pairs returned here
-    # when waves 2-3 took their slots.)
+    # p_distributed_percentiles / d_minhash_estimate_pairs /
+    # e_event_dedup_first / a_salted_join / t_train_val_test_split /
+    # t_oov_rate / e_cumulative_users returned here when waves 2-8 took
+    # their slots.)
+    "e_cumulative_users",
+    "t_oov_rate",
+    "t_train_val_test_split",
+    "a_salted_join",
+    "e_event_dedup_first",
     "d_minhash_estimate_pairs",
     "p_distributed_percentiles",
     "p_grouped_median_pandas",

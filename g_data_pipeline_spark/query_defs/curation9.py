@@ -412,3 +412,437 @@ def e_preference_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         chosen_score="cscore",
         rejected_score="rscore",
     )
+
+
+# ---------------------------------------------------------------------------
+# t_license_detect: SPDX/phrase license gate (The Stack's primary filter)
+# ---------------------------------------------------------------------------
+
+# Planted license headers, one per doc_id % 9 class — three SPDX tags,
+# three phrase-only headers, a bare copyright line and two clean docs.
+_LIC_HEADERS = (
+    "SPDX-License-Identifier: MIT",
+    "SPDX-License-Identifier: Apache-2.0",
+    "SPDX-License-Identifier: GPL-3.0-only",
+    "Permission is hereby granted, free of charge, to any person",
+    "This program is covered by the GNU General Public License",
+    "Redistribution and use in source and binary forms are permitted",
+    "SPDX-License-Identifier: LGPL-3.0-or-later",
+    "Copyright (c) 2024 Example Corp",
+    "",
+)
+
+
+def _license_oracle() -> str:
+    from g_data_pipeline_spark.functions.license import (
+        FAMILY_PREFIXES,
+        PERMISSIVE_FAMILIES,
+        PHRASE_PATTERNS,
+        SPDX_RE,
+    )
+
+    header = "CASE CAST(doc_id % 9 AS INT) " + " ".join(
+        f"WHEN {i} THEN '{h}' || chr(10)" for i, h in enumerate(_LIC_HEADERS[:-1])
+    ) + " ELSE '' END"
+    phrase = "CASE " + " ".join(
+        f"WHEN regexp_matches(lower(t), '{p}') THEN '{lic}'"
+        for p, lic in PHRASE_PATTERNS
+    ) + " ELSE NULL END"
+    fam = "CASE WHEN lic IS NULL THEN 'none' " + " ".join(
+        f"WHEN lic LIKE '{pre}%' THEN '{f}'" for pre, f in FAMILY_PREFIXES
+    ) + " ELSE 'unknown' END"
+    keep_list = ", ".join(f"'{f}'" for f in PERMISSIVE_FAMILIES)
+    return f"""
+    WITH decorated AS (
+      SELECT doc_id, {header} || text AS t FROM documents
+    ), det AS (
+      SELECT NULLIF(regexp_extract(t, '{SPDX_RE}', 1), '') AS spdx,
+             {phrase} AS phrase
+      FROM decorated
+    ), named AS (
+      SELECT COALESCE(spdx, phrase) AS lic,
+             spdx IS NOT NULL AS has_spdx,
+             spdx IS NULL AND phrase IS NOT NULL AS phrase_only
+      FROM det
+    ), fam AS (
+      SELECT {fam} AS license_family, has_spdx, phrase_only FROM named
+    )
+    SELECT license_family,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN has_spdx THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_spdx_tagged,
+           CAST(SUM(CASE WHEN phrase_only THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phrase_only,
+           license_family IN ({keep_list}) AS train_keep
+    FROM fam GROUP BY license_family
+    """
+
+
+@register("t_license_detect", oracle=_license_oracle())
+def t_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License gate report (functions/license.py — the The Stack /
+    StarCoder primary code-curation filter, Kocetkov '22): SPDX-tag
+    extraction + header-phrase fallback, classified into families
+    (permissive / weak_copyleft / copyleft / public_domain / none),
+    with the train-keep flag (permissive + public domain + untagged
+    pass; copyleft blocks). Planted headers cover three SPDX tags,
+    three phrase-only headers, a bare copyright line and clean docs.
+    Detection is pure scan-stage regexps shared VERBATIM with the
+    DuckDB twin (the oracle SQL is generated from the same pattern
+    tables); one 5-group aggregate."""
+    from g_data_pipeline_spark.functions.license import license_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    cases = F.lit("")
+    for i, h in enumerate(_LIC_HEADERS[:-1]):
+        cases = F.when(
+            (F.col("doc_id") % 9).cast("int") == i, F.lit(h + "\n")
+        ).otherwise(cases)
+    decorated = docs.select(
+        "doc_id", F.concat(cases, F.col("text")).alias("text")
+    )
+    return license_report(decorated, "text")
+
+
+# ---------------------------------------------------------------------------
+# t_synthetic_artifacts: AI-generation contamination gate
+# ---------------------------------------------------------------------------
+
+# Planted contamination, one artifact family per doc_id % 11 class
+# (classes 3..10 stay clean — realistic minority contamination).
+_SYN_TAILS = (
+    "\n<|im_start|>assistant\nSure, here you go.<|im_end|>",
+    "\nAs an AI language model, I cannot browse the internet.",
+    "\nRegenerate response",
+)
+
+
+def _synthetic_oracle() -> str:
+    from g_data_pipeline_spark.functions.synthetic import (
+        PHRASE_RE,
+        TEMPLATE_RE,
+        UI_RE,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    tails = "CASE CAST(doc_id % 11 AS INT) " + " ".join(
+        f"WHEN {i} THEN '{q(t)}'" for i, t in enumerate(_SYN_TAILS)
+    ) + " ELSE '' END"
+    cnt = "len(regexp_extract_all({x}, '{p}'))"
+    return f"""
+    WITH decorated AS (
+      SELECT source, text || {tails} AS t FROM documents
+    ), sig AS (
+      SELECT source,
+             {cnt.format(x='t', p=q(TEMPLATE_RE))} AS tm,
+             {cnt.format(x='lower(t)', p=q(PHRASE_RE))} AS ph,
+             {cnt.format(x='lower(t)', p=q(UI_RE))} AS ui
+      FROM decorated
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN tm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_template_docs,
+           CAST(SUM(CASE WHEN ph > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phrase_docs,
+           CAST(SUM(CASE WHEN ui > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ui_docs,
+           CAST(SUM(CASE WHEN tm + ph + ui > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suspect,
+           CAST(SUM(CASE WHEN tm + ph + ui > 0 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS suspect_micro
+    FROM sig GROUP BY source
+    """
+
+
+@register("t_synthetic_artifacts", oracle=_synthetic_oracle())
+def t_synthetic_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI-generation contamination report (functions/synthetic.py —
+    the post-2023 crawl-hygiene gate): per source, documents carrying
+    chat-template tokens, assistant-speak phrases, or chat-UI
+    artifacts, with the suspect micro rate. Planted: three artifact
+    tails over doc_id % 11 classes (~27% contamination), the rest
+    clean. Detection is three scan-stage regexp_count passes whose
+    alternation patterns are shared VERBATIM with the DuckDB twin;
+    one rollup aggregate, nonnegative floor-div micro."""
+    from g_data_pipeline_spark.functions.synthetic import synthetic_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    tails = F.lit("")
+    for i, t in enumerate(_SYN_TAILS):
+        tails = F.when(
+            (F.col("doc_id") % 11).cast("int") == i, F.lit(t)
+        ).otherwise(tails)
+    decorated = docs.select(
+        "source", F.concat(F.col("text"), tails).alias("text")
+    )
+    return synthetic_report(decorated, "text", group_cols=["source"])
+
+
+# ---------------------------------------------------------------------------
+# t_format_profile: document structure / format classification
+# ---------------------------------------------------------------------------
+
+_FMT_HEAD = (
+    "# Title\n",               # markdown class (with the tail below)
+    "<html><p>",               # html class
+    "[link](https://e.example)\n| a | b |\n",  # markdown via link+table
+)
+_FMT_TAIL = (
+    "\n- item one\n- item two\n```\ncode\n```",
+    "</p></html>",
+    "",
+)
+
+
+def _format_oracle() -> str:
+    from g_data_pipeline_spark.functions.structure import (
+        HTML_MIN_TAGS,
+        MD_MIN_SIGNALS,
+        STRUCTURE_PATTERNS,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    head = "CASE CAST(doc_id % 5 AS INT) " + " ".join(
+        f"WHEN {i} THEN '{q(h)}'" for i, h in enumerate(_FMT_HEAD)
+    ) + " ELSE '' END"
+    tail = "CASE CAST(doc_id % 5 AS INT) " + " ".join(
+        f"WHEN {i} THEN '{q(t)}'" for i, t in enumerate(_FMT_TAIL)
+    ) + " ELSE '' END"
+    cnt = {
+        k: f"len(regexp_extract_all(t, '{q(p)}'))"
+        for k, p in STRUCTURE_PATTERNS.items()
+    }
+    md_sum = " + ".join(
+        k for k in ("md_headers", "md_bullets", "code_fences", "md_links",
+                    "table_rows")
+    )
+    sums = ", ".join(
+        f"CAST(SUM({k}) AS BIGINT) AS n_{k}" for k in STRUCTURE_PATTERNS
+    )
+    return f"""
+    WITH decorated AS (
+      SELECT {head} || text || {tail} AS t FROM documents
+    ), sig AS (
+      SELECT {", ".join(f"{e} AS {k}" for k, e in cnt.items())}
+      FROM decorated
+    ), classed AS (
+      SELECT *,
+             CASE WHEN html_tags >= {HTML_MIN_TAGS} THEN 'html'
+                  WHEN {md_sum} >= {MD_MIN_SIGNALS} THEN 'markdown'
+                  ELSE 'plain' END AS doc_format
+      FROM sig
+    )
+    SELECT doc_format, CAST(COUNT(*) AS BIGINT) AS n_docs, {sums}
+    FROM classed GROUP BY doc_format
+    """
+
+
+@register("t_format_profile", oracle=_format_oracle())
+def t_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document structure / format profile (functions/structure.py):
+    markdown headers/bullets/fences/links/table rows + HTML element
+    openings counted per doc, classified html / markdown / plain (html
+    wins — markdown inside HTML remnants means extraction failed), and
+    rolled up per format. Planted decorations put every fifth doc in
+    the markdown class twice over (header+bullets+fences; link+table),
+    every fifth in html; the rest stay plain. Scan-stage regexps shared
+    verbatim with the DuckDB twin (oracle generated from the same
+    pattern table); one aggregate."""
+    from g_data_pipeline_spark.functions.structure import format_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.lit("")
+    tail = F.lit("")
+    for i, (h, t) in enumerate(zip(_FMT_HEAD, _FMT_TAIL)):
+        m = (F.col("doc_id") % 5).cast("int") == i
+        head = F.when(m, F.lit(h)).otherwise(head)
+        tail = F.when(m, F.lit(t)).otherwise(tail)
+    decorated = docs.select(
+        F.concat(head, F.col("text"), tail).alias("text")
+    )
+    return format_profile(decorated, "text")
+
+
+# ---------------------------------------------------------------------------
+# d_rouge_dedup_pairs: Self-Instruct ROUGE-L dedup (rows-only by design)
+# ---------------------------------------------------------------------------
+
+
+@register("d_rouge_dedup_pairs")
+def d_rouge_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-Instruct ROUGE-L dedup pairs (operators/rouge.py, Wang '22
+    rule: drop at ROUGE-L >= 0.7) over a 20%-sample of documents plus
+    planted near-twins (every 13th sampled doc re-appears under a new
+    id with one appended token — guaranteed high-LCS pairs). Candidate
+    pairing is a 5-shingle inverted index (content-keyed, hot shingles
+    capped); the exact LCS DP runs only on candidates through the
+    Arrow kernel. Rows-only BY DESIGN: LCS is not SQL-expressible —
+    exactness is pinned by the Python-twin parity tests
+    (tests/test_rouge.py), the documented contract for such ops."""
+    from g_data_pipeline_spark.operators.rouge import rouge_l_dedup_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    twins = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(10**9)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    return rouge_l_dedup_pairs(
+        corpus,
+        "doc_id",
+        "text",
+        threshold_micro=700_000,
+        shingle_n=5,
+        max_shingle_freq=100,
+        max_tokens=64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# d_host_diversity: crawl domain-concentration report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d_host_diversity",
+    oracle="""
+    WITH urls AS (
+      SELECT source,
+             'h' || CAST(doc_id % CASE WHEN source LIKE 's1%'
+                                       THEN 7 ELSE 37 END AS VARCHAR)
+               || '.example' AS host
+      FROM documents
+    ), per_host AS (
+      SELECT source, host, COUNT(*) AS cnt
+      FROM urls GROUP BY source, host
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_urls,
+           CAST(COUNT(*) AS BIGINT) AS n_hosts,
+           CAST(MAX(cnt) * 1000000 // SUM(cnt) AS BIGINT)
+             AS top_share_micro,
+           CAST(SUM(cnt * cnt) * 1000000 // (SUM(cnt) * SUM(cnt))
+                AS BIGINT) AS hhi_micro
+    FROM per_host GROUP BY source
+    """,
+)
+def d_host_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl domain-concentration report (the RefinedWeb/Dolma crawl-
+    diversity signal: a corpus dominated by a handful of registrable
+    domains overfits their boilerplate): per source — URL count,
+    distinct hosts, top-host share, and the Herfindahl index, all
+    integer micros (sum of squared host counts over total squared — no
+    logs, engine-exact). Hosts are planted with two concentration
+    regimes (sources matching 's1%' draw from 7 hosts, the rest from
+    37) so the report separates them. Two content-keyed aggregates
+    (host rollup, then source rollup) — the same shape at 100 TB where
+    per-host counts are the only shuffled rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.when(F.col("source").startswith("s1"), F.lit(7)).otherwise(
+        F.lit(37)
+    )
+    urls = docs.select(
+        "source",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % mod).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+    )
+    per_host = urls.groupBy("source", "host").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = F.sum("cnt")
+    top = F.max("cnt") * F.lit(1_000_000)
+    sq = F.sum(F.col("cnt") * F.col("cnt")) * F.lit(1_000_000)
+    den2 = tot * tot
+    return per_host.groupBy("source").agg(
+        tot.cast("long").alias("n_urls"),
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        ((top - F.pmod(top, tot)) / tot).cast("long").alias(
+            "top_share_micro"
+        ),
+        ((sq - F.pmod(sq, den2)) / den2).cast("long").alias("hhi_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d_paragraph_dedup: Dolma-style exact paragraph dedup (transform gate)
+# ---------------------------------------------------------------------------
+
+_BOILER = "subscribe to our newsletter for daily updates"
+
+
+@register(
+    "d_paragraph_dedup",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN text || chr(10) || chr(10) || '{_BOILER}'
+               WHEN 1 THEN '{_BOILER}' || chr(10) || chr(10) || text
+               ELSE text END AS t
+      FROM documents
+    ), paras AS (
+      SELECT doc_id,
+             unnest(string_split(t, chr(10) || chr(10))) AS para,
+             unnest(range(len(string_split(t, chr(10) || chr(10)))))
+               AS pos
+      FROM planted
+    ), ranked AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, pos) AS rk
+      FROM paras
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(CASE WHEN rk = 1 THEN para END,
+                               chr(10) || chr(10) ORDER BY pos), '')
+             AS cleaned
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def d_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style exact paragraph dedup TRANSFORM
+    (operators/paragraphs.dedup_paragraphs): a boilerplate paragraph
+    planted into two-thirds of documents (footer position on doc_id%3
+    == 0, header position on == 1) survives only at its globally first
+    (doc, pos) occurrence; every doc reports paragraph count, removed
+    count, and the REASSEMBLED cleaned text byte-for-byte. Duplicate
+    full-text docs also lose their body paragraph to the first copy —
+    the exact-match contract, engine-identical. One content-hash
+    window + one per-doc rollup; fully-cut docs pin cleaned='' on both
+    engines (the array_join/string_agg NULL gotcha)."""
+    from g_data_pipeline_spark.operators.paragraphs import (
+        dedup_paragraphs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sep = "\n\n"
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 3).cast("int") == 0,
+            F.concat(F.col("text"), F.lit(sep + _BOILER)),
+        )
+        .when(
+            (F.col("doc_id") % 3).cast("int") == 1,
+            F.concat(F.lit(_BOILER + sep), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup_paragraphs(planted, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_paragraphs", "n_removed", "cleaned"
+    )

@@ -1,0 +1,55 @@
+"""Paragraph-level exact dedup (operators/paragraphs.py): first-
+occurrence survivorship, in-order reassembly, fully-cut docs, and
+duplicate-doc interplay."""
+
+from __future__ import annotations
+
+from g_data_pipeline_spark.operators.paragraphs import dedup_paragraphs
+
+SEP = "\n\n"
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "id long, text string")
+    return {r.id: r for r in dedup_paragraphs(df, "id", "text").collect()}
+
+
+def test_boilerplate_removed_everywhere_but_first(spark):
+    boiler = "subscribe now"
+    got = _run(
+        spark,
+        [
+            (1, f"alpha body{SEP}{boiler}"),
+            (2, f"{boiler}{SEP}beta body"),
+            (3, f"gamma body{SEP}{boiler}{SEP}tail part"),
+        ],
+    )
+    assert got[1].cleaned == f"alpha body{SEP}{boiler}"   # first occurrence
+    assert got[2].cleaned == "beta body"
+    assert got[3].cleaned == f"gamma body{SEP}tail part"  # mid-doc cut
+    assert (got[2].n_paragraphs, got[2].n_removed) == (2, 1)
+    assert (got[3].n_paragraphs, got[3].n_removed) == (3, 1)
+
+
+def test_fully_boilerplate_doc_pins_empty_string(spark):
+    got = _run(spark, [(1, "only para"), (2, "only para")])
+    assert got[1].cleaned == "only para"
+    assert got[2].cleaned == "" and got[2].n_removed == 1
+
+
+def test_within_doc_repeats_keep_first(spark):
+    got = _run(spark, [(1, f"x{SEP}x{SEP}y")])
+    assert got[1].cleaned == f"x{SEP}y"
+    assert got[1].n_removed == 1
+
+
+def test_order_preserved_after_cuts(spark):
+    got = _run(
+        spark,
+        [
+            (1, "a"),
+            (2, f"z{SEP}a{SEP}m{SEP}a{SEP}q"),
+        ],
+    )
+    assert got[2].cleaned == f"z{SEP}m{SEP}q"
+    assert got[2].n_removed == 2

@@ -27,6 +27,7 @@ ARROW_ALLOWED = {
     "t_bpe_tokenize",           # broadcast-vocab Arrow encode
     "t_unigram_tokenize",       # broadcast unigram-LM Viterbi encode
     "t_compression_signal",     # scalar pandas zlib kernel (operators/grouped.py)
+    "d_rouge_dedup_pairs",      # scalar pandas LCS kernel (operators/grouped.py)
 }
 # node classes themselves live in operators/planlint.py (the public
 # lint API this sweep delegates to)
