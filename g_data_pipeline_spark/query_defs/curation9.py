@@ -846,3 +846,44 @@ def d_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(planted, "doc_id", "text").select(
         F.col("id").alias("doc_id"), "n_paragraphs", "n_removed", "cleaned"
     )
+
+
+@register("d_incremental_paragraphs")
+def d_incremental_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental paragraph dedup vs a growing hash directory
+    (operators/incremental_paragraphs.py — the crawl-cadence form of
+    d_paragraph_dedup, completing the incremental family's sixth
+    modality): even doc_ids play the archived history (their delta
+    builds the directory), odd doc_ids are the new dump, cut against
+    it; the planted boilerplate footer (the d_paragraph_dedup recipe)
+    guarantees real cross-dump cuts. Rows-only BY DESIGN like
+    d_incremental_minhash (the one-shot transform is the oracle-gated
+    twin); replay stability + streaming exactly-once pinned in
+    tests/test_incremental_paragraphs.py."""
+    from g_data_pipeline_spark.operators.incremental_paragraphs import (
+        DIRECTORY_SCHEMA,
+        incremental_paragraph_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 3).cast("int") == 0,
+            F.concat(F.col("text"), F.lit("\n\n" + _BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    history = planted.filter(F.col("doc_id") % 2 == 0)
+    batch = planted.filter(F.col("doc_id") % 2 == 1)
+    empty = spark.createDataFrame([], DIRECTORY_SCHEMA)
+    _, directory = incremental_paragraph_dedup(
+        history, empty, "doc_id", "text"
+    )
+    cleaned, _ = incremental_paragraph_dedup(
+        batch, directory, "doc_id", "text"
+    )
+    return cleaned.select(
+        F.col("id").alias("doc_id"), "n_paragraphs", "n_removed", "cleaned"
+    )
