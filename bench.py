@@ -230,6 +230,9 @@ HEADLINE = [
     "d_host_diversity",
     "d_rouge_dedup_pairs",
     "d_paragraph_dedup",
+    # eager: IVF centroid training runs at DataFrame build (the
+    # v_ivf_topk precedent — fresh fn() builds are what the loop times)
+    "v_ann_quality_scorecard",
 ]
 
 

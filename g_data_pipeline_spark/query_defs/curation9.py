@@ -887,3 +887,63 @@ def d_incremental_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned.select(
         F.col("id").alias("doc_id"), "n_paragraphs", "n_removed", "cleaned"
     )
+
+
+# ---------------------------------------------------------------------------
+# v_ann_quality_scorecard: recall@k / nDCG@k of the repo's REAL ANN paths
+# ---------------------------------------------------------------------------
+
+
+@register("v_ann_quality_scorecard", eager=True)  # IVF trains at build
+def v_ann_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 verdict's retrieval-eval composition over the repo's
+    REAL search systems (v_retrieval_eval gates the metric engine on
+    planted rankers; this entry feeds it the production paths): exact
+    brute-force cosine (ground truth AND a scored system — must anchor
+    at 1.0/1.0), multi-table hyperplane LSH, and IVF (16 cells, probe
+    4), all answering the same 5 queries over the embeddings table.
+    Relevance derives from the exact ranking (rel 2 for exact-top-3,
+    rel 1 for ranks 4..10) — so the LSH/IVF rows ARE the recall@10 /
+    nDCG@10 a user tunes n_tables / n_probe against. Rows-only BY
+    DESIGN: the approximate legs are rows-only (random hyperplanes,
+    iterative k-means training); the metric engine's oracle row is
+    v_retrieval_eval. Anchor + bounds pinned in
+    tests/test_retrieval_eval.py."""
+    from g_data_pipeline_spark.operators.retrieval_eval import (
+        retrieval_eval,
+    )
+    from g_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = cosine_topk(emb, queries, k=10)
+    lsh = lsh_topk(emb, queries, k=10, dim=64, n_tables=8, planes_per_table=6)
+    ivf = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+    def shape(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("system"),
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+
+    results = (
+        shape(exact, "exact_cosine")
+        .unionByName(shape(lsh, "lsh_8x6"))
+        .unionByName(shape(ivf, "ivf_16c_p4"))
+    )
+    relevance = exact.select(
+        F.col("q_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.when(F.col("rank") <= 3, F.lit(2)).otherwise(F.lit(1)).alias(
+            "rel"
+        ),
+    )
+    return retrieval_eval(results, relevance, k=10)

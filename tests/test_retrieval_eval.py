@@ -120,3 +120,28 @@ def test_discount_constants_and_sql_twin():
         f"SELECT {sql_case_discount('rk', 3)} FROM (VALUES (1),(2),(3),(9)) t(rk)"
     ).fetchall()
     assert [r[0] for r in got] == discount_micros(3) + [0]
+
+
+def test_ann_quality_scorecard_anchors_and_bounds(spark):
+    """The composition over the REAL search paths: the exact-cosine
+    system (which also defines relevance) must anchor at exactly
+    1.0/1.0; the approximate legs land in (0, 1e6] and at sf0.001's
+    tiny corpus LSH/IVF recall is high but the anchor is the pin."""
+    from g_data_pipeline_spark.queries import REGISTRY
+
+    rows = {
+        r.system: r
+        for r in REGISTRY["v_ann_quality_scorecard"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(rows) == {"exact_cosine", "lsh_8x6", "ivf_16c_p4"}
+    anchor = rows["exact_cosine"]
+    assert anchor.recall_at_k_micro == 1_000_000
+    assert anchor.ndcg_at_k_micro == 1_000_000
+    for name in ("lsh_8x6", "ivf_16c_p4"):
+        r = rows[name]
+        assert r.n_queries == anchor.n_queries == 5
+        assert 0 < r.recall_at_k_micro <= 1_000_000
+        assert 0 < r.ndcg_at_k_micro <= 1_000_000
+        assert r.ndcg_at_k_micro >= r.recall_at_k_micro - 400_000
