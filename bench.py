@@ -233,6 +233,8 @@ HEADLINE = [
     # eager: IVF centroid training runs at DataFrame build (the
     # v_ivf_topk precedent — fresh fn() builds are what the loop times)
     "v_ann_quality_scorecard",
+    "t_unicode_normalize",
+    "d_incremental_paragraphs",
 ]
 
 

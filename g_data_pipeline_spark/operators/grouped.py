@@ -119,3 +119,29 @@ def lcs_length_udf(max_tokens: int = 256):
         return pd.Series(out, dtype="int64")
 
     return lcs_len
+
+
+def unicode_normalize_udf(form: str = "NFC"):
+    """Vectorized Unicode normalization kernel (string -> string) — the
+    multilingual pre-fingerprinting step every dedup/fingerprint path
+    needs on real crawls: the SAME visible text arrives precomposed
+    (NFC) from one site and decomposed (NFD, combining marks) from
+    another, and byte-level hashes treat them as different documents.
+    Spark ships no built-in normalizer, so this is a sanctioned Arrow
+    kernel; DuckDB's utf8proc-based nfc_normalize reproduces NFC
+    exactly (both implement UAX #15), which is what makes the
+    t_unicode_normalize report oracle-gatable."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize(form, x)
+            if x is not None
+            else None
+        )
+
+    return norm

@@ -112,6 +112,9 @@ _DRIVER_WINDOW = (
     # demoting the t_oov_rate filler — r5 row).
     # Wave 8: Dolma-style exact paragraph dedup transform (slot paid by
     # demoting the e_cumulative_users filler — r5 row).
+    # Wave 9: Unicode NFC normalization report (slot paid by demoting
+    # the a_groupwise_regression filler — r5 row; the r5 freshness
+    # cohort's remaining entries queue for r9).
     "t_cjk_token_stats",
     "v_retrieval_eval",
     "e_preference_audit",
@@ -120,6 +123,7 @@ _DRIVER_WINDOW = (
     "t_format_profile",
     "d_host_diversity",
     "d_paragraph_dedup",
+    "t_unicode_normalize",
     # -- (2) SURVEY §2 core representatives (one per round, standing).
     "q1_pricing_summary",
     "p_numeric_stats",
@@ -170,7 +174,6 @@ _DRIVER_WINDOW = (
     # Further round-8 registrations take these slots as they land
     # (first-green outranks a refresh — the r4 precedent): demote from
     # the BOTTOM of this block.
-    "a_groupwise_regression",
 )
 
 # Queries promoted right after the pinned window (in this order);
@@ -279,8 +282,9 @@ _ANALYTICS_HEAD = (
     # cohort were promoted into the r8 window's filler block;
     # p_distributed_percentiles / d_minhash_estimate_pairs /
     # e_event_dedup_first / a_salted_join / t_train_val_test_split /
-    # t_oov_rate / e_cumulative_users returned here when waves 2-8 took
-    # their slots.)
+    # t_oov_rate / e_cumulative_users / a_groupwise_regression returned
+    # here when waves 2-9 took their slots.)
+    "a_groupwise_regression",
     "e_cumulative_users",
     "t_oov_rate",
     "t_train_val_test_split",

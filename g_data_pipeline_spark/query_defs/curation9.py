@@ -947,3 +947,83 @@ def v_ann_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return retrieval_eval(results, relevance, k=10)
+
+
+# ---------------------------------------------------------------------------
+# t_unicode_normalize: NFC normalization report (multilingual dedup prep)
+# ---------------------------------------------------------------------------
+
+# Planted tails: the SAME visible text in decomposed (combining acute,
+# U+0301) and precomposed form — byte-different, NFC-identical.
+_NFC_DECOMPOSED = " café unit"
+_NFC_PRECOMPOSED = " café unit"
+
+
+@register(
+    "t_unicode_normalize",
+    oracle=f"""
+    WITH planted AS (
+      SELECT source,
+             text || CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN ' cafe' || chr(769) || ' unit'
+               WHEN 1 THEN '{_NFC_PRECOMPOSED}'
+               ELSE '' END AS t
+      FROM documents
+    ), n AS (
+      SELECT source, t, nfc_normalize(t) AS nfc FROM planted
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN nfc <> t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(len(t)) AS BIGINT) AS chars_before,
+           CAST(SUM(len(nfc)) AS BIGINT) AS chars_after,
+           CAST(SUM(CAST(('0x' || substring(md5(nfc), 1, 15)) AS BIGINT))
+                AS DECIMAL(38,0)) AS nfc_checksum
+    FROM n GROUP BY source
+    """,
+)
+def t_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization report (the multilingual dedup
+    pre-step: the same visible text arrives precomposed from one site
+    and decomposed from another, and every byte-level fingerprint
+    treats them as different docs): per source — docs changed by NFC,
+    char counts before/after (combining sequences collapse), and an
+    md5-family CHECKSUM of the normalized text (decimal(38,0)
+    accumulator — 60-bit terms overflow a long sum) proving the
+    normalized bytes engine-identical. Spark has no built-in
+    normalizer: the Arrow kernel in operators/grouped.py
+    (unicodedata NFC) vs DuckDB's utf8proc nfc_normalize — both UAX
+    #15, byte-identical on assigned codepoints. Planted tails put the
+    decomposed form on doc_id%4==0 and the precomposed twin on ==1
+    (changed vs already-normal)."""
+    from g_data_pipeline_spark.operators.grouped import (
+        unicode_normalize_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tail = (
+        F.when(
+            (F.col("doc_id") % 4).cast("int") == 0, F.lit(_NFC_DECOMPOSED)
+        )
+        .when(
+            (F.col("doc_id") % 4).cast("int") == 1, F.lit(_NFC_PRECOMPOSED)
+        )
+        .otherwise(F.lit(""))
+    )
+    norm = unicode_normalize_udf("NFC")
+    n = docs.select(
+        "source", F.concat(F.col("text"), tail).alias("t")
+    ).withColumn("nfc", norm(F.col("t")))
+    term = F.conv(F.substring(F.md5(F.col("nfc")), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return n.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("nfc") != F.col("t")).cast("int"))
+        .cast("long")
+        .alias("n_changed"),
+        F.sum(F.length("t")).cast("long").alias("chars_before"),
+        F.sum(F.length("nfc")).cast("long").alias("chars_after"),
+        F.sum(term).cast("decimal(38,0)").alias("nfc_checksum"),
+    )

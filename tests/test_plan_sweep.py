@@ -28,6 +28,7 @@ ARROW_ALLOWED = {
     "t_unigram_tokenize",       # broadcast unigram-LM Viterbi encode
     "t_compression_signal",     # scalar pandas zlib kernel (operators/grouped.py)
     "d_rouge_dedup_pairs",      # scalar pandas LCS kernel (operators/grouped.py)
+    "t_unicode_normalize",      # scalar pandas NFC kernel (operators/grouped.py)
 }
 # node classes themselves live in operators/planlint.py (the public
 # lint API this sweep delegates to)
