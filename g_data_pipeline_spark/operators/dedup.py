@@ -71,13 +71,22 @@ def fingerprint_dedup(
 # --------------------------------------------------------------------------
 
 def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """(id, shingles array, set size) per doc — the input signal shared by
-    exact Jaccard and MinHash."""
+    exact Jaccard and MinHash. ``token_mode="script"`` shingles over
+    script-aware tokens (one per CJK char — without it a whole CJK
+    sentence is a single "word" and every shingle-based dedup is blind
+    on zh/ja corpora; round 8, byte-identical default)."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+        F.array_distinct(word_shingles(text_col, n, token_mode)).alias(
+            "shingles"
+        ),
     ).withColumn("set_size", F.size("shingles"))
 
 
@@ -88,6 +97,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """EXACT Jaccard-similar pairs (id_a < id_b, jaccard >= threshold) via a
     shingle inverted index:
@@ -101,7 +111,9 @@ def ngram_jaccard_pairs(
     non-dropped shingles; at 100 TB run this per-language-partition with a
     cutoff, or use minhash_lsh_pairs below.
     """
-    sets = shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
+    sets = shingle_sets(df, id_col, text_col, n, token_mode).filter(
+        F.col("set_size") > 0
+    )
     posts = sets.select("id", "set_size", F.explode("shingles").alias("sh"))
     if max_shingle_freq is not None:
         freq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -136,6 +148,7 @@ def shingle_containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """EXACT shingle-CONTAINMENT pairs: for every ORDERED pair (a, b),
     containment(a -> b) = |shingles(a) ∩ shingles(b)| / |shingles(a)|.
@@ -150,7 +163,9 @@ def shingle_containment_pairs(
     ngram_jaccard_pairs — shuffles ride shingle content, never all-pairs.
     The fraction is emitted as an exact micro-scaled integer
     (containment_micro), threshold-compared in integer space."""
-    sets = shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
+    sets = shingle_sets(df, id_col, text_col, n, token_mode).filter(
+        F.col("set_size") > 0
+    )
     posts = sets.select("id", "set_size", F.explode("shingles").alias("sh"))
     if max_shingle_freq is not None:
         freq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -232,6 +247,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     verify: bool = True,
     hash_family: str = "xxhash64",
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """Near-dup pairs via MinHash signatures + banded LSH:
 
@@ -255,7 +271,9 @@ def minhash_lsh_pairs(
     exact SQL twin (the d_minhash_lsh_pairs oracle); a content-string key
     also makes the candidate set collision-free by construction.
     """
-    sets = shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
+    sets = shingle_sets(df, id_col, text_col, n, token_mode).filter(
+        F.col("set_size") > 0
+    )
     band_rows = _minhash_band_rows(
         sets, num_hashes=num_hashes, bands=bands, hash_family=hash_family
     )
@@ -350,6 +368,7 @@ def minhash_band_directory(
     num_hashes: int = 32,
     bands: int = 8,
     hash_family: str = "xxhash64",
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """The persistent state behind incremental NEAR-dup maintenance: one
     row per DISTINCT LSH band bucket with its canonical owner ``(band,
@@ -359,7 +378,9 @@ def minhash_band_directory(
     (:func:`incremental_minhash_dedup`); at 100 TB this directory is a
     bucketed-by-(band,bucket) table so only the batch side ever
     shuffles."""
-    sets = shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
+    sets = shingle_sets(df, id_col, text_col, n, token_mode).filter(
+        F.col("set_size") > 0
+    )
     rows = _minhash_band_rows(
         sets, num_hashes=num_hashes, bands=bands, hash_family=hash_family
     )
@@ -378,6 +399,7 @@ def incremental_minhash_dedup(
     bands: int | None = None,
     threshold: float = 0.8,
     hash_family: str = "xxhash64",
+    token_mode: str = "whitespace",
 ) -> tuple[DataFrame, DataFrame]:
     """NEAR-dup dedup of a new crawl dump against a growing MinHash-LSH
     archive — the modality production crawl curation runs most (the
@@ -430,7 +452,7 @@ def incremental_minhash_dedup(
         )
 
         bands = recommend_banding(num_hashes, threshold).bands
-    sets = shingle_sets(batch, id_col, text_col, n).filter(
+    sets = shingle_sets(batch, id_col, text_col, n, token_mode).filter(
         F.col("set_size") > 0
     )
     rows = _minhash_band_rows(

@@ -131,3 +131,43 @@ def test_char_class_is_engine_portable():
         f"'{CJK_CHAR_CLASS}'))"
     ).fetchone()[0]
     assert n == 10
+
+
+def test_shingle_dedup_threads_token_mode(spark):
+    """Round-8 thread-through: shingle-based dedup sees CJK near-dups
+    only under token_mode='script' (default mode shingles a CJK
+    sentence as zero 3-shingles -> blind), and the default path stays
+    byte-identical on Latin text."""
+    from g_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    a = "今日は良い天気ですね明日も晴れるでしょう"
+    b = "今日は良い天気ですね明日も雨になるでしょう"
+    df = spark.createDataFrame([(1, a), (2, b)], "id long, text string")
+    blind = ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.3)
+    assert blind.count() == 0
+    seeing = ngram_jaccard_pairs(
+        df, "id", "text", n=3, threshold=0.3, token_mode="script"
+    )
+    rows = seeing.collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert rows[0].jaccard > 0.3
+    mh = minhash_lsh_pairs(
+        df, "id", "text", n=3, threshold=0.3, bands=16,
+        token_mode="script",
+    )  # 16x2 banding: candidate probability ~0.96 at this pair's
+    # Jaccard (deterministic xxhash64 -> fixed outcome, not flaky)
+    assert [(r.id_a, r.id_b) for r in mh.collect()] == [(1, 2)]
+    # Latin default-path parity: mode changes nothing without CJK
+    lat = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "id long, text string",
+    )
+    k = lambda df_: sorted(map(tuple, df_.collect()))  # noqa: E731
+    assert k(ngram_jaccard_pairs(lat, "id", "text", threshold=0.1)) == k(
+        ngram_jaccard_pairs(
+            lat, "id", "text", threshold=0.1, token_mode="script"
+        )
+    )
