@@ -235,6 +235,7 @@ HEADLINE = [
     "v_ann_quality_scorecard",
     "t_unicode_normalize",
     "d_incremental_paragraphs",
+    "t_sentence_stats",
 ]
 
 

@@ -115,6 +115,10 @@ _DRIVER_WINDOW = (
     # Wave 9: Unicode NFC normalization report (slot paid by demoting
     # the a_groupwise_regression filler — r5 row; the r5 freshness
     # cohort's remaining entries queue for r9).
+    # Wave 10: C4 sentence gates (fillers exhausted — slot paid by
+    # demoting e_sessionize, the YOUNGEST r4-cohort entry; first-green
+    # outranks a refresh, the r4 precedent; it heads the r9 queue
+    # after the r5 fillers).
     "t_cjk_token_stats",
     "v_retrieval_eval",
     "e_preference_audit",
@@ -124,6 +128,7 @@ _DRIVER_WINDOW = (
     "d_host_diversity",
     "d_paragraph_dedup",
     "t_unicode_normalize",
+    "t_sentence_stats",
     # -- (2) SURVEY §2 core representatives (one per round, standing).
     "q1_pricing_summary",
     "p_numeric_stats",
@@ -169,7 +174,6 @@ _DRIVER_WINDOW = (
     "v_norm_stats",
     "a_expectations_report",
     "a_record_linkage",
-    "e_sessionize",
     # -- (5) Freshness fillers from the next-oldest (r5-green) cohort.
     # Further round-8 registrations take these slots as they land
     # (first-green outranks a refresh — the r4 precedent): demote from
@@ -282,8 +286,10 @@ _ANALYTICS_HEAD = (
     # cohort were promoted into the r8 window's filler block;
     # p_distributed_percentiles / d_minhash_estimate_pairs /
     # e_event_dedup_first / a_salted_join / t_train_val_test_split /
-    # t_oov_rate / e_cumulative_users / a_groupwise_regression returned
-    # here when waves 2-9 took their slots.)
+    # t_oov_rate / e_cumulative_users / a_groupwise_regression (and
+    # e_sessionize from the r4 cohort) returned here when waves 2-10
+    # took their slots.)
+    "e_sessionize",
     "a_groupwise_regression",
     "e_cumulative_users",
     "t_oov_rate",

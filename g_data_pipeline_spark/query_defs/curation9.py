@@ -1027,3 +1027,79 @@ def t_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("nfc")).cast("long").alias("chars_after"),
         F.sum(term).cast("decimal(38,0)").alias("nfc_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t_sentence_stats: C4's sentence-count / terminal-punctuation gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_sentence_stats",
+    oracle="""
+    WITH planted AS (
+      SELECT source,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'One two three. Four five six! Seven eight? '
+                           || text
+               WHEN 1 THEN 'Short lead. ' || text
+               WHEN 2 THEN text || ' End of document.'
+               ELSE text END AS t
+      FROM documents
+    ), sig AS (
+      SELECT source,
+             len(regexp_extract_all(t, '[.!?]')) AS n_sent,
+             CASE WHEN regexp_matches(t, '[.!?] *$') THEN 1 ELSE 0 END
+               AS ends_term
+      FROM planted
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_sent < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_min_sentences,
+           CAST(SUM(ends_term) AS BIGINT) AS n_ends_terminal,
+           CAST(SUM(n_sent) * 1000000 // COUNT(*) AS BIGINT)
+             AS mean_sentences_micro
+    FROM sig GROUP BY source
+    """,
+)
+def t_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sentence gates (Raffel '20 §2.2: drop pages with fewer
+    than 3 sentences; keep lines ending in terminal punctuation): per
+    source — docs below the 3-sentence floor, docs ending in a
+    terminal mark, and the mean sentence count (terminal-mark count as
+    the sentence proxy — lookbehind-free, so RE2 and Java agree).
+    Planted heads/tails create 3-sentence, 1-sentence, and
+    terminal-ending classes over the punctuation-free synthetic docs.
+    Zero-shuffle scan stage + one rollup, nonneg floor-div micro."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 5).cast("int")
+    t = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("One two three. Four five six! Seven eight? "),
+                F.col("text"),
+            ),
+        )
+        .when(m == 1, F.concat(F.lit("Short lead. "), F.col("text")))
+        .when(m == 2, F.concat(F.col("text"), F.lit(" End of document.")))
+        .otherwise(F.col("text"))
+    )
+    sig = docs.select(
+        "source",
+        F.regexp_count(t, F.lit(r"[.!?]")).alias("n_sent"),
+        t.rlike(r"[.!?] *$").cast("int").alias("ends_term"),
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("n_sent") * F.lit(1_000_000)
+    return sig.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum((F.col("n_sent") < 3).cast("int"))
+        .cast("long")
+        .alias("n_below_min_sentences"),
+        F.sum("ends_term").cast("long").alias("n_ends_terminal"),
+        ((s - F.pmod(s, n)) / n).cast("long").alias(
+            "mean_sentences_micro"
+        ),
+    )
