@@ -87,12 +87,16 @@ def synthetic_report(
     family, suspect count and micro rate. One aggregate; all counts
     nonnegative so the micro floor-div is engine-exact."""
     sig = synthetic_signals(text_col)
+    # __s derives from the three already-computed flag columns (not
+    # sig['is_synthetic_suspect'], which would re-evaluate all three
+    # regexp_count expressions a second time — r8 ADVICE).
     base = df.select(
         *(group_cols or []),
         (sig["template_hits"] > 0).cast("int").alias("__t"),
         (sig["assistant_phrase_hits"] > 0).cast("int").alias("__p"),
         (sig["ui_artifact_hits"] > 0).cast("int").alias("__u"),
-        sig["is_synthetic_suspect"].cast("int").alias("__s"),
+    ).withColumn(
+        "__s", F.greatest(F.col("__t"), F.col("__p"), F.col("__u"))
     )
     n = F.count(F.lit(1))
     s = F.sum("__s") * F.lit(1_000_000)

@@ -51,11 +51,13 @@ def incremental_paragraph_dedup(
       the directory, owner = the batch's first (doc, pos) occurrence —
       append so replays no-op and later dumps cut against this one.
     """
+    # NULL text -> '' (split(NULL) is NULL; posexplode would silently
+    # drop the doc from the cleaned rollup — r8 ADVICE).
     paras = batch.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), PARA_SEP)).alias(
-            "pos", "para"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), PARA_SEP)
+        ).alias("pos", "para"),
     ).withColumn("h", F.md5(F.col("para")))
     dir_slim = directory.select(
         "h",

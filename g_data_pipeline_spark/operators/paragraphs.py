@@ -37,12 +37,17 @@ def dedup_paragraphs(
     Blank paragraphs (consecutive separators) participate like any
     other content: they hash equal everywhere, so only the very first
     blank in the corpus survives — consistent with the exact-match
-    contract (Dolma normalizes upstream; pass pre-normalized text)."""
+    contract (Dolma normalizes upstream; pass pre-normalized text).
+
+    NULL text coalesces to '' before the split (split(NULL) is NULL
+    and posexplode would silently drop the doc, breaking the
+    one-row-per-input-doc contract — r8 ADVICE); a NULL-text doc
+    therefore contributes one empty paragraph, like an empty doc."""
     paras = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), PARA_SEP)).alias(
-            "pos", "para"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), PARA_SEP)
+        ).alias("pos", "para"),
     )
     w = Window.partitionBy(F.md5(F.col("para"))).orderBy("id", "pos")
     ranked = paras.withColumn("__rk", F.row_number().over(w))

@@ -87,38 +87,94 @@ from g_data_pipeline_spark import query_defs  # noqa: E402,F401
 # registered and graded locally by tests/driver_sim.py (and by the judge's
 # re-run of it).
 _DRIVER_WINDOW = (
-    # -- Round-8 rotation (see ROTATION.md "Round-8 rotation queue").
+    # -- Round-9 rotation (see ROTATION.md "Round-9 rotation queue").
     # Rule: window entries MUST have an oracle (rows-only entries can
     # never turn green — 8 slots were wasted on them in round 2) and
     # MUST output scalar columns only (the driver's pandas canonicalizer
     # crashes on array/map — the round-2 v_mean_pool red row). Both
-    # pinned by tests/test_registry_oracle.py.
+    # pinned by tests/test_registry_oracle.py, as is the round-9
+    # oracle-PORTABILITY lint (window oracles may only call
+    # engine-stable SQL surfaces — arithmetic/regex/hash/string algebra
+    # — never a bundled Unicode/ICU-style library; the r8
+    # t_unicode_normalize red cell was exactly that failure mode).
     #
-    # (1) Round-8 NEW oracle operators, in-window the round they land
-    # (ROTATION.md rule 3). Wave 1: script-aware CJK tokenization (the
-    # r7 verdict's #2 directive). Wave 2: ranked-retrieval quality
-    # eval (verdict #5; slot paid by demoting the
-    # p_distributed_percentiles filler — it keeps its r5 green row).
-    # Wave 3: the composed preference-pair audit graduates oracle-gated
-    # (verdict #6; slot paid by demoting the d_minhash_estimate_pairs
-    # filler — r5 green row).
-    # Wave 4: SPDX/phrase license gate (The Stack's primary filter;
-    # slot paid by demoting the e_event_dedup_first filler — r5 row).
-    # Wave 5: synthetic-text (AI-generation) contamination gate (slot
-    # paid by demoting the a_salted_join filler — r5 row).
-    # Wave 6: document structure/format profile (slot paid by demoting
-    # the t_train_val_test_split filler — r5 row).
-    # Wave 7: crawl host-diversity/concentration report (slot paid by
-    # demoting the t_oov_rate filler — r5 row).
-    # Wave 8: Dolma-style exact paragraph dedup transform (slot paid by
-    # demoting the e_cumulative_users filler — r5 row).
-    # Wave 9: Unicode NFC normalization report (slot paid by demoting
-    # the a_groupwise_regression filler — r5 row; the r5 freshness
-    # cohort's remaining entries queue for r9).
-    # Wave 10: C4 sentence gates (fillers exhausted — slot paid by
-    # demoting e_sessionize, the YOUNGEST r4-cohort entry; first-green
-    # outranks a refresh, the r4 precedent; it heads the r9 queue
-    # after the r5 fillers).
+    # (1) t_unicode_normalize re-gates after the round-9 hardening (the
+    # r8 driver red): its oracle no longer calls nfc_normalize — the
+    # ASCII-sanitized base + pinned precomposed literals make the
+    # expected output engine-independent. New round-9 oracle operators
+    # register here the wave they land (ROTATION.md rule 3), each
+    # paid by demoting the BOTTOM entry of block (4).
+    "t_unicode_normalize",
+    # -- (2) SURVEY §2 core representatives (one per round, standing).
+    "q1_pricing_summary",
+    "p_numeric_stats",
+    "a_salted_agg",
+    # -- (3) Freshness queue head: e_sessionize (r4 row — demoted by
+    # the r8 wave-10 swap) + the eight r5-row fillers demoted by the
+    # r8 waves 2-9.
+    "e_sessionize",
+    "a_groupwise_regression",
+    "e_cumulative_users",
+    "t_oov_rate",
+    "t_train_val_test_split",
+    "a_salted_join",
+    "e_event_dedup_first",
+    "d_minhash_estimate_pairs",
+    "p_distributed_percentiles",
+    # -- (4) Freshness: the remaining r5-green cohort, oldest-first.
+    # The tail that does not fit (d_url_dedup, v_topic_balance, plus
+    # one per round-9 in-window registration above) heads the r10
+    # queue. Demote from the BOTTOM of this block.
+    "p_grouped_median_pandas",
+    "t_text_normalize",
+    "a_yoy_growth",
+    "e_item_cooccurrence",
+    "d_simhash_estimate_pairs",
+    "e_ab_test",
+    "s_except",
+    "s_union_distinct",
+    "s_intersect",
+    "s_distinct_pairs",
+    "g_pivot",
+    "w_ntile_rank_dense",
+    "w_range_frame",
+    "t_line_quality",
+    "d_dup_line_removal",
+    "t_html_to_text",
+    "d_cc_star",
+    "d_incremental_bloom",
+    "a_activity_streaks",
+    "e_churn_risk",
+    "e_power_users",
+    "e_interarrival_stats",
+    "e_daily_active_ratio",
+    "e_first_touch_share",
+    "a_mad_outliers",
+    "a_decile_stats",
+    "a_percent_of_total",
+    "a_corr_pairs_moments",
+    "a_histogram_2d",
+    "a_pareto_share",
+    "a_rollup_time",
+    "w_running_max_drawdown",
+    "j_star_join_chain",
+    "t_bigram_logprob",
+    "t_ngram_novelty",
+    "t_lang_balance",
+    "t_case_profile",
+)
+
+# Queries promoted right after the pinned window (in this order);
+# bench.py and driver_sim still grade them every run.
+_ANALYTICS_HEAD = (
+    # r10 freshness-queue head: the two r5-green entries that did not
+    # fit the r9 window (plus any round-9 block-(4) demotions, which
+    # are appended here as waves land).
+    "d_url_dedup",
+    "v_topic_balance",
+    # Demoted from the r8 window for the round-9 repack — every one
+    # holds a fresh r8 green row (ROTATION.md): the nine r8 first-green
+    # gates, the eight r3-cohort refreshes, and the 29-entry r4 cohort.
     "t_cjk_token_stats",
     "v_retrieval_eval",
     "e_preference_audit",
@@ -127,14 +183,7 @@ _DRIVER_WINDOW = (
     "t_format_profile",
     "d_host_diversity",
     "d_paragraph_dedup",
-    "t_unicode_normalize",
     "t_sentence_stats",
-    # -- (2) SURVEY §2 core representatives (one per round, standing).
-    "q1_pricing_summary",
-    "p_numeric_stats",
-    "a_salted_agg",
-    # -- (3) Freshness: the eight round-7 extended-session demotions —
-    # their only green rows are r3, the oldest in the ledger.
     "d_source_shingle_overlap",
     "t_char_diversity",
     "t_vocab_stats",
@@ -143,8 +192,6 @@ _DRIVER_WINDOW = (
     "t_top_ngrams",
     "j_q22_dormant_rich_customers",
     "j_q21_sole_late_supplier",
-    # -- (4) Freshness: the ENTIRE r4-green cohort (30 entries whose
-    # newest green row is r4, four rounds old).
     "w_moving_avg",
     "p_grouped_median",
     "p_histogram",
@@ -174,15 +221,6 @@ _DRIVER_WINDOW = (
     "v_norm_stats",
     "a_expectations_report",
     "a_record_linkage",
-    # -- (5) Freshness fillers from the next-oldest (r5-green) cohort.
-    # Further round-8 registrations take these slots as they land
-    # (first-green outranks a refresh — the r4 precedent): demote from
-    # the BOTTOM of this block.
-)
-
-# Queries promoted right after the pinned window (in this order);
-# bench.py and driver_sim still grade them every run.
-_ANALYTICS_HEAD = (
     # Demoted from the r7 window for the round-8 repack — every one holds
     # a fresh r7 green row (ROTATION.md).
     "t_vocab_coverage",
@@ -281,64 +319,9 @@ _ANALYTICS_HEAD = (
     "e_session_windows",
     "e_props_extract",
     "a_asof_join",
-    # Demoted from the r5 window for the round-6 repack — every one holds
-    # a fresh r5 green row (ROTATION.md). (The eight oldest of this
-    # cohort were promoted into the r8 window's filler block;
-    # p_distributed_percentiles / d_minhash_estimate_pairs /
-    # e_event_dedup_first / a_salted_join / t_train_val_test_split /
-    # t_oov_rate / e_cumulative_users / a_groupwise_regression (and
-    # e_sessionize from the r4 cohort) returned here when waves 2-10
-    # took their slots.)
-    "e_sessionize",
-    "a_groupwise_regression",
-    "e_cumulative_users",
-    "t_oov_rate",
-    "t_train_val_test_split",
-    "a_salted_join",
-    "e_event_dedup_first",
-    "d_minhash_estimate_pairs",
-    "p_distributed_percentiles",
-    "p_grouped_median_pandas",
-    "t_text_normalize",
-    "a_yoy_growth",
-    "e_item_cooccurrence",
-    "d_simhash_estimate_pairs",
-    "e_ab_test",
-    "s_except",
-    "s_union_distinct",
-    "s_intersect",
-    "s_distinct_pairs",
-    "g_pivot",
-    "w_ntile_rank_dense",
-    "w_range_frame",
-    "t_line_quality",
-    "d_dup_line_removal",
-    "t_html_to_text",
-    "d_cc_star",
-    "d_incremental_bloom",
-    "a_activity_streaks",
-    "e_churn_risk",
-    "e_power_users",
-    "e_interarrival_stats",
-    "e_daily_active_ratio",
-    "e_first_touch_share",
-    "a_mad_outliers",
-    "a_decile_stats",
-    "a_percent_of_total",
-    "a_corr_pairs_moments",
-    "a_histogram_2d",
-    "a_pareto_share",
-    "a_rollup_time",
-    "w_running_max_drawdown",
-    "j_star_join_chain",
-    "t_bigram_logprob",
-    "t_ngram_novelty",
-    "t_lang_balance",
-    "t_case_profile",
-    "d_url_dedup",
-    "v_topic_balance",
-    # (The whole r4-green cohort moved into the r8 window's freshness
-    # block.) Core reference-parity compiler entries, r3 green rows:
+    # (The whole r5-green cohort moved into the r9 window's freshness
+    # blocks; d_url_dedup / v_topic_balance head this list as the r10
+    # queue.) Core reference-parity compiler entries, r3 green rows:
     "r1_projection",
     "r6_agg_mean",
     "r10_sort_r11_describe_cap",

@@ -964,13 +964,20 @@ _NFC_PRECOMPOSED = " café unit"
     oracle=f"""
     WITH planted AS (
       SELECT source,
-             text || CASE CAST(doc_id % 4 AS INT)
-               WHEN 0 THEN ' cafe' || chr(769) || ' unit'
-               WHEN 1 THEN '{_NFC_PRECOMPOSED}'
-               ELSE '' END AS t
+             regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS base,
+             CAST(doc_id % 4 AS INT) AS m
       FROM documents
     ), n AS (
-      SELECT source, t, nfc_normalize(t) AS nfc FROM planted
+      SELECT source,
+             base || CASE m
+               WHEN 0 THEN ' cafe' || chr(769) || ' unit'
+               WHEN 1 THEN '{_NFC_PRECOMPOSED}'
+               ELSE '' END AS t,
+             base || CASE m
+               WHEN 0 THEN '{_NFC_PRECOMPOSED}'
+               WHEN 1 THEN '{_NFC_PRECOMPOSED}'
+               ELSE '' END AS nfc
+      FROM planted
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -990,18 +997,28 @@ def t_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     treats them as different docs): per source — docs changed by NFC,
     char counts before/after (combining sequences collapse), and an
     md5-family CHECKSUM of the normalized text (decimal(38,0)
-    accumulator — 60-bit terms overflow a long sum) proving the
-    normalized bytes engine-identical. Spark has no built-in
-    normalizer: the Arrow kernel in operators/grouped.py
-    (unicodedata NFC) vs DuckDB's utf8proc nfc_normalize — both UAX
-    #15, byte-identical on assigned codepoints. Planted tails put the
-    decomposed form on doc_id%4==0 and the precomposed twin on ==1
-    (changed vs already-normal)."""
+    accumulator — 60-bit terms overflow a long sum). Gate design
+    (hardened round 9 after the r8 driver red): the oracle NEVER calls
+    a Unicode library — the base text is sanitized to printable ASCII
+    on BOTH engines (ASCII is NFC-stable by construction, on any
+    engine version), so the expected normalized text is derivable from
+    PINNED LITERALS (decomposed tail -> embedded precomposed literal,
+    the same embedded-constant convention operators/retrieval_eval.py
+    uses for log2 discounts). The Spark side still runs the REAL
+    unicodedata Arrow kernel (operators/grouped.py) over the full
+    planted text, so a kernel that normalizes wrongly mismatches the
+    pinned expectation. The r8 gate compared two bundled Unicode
+    implementations (CPython unicodedata vs DuckDB utf8proc) and was
+    env-version-sensitive; full-text unicodedata-vs-utf8proc bit-parity
+    remains pinned in tests/test_unicode_normalize.py. Planted tails
+    put the decomposed form on doc_id%4==0 and the precomposed twin on
+    ==1 (changed vs already-normal)."""
     from g_data_pipeline_spark.operators.grouped import (
         unicode_normalize_udf,
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    base = F.regexp_replace(F.col("text"), "[^\\x20-\\x7e]", "")
     tail = (
         F.when(
             (F.col("doc_id") % 4).cast("int") == 0, F.lit(_NFC_DECOMPOSED)
@@ -1013,7 +1030,7 @@ def t_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = unicode_normalize_udf("NFC")
     n = docs.select(
-        "source", F.concat(F.col("text"), tail).alias("t")
+        "source", F.concat(base, tail).alias("t")
     ).withColumn("nfc", norm(F.col("t")))
     term = F.conv(F.substring(F.md5(F.col("nfc")), 1, 15), 16, 10).cast(
         "decimal(38,0)"
@@ -1049,7 +1066,7 @@ def t_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sig AS (
       SELECT source,
              len(regexp_extract_all(t, '[.!?]')) AS n_sent,
-             CASE WHEN regexp_matches(t, '[.!?] *$') THEN 1 ELSE 0 END
+             CASE WHEN regexp_matches(t, '[.!?] *\\z') THEN 1 ELSE 0 END
                AS ends_term
       FROM planted
     )
@@ -1089,7 +1106,10 @@ def t_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = docs.select(
         "source",
         F.regexp_count(t, F.lit(r"[.!?]")).alias("n_sent"),
-        t.rlike(r"[.!?] *$").cast("int").alias("ends_term"),
+        # \z (absolute end), not $: java.util.regex $ also matches
+        # before a final trailing newline, RE2 $ does not — \z is
+        # identical on both engines (r8 ADVICE).
+        t.rlike(r"[.!?] *\z").cast("int").alias("ends_term"),
     )
     n = F.count(F.lit(1))
     s = F.sum("n_sent") * F.lit(1_000_000)

@@ -120,7 +120,16 @@ class RenameCommitBackend:
 class ConditionalPutCommitBackend:
     """Put-if-absent publisher. ``put_if_absent(final_path, data) ->
     bool`` injects the store call (live S3 client, or a race-injecting
-    fake in tests); default = Hadoop ``create(overwrite=False)``."""
+    fake in tests); default = Hadoop ``create(overwrite=False)``.
+
+    ATOMICITY CAVEAT (r8 ADVICE): the bundled Hadoop default is
+    create-then-write — it is a true conditional PUT only on stores
+    where the object becomes visible atomically AT CLOSE (s3a with
+    ``fs.s3a.create.conditional.enabled``, and the object-store
+    semantics the injectable ``put_if_absent`` wraps). On HDFS/POSIX a
+    crash between ``create`` and ``close`` leaves a torn manifest
+    visible at the final path — use :class:`RenameCommitBackend`
+    (the default) there; rename can never expose a partial file."""
 
     def __init__(self, put_if_absent=None):
         self._put = put_if_absent
@@ -133,8 +142,21 @@ class ConditionalPutCommitBackend:
         jvm, final, fs = _jfs(spark, final_path)
         try:
             out = fs.create(final, False)
-        except Exception:
-            return False  # already exists: lost the conditional put
+        except Exception as exc:
+            # Only an already-exists outcome is a lost race. Persistent
+            # IO errors (permissions, connectivity) must surface —
+            # returning False here would make commit_write's retry loop
+            # spin forever at the same version (r8 ADVICE).
+            marker = f"{type(exc).__name__} {exc}"
+            if "AlreadyExists" in marker or "FileExists" in marker:
+                return False
+            try:
+                lost = bool(fs.exists(final))
+            except Exception:
+                raise exc from None
+            if lost:
+                return False
+            raise
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:

@@ -53,3 +53,13 @@ def test_order_preserved_after_cuts(spark):
     )
     assert got[2].cleaned == f"z{SEP}m{SEP}q"
     assert got[2].n_removed == 2
+
+
+def test_null_text_doc_keeps_its_row(spark):
+    """split(NULL) is NULL and posexplode would silently drop the doc —
+    NULL text must coalesce to '' so the one-row-per-input-doc contract
+    holds (r8 ADVICE)."""
+    got = _run(spark, [(1, "real body"), (2, None)])
+    assert set(got) == {1, 2}
+    assert got[2].n_paragraphs == 1
+    assert got[2].cleaned == "" and got[2].n_removed == 0

@@ -74,6 +74,112 @@ def test_driver_window_outputs_are_scalar_only(spark):
     assert offenders == {}
 
 
+# --- Round-9 oracle-portability lint (r8 verdict #2) ------------------------
+#
+# The one red driver cell in eight rounds (t_unicode_normalize, r8) was an
+# oracle that leaned on a bundled C library's Unicode tables (DuckDB's
+# utf8proc nfc_normalize) instead of pure arithmetic/regex/hash/string
+# algebra — engine-VERSION-sensitive even when both engines are "correct".
+# This lint turns that failure mode into a CI failure: every in-window
+# oracle may only call functions from the engine-stable allowlist below,
+# and the bundled-library denylist may appear in NO oracle anywhere.
+#
+# Allowlist policy: a function qualifies when its result is fully determined
+# by a published algorithm over the input bytes (arithmetic, regex via RE2/
+# java.util.regex shared-subset idioms, md5/hash algebra, string/list ops,
+# SQL window/aggregate semantics) — never by a bundled locale/Unicode/ICU
+# data table that drifts across library versions.
+_ORACLE_STABLE_FUNCTIONS = frozenset(
+    """
+    abs array_join array_to_string avg bin bit_count cast ceil chr coalesce
+    concat concat_ws count cume_dist date_diff date_trunc datediff day
+    dense_rank epoch_us extract filter first_value floor generate_series
+    generate_subscripts greatest grouping if_exists json_extract
+    json_extract_string lag last_day last_value lead least len length
+    levenshtein list_distinct list_filter list_intersect list_max list_min
+    list_reduce list_sort list_slice list_sum list_transform ln log2 lower
+    lpad make_timestamp max md5 min min_by month nth_value ntile nullif
+    percent_rank quantile_cont quarter range rank regexp_extract
+    regexp_extract_all regexp_matches regexp_replace
+    regexp_split_to_array repeat replace reverse right round row_number
+    split_part sqrt string_agg string_split string_split_regex substr
+    substring sum translate trim unnest upper year
+    """.split()
+)
+
+# SQL keywords / alias artifacts the call-site regex also captures
+# (e.g. `WHEN CAST(`, `FROM (`, `AS t(b)`, struct-field names) — not
+# function calls; kept separate so the allowlist stays honest.
+_ORACLE_LINT_NOISE = frozenset(
+    """
+    and as b between by copyright cube decimal exists fk from group having
+    in in_range in_set join lateral list logprob not not_null on or over
+    priority_format rollup select sets then unique unpivot using walk when
+    where xor
+    """.split()
+)
+
+# Bundled-library surfaces that must never appear in ANY oracle: their
+# output depends on the oracle engine's bundled Unicode/locale data
+# version, not on a shared published algorithm.
+_ORACLE_DENYLIST = frozenset(
+    {
+        "nfc_normalize",
+        "nfd_normalize",
+        "nfkc_normalize",
+        "strip_accents",
+        "unaccent",
+        "icu_sort_key",
+        "collate",
+        "strftime",  # locale-dependent month/day names
+        "random",
+        "now",
+        "current_date",
+        "current_timestamp",
+    }
+)
+
+
+def _oracle_called_identifiers(sql: str) -> set[str]:
+    import re
+
+    no_strings = re.sub(r"'(?:[^']|'')*'", "''", sql)
+    return {
+        m.lower()
+        for m in re.findall(r"\b([a-zA-Z_][a-zA-Z0-9_]*)\s*\(", no_strings)
+    }
+
+
+def test_window_oracles_portability_lint():
+    """In-window oracles draw only from the engine-stable allowlist —
+    flagging a bundled-library call before it can enter the window."""
+    from g_data_pipeline_spark.queries import _DRIVER_WINDOW
+
+    known = _ORACLE_STABLE_FUNCTIONS | _ORACLE_LINT_NOISE
+    offenders = {}
+    for name in _DRIVER_WINDOW:
+        unknown = _oracle_called_identifiers(REGISTRY[name].oracle) - known
+        if unknown:
+            offenders[name] = sorted(unknown)
+    assert offenders == {}, (
+        "window oracle calls functions outside the engine-stable "
+        f"allowlist (add only after judging version-stability): {offenders}"
+    )
+
+
+def test_no_oracle_uses_denylisted_functions():
+    """No oracle anywhere may call a bundled-Unicode/locale/clock surface
+    (the r8 t_unicode_normalize failure mode)."""
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        hit = _oracle_called_identifiers(spec.oracle) & _ORACLE_DENYLIST
+        if hit:
+            offenders[name] = sorted(hit)
+    assert offenders == {}
+
+
 # Round-4 post-window registrations queued for the r5 driver window
 # (ROTATION.md "Round-5 rotation queue"). Pinned here so every queue entry
 # is promotion-eligible BEFORE the repack: oracle present + scalar-only
