@@ -26,6 +26,22 @@ STOPWORDS = {
     "es": ("el", "la", "los", "las", "es", "un", "una", "en", "por", "que"),
 }
 
+# Round 9 (r8 verdict #6): per-language stopword tables for lang-ROUTED
+# quality scoring — the quality score's stopword signal was blind outside
+# English right after token counts went CJK-aware. STOPWORDS above stays
+# the lang-ID marker table (its gated queries are byte-identical);
+# STOPWORDS_QUALITY is the routing superset: en/de/fr/es tuples are THE
+# SAME OBJECTS (defaults never move — the CJK-mode discipline), plus
+# small public function-word sets for the next top crawl languages.
+# ASCII-only words so \b behaves identically in java.util.regex and RE2
+# (both are ASCII-word-boundary on these classes by default).
+STOPWORDS_QUALITY = {
+    **STOPWORDS,
+    "it": ("il", "lo", "la", "che", "di", "per", "non", "sono", "con", "una"),
+    "pt": ("o", "os", "as", "de", "que", "em", "para", "com", "uma", "por"),
+    "nl": ("de", "het", "een", "en", "van", "dat", "die", "niet", "met", "voor"),
+}
+
 PUNCT_CLASS = r"[.!?,;:]"
 # BPE-ish token regex: word pieces or single non-space symbols.
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -106,12 +122,39 @@ def _word_regex(words: tuple[str, ...]) -> str:
 
 
 def stopword_count(col: Column | str, lang: str = "en") -> Column:
+    """Stopword hits under ``lang``'s table (STOPWORDS_QUALITY — the
+    routing superset; en/de/fr/es are byte-identical to STOPWORDS)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(F.lower(c), F.lit(_word_regex(STOPWORDS[lang])))
+    return F.regexp_count(
+        F.lower(c), F.lit(_word_regex(STOPWORDS_QUALITY[lang]))
+    )
 
 
-def quality_features(col: Column | str) -> dict[str, Column]:
-    """Deterministic quality signals for training-data filtering."""
+def routed_stopword_count(col: Column | str, lang_col: Column) -> Column:
+    """Row-level language-ROUTED stopword count: each row is scored
+    against the stopword table named by ``lang_col`` (typically
+    :func:`lang_id_extended` output); unknown/unlisted languages fall
+    back to the en table. One regexp_count per table, selected by a
+    CASE cascade — scan-stage, zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    expr = F.regexp_count(
+        lowered, F.lit(_word_regex(STOPWORDS_QUALITY["en"]))
+    )
+    for lang, words in STOPWORDS_QUALITY.items():
+        if lang == "en":
+            continue
+        expr = F.when(
+            lang_col == lang,
+            F.regexp_count(lowered, F.lit(_word_regex(words))),
+        ).otherwise(expr)
+    return expr
+
+
+def quality_features(col: Column | str, lang: str = "en") -> dict[str, Column]:
+    """Deterministic quality signals for training-data filtering.
+    ``lang`` routes the stopword signal's table (default en —
+    byte-identical to the historical behavior)."""
     c = F.col(col) if isinstance(col, str) else col
     n_chars = F.length(c)
     n_tokens = token_count(c)
@@ -132,16 +175,17 @@ def quality_features(col: Column | str) -> dict[str, Column]:
             n_chars > 0, F.regexp_count(c, F.lit(r"[A-Z]")) / n_chars
         ),
         "stopword_ratio": F.when(
-            n_tokens > 0, stopword_count(c, "en") / n_tokens
+            n_tokens > 0, stopword_count(c, lang) / n_tokens
         ),
     }
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, lang: str = "en") -> Column:
     """Single [0,1]-ish score: rewards mid-length docs with healthy stopword
     density, penalizes digit/punct soup. Fixed weights, fully deterministic.
+    ``lang`` routes the stopword table (default en, byte-identical).
     """
-    f = quality_features(col)
+    f = quality_features(col, lang)
     length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
     return (
         F.lit(0.4) * length_term
@@ -176,6 +220,27 @@ def lang_id(col: Column | str, default: str = "unknown") -> Column:
     when no signal at all."""
     scores = lang_scores(col)
     order = ["en", "de", "fr", "es", "zh"]  # deterministic tie-break order
+    best = F.greatest(*[scores[k] for k in order])
+    expr = F.lit(default)
+    for lang in reversed(order):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_extended(col: Column | str, default: str = "unknown") -> Column:
+    """lang_id over the ROUTING superset (STOPWORDS_QUALITY + zh by
+    script) — the detector that feeds :func:`routed_stopword_count`.
+    Same argmax/tie-break semantics as :func:`lang_id` (first language
+    in the fixed order whose score equals the max wins); the original
+    5-language lang_id and its gated queries are untouched."""
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    scores = {
+        lang: F.regexp_count(lowered, F.lit(_word_regex(words)))
+        for lang, words in STOPWORDS_QUALITY.items()
+    }
+    scores["zh"] = F.regexp_count(c, F.lit(r"[一-鿿]"))
+    order = ["en", "de", "fr", "es", "it", "pt", "nl", "zh"]
     best = F.greatest(*[scores[k] for k in order])
     expr = F.lit(default)
     for lang in reversed(order):

@@ -20,6 +20,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PARA_SEP = "\n\n"
+LINE_SEP = "\n"
+
+
+def _explode_units(
+    df: DataFrame, id_col: str, text_col: str, sep: str, unit_name: str
+) -> DataFrame:
+    """(id, pos, <unit>) rows — one per separator-delimited unit.
+    ``sep`` must be a regex-free literal (it is reused verbatim as the
+    reassembly joiner). NULL text coalesces to '' so every input doc
+    contributes at least one (empty) unit (r8 ADVICE)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("pos", unit_name),
+    )
 
 
 def dedup_paragraphs(
@@ -43,12 +59,7 @@ def dedup_paragraphs(
     and posexplode would silently drop the doc, breaking the
     one-row-per-input-doc contract — r8 ADVICE); a NULL-text doc
     therefore contributes one empty paragraph, like an empty doc."""
-    paras = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), PARA_SEP)
-        ).alias("pos", "para"),
-    )
+    paras = _explode_units(df, id_col, text_col, PARA_SEP, "para")
     w = Window.partitionBy(F.md5(F.col("para"))).orderBy("id", "pos")
     ranked = paras.withColumn("__rk", F.row_number().over(w))
     kept_agg = (
@@ -75,3 +86,58 @@ def dedup_paragraphs(
         )
     )
     return df.select(F.col(id_col).alias("id")).join(kept_agg, "id")
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = LINE_SEP,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate-line REMOVAL — CCNet's actual rule
+    (Wenzek et al. '20 §3.1: drop lines that occur verbatim in many
+    documents — navigation menus, cookie banners, subscribe footers;
+    the reporting half is query_defs/curation5.py d_boilerplate_lines).
+    Unlike :func:`dedup_paragraphs`' first-occurrence-wins contract,
+    EVERY occurrence of a unit appearing in >= ``min_docs`` DISTINCT
+    docs is cut (the first doc is no more legitimate an owner of a
+    cookie banner than the last).
+
+    Returns one row per input doc: ``(id, n_lines, n_removed,
+    cleaned)`` — ``cleaned`` is the surviving units rejoined with
+    ``sep`` ('' for a fully-boilerplate doc, pinned on both engines).
+
+    Scale shape: one posexplode, one md5(unit)-keyed COUNT(DISTINCT id)
+    aggregate (two-phase partial agg), one content-keyed join back, one
+    per-doc rollup — never all-pairs; the frequency side is bounded by
+    the number of distinct lines, not docs x lines. ``sep`` is a
+    regex-free literal (split pattern + reassembly joiner)."""
+    units = _explode_units(df, id_col, text_col, sep, "line").withColumn(
+        "h", F.md5(F.col("line"))
+    )
+    freq = units.groupBy("h").agg(
+        F.count_distinct("id").alias("__nd")
+    )
+    flagged = units.join(freq, "h")
+    out = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum((F.col("__nd") >= min_docs).cast("int"))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__nd") < min_docs,
+                            F.struct("pos", "line"),
+                        )
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("cleaned"),
+    )
+    return df.select(F.col(id_col).alias("id")).join(out, "id")

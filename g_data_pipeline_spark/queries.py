@@ -104,7 +104,16 @@ _DRIVER_WINDOW = (
     # expected output engine-independent. New round-9 oracle operators
     # register here the wave they land (ROTATION.md rule 3), each
     # paid by demoting the BOTTOM entry of block (4).
+    # Wave 1: d_boilerplate_removal — CCNet >=3-doc line removal
+    # transform, byte-for-byte reassembly gate (verdict #4; slot paid
+    # by demoting t_case_profile — it keeps its r5 green row and heads
+    # the r10 queue).
+    # Wave 2: t_stopword_profile — language-routed stopword quality
+    # signal over the STOPWORDS_QUALITY superset (verdict #6; slot
+    # paid by demoting t_lang_balance — r5 row, r10 queue).
     "t_unicode_normalize",
+    "d_boilerplate_removal",
+    "t_stopword_profile",
     # -- (2) SURVEY §2 core representatives (one per round, standing).
     "q1_pricing_summary",
     "p_numeric_stats",
@@ -160,18 +169,18 @@ _DRIVER_WINDOW = (
     "j_star_join_chain",
     "t_bigram_logprob",
     "t_ngram_novelty",
-    "t_lang_balance",
-    "t_case_profile",
 )
 
 # Queries promoted right after the pinned window (in this order);
 # bench.py and driver_sim still grade them every run.
 _ANALYTICS_HEAD = (
     # r10 freshness-queue head: the two r5-green entries that did not
-    # fit the r9 window (plus any round-9 block-(4) demotions, which
-    # are appended here as waves land).
+    # fit the r9 window (plus round-9 block-(4) demotions, appended
+    # as waves land).
     "d_url_dedup",
     "v_topic_balance",
+    "t_case_profile",
+    "t_lang_balance",
     # Demoted from the r8 window for the round-9 repack — every one
     # holds a fresh r8 green row (ROTATION.md): the nine r8 first-green
     # gates, the eight r3-cohort refreshes, and the 29-entry r4 cohort.
