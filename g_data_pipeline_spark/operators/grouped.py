@@ -84,15 +84,61 @@ def compression_ratio_udf():
     return zlib_ratio
 
 
+def _lcs_rolling_py(la: list, lb: list) -> int:
+    """Pure-Python rolling-row LCS DP (the historical kernel body; kept
+    as the small-pair fast path and the numpy twin's parity reference).
+    Precondition: len(la) <= len(lb), la non-empty."""
+    prev = [0] * (len(la) + 1)
+    for tok in lb:
+        cur = [0]
+        for j, t in enumerate(la, 1):
+            cur.append(prev[j - 1] + 1 if t == tok else max(cur[-1], prev[j]))
+        prev = cur
+    return prev[-1]
+
+
+def _lcs_rolling_np(la: list, lb: list) -> int:
+    """numpy row-vectorized LCS DP (r8 verdict #7 — the LCS kernel was
+    the most Python-heavy code in the repo): tokens are first mapped to
+    integer codes (np.unique over the pair's joint vocabulary), then
+    each DP row updates in three whole-row numpy ops via the standard
+    reformulation  cur = cummax(max(prev[1:], eq ? prev[:-1]+1 : 0))  —
+    valid because LCS DP rows are monotone nondecreasing, so folding
+    the cur[j-1] dependency into a running max is exact (bit-parity
+    with _lcs_rolling_py pinned in tests/test_rouge.py, including
+    hypothesis-random sequences). Same O(len_a*len_b) work, C-speed
+    inner row. Precondition: len(la) <= len(lb), la non-empty."""
+    import numpy as np
+
+    both = np.asarray(la + lb, dtype=object)
+    _, codes = np.unique(both, return_inverse=True)
+    ca, cb = codes[: len(la)], codes[len(la) :]
+    prev = np.zeros(len(la) + 1, dtype=np.int64)
+    cur = np.zeros_like(prev)
+    for code in cb:
+        d = np.maximum(prev[1:], np.where(ca == code, prev[:-1] + 1, 0))
+        np.maximum.accumulate(d, out=cur[1:])
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+# Below this joint size the per-pair numpy setup (np.unique, array
+# allocation) costs more than the pure loop saves; blocked ROUGE-L
+# candidates are often short, so both paths stay live.
+_LCS_NUMPY_MIN_CELLS = 1024
+
+
 def lcs_length_udf(max_tokens: int = 256):
     """Vectorized token-LCS length kernel (two array<string> columns ->
     long): the exact dynamic program behind ROUGE-L (Lin '04), the
     dedup metric Self-Instruct (Wang et al. '22) applies to instruction
-    corpora. O(len_a * len_b) per pair over a rolling DP row; both
-    sides are truncated to ``max_tokens`` (a documented bound — ROUGE-L
-    dedup of instructions operates on short texts; candidate PAIRING
-    happens JVM-side first, this kernel only ever sees blocked
-    candidates — operators/rouge.py)."""
+    corpora. O(len_a * len_b) per pair; large pairs run the numpy
+    row-vectorized DP (_lcs_rolling_np), small ones the plain rolling
+    loop — both exact and bit-identical. Both sides are truncated to
+    ``max_tokens`` (a documented bound — ROUGE-L dedup of instructions
+    operates on short texts; candidate PAIRING happens JVM-side first,
+    this kernel only ever sees blocked candidates —
+    operators/rouge.py)."""
 
     @F.pandas_udf("long")
     def lcs_len(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -107,15 +153,10 @@ def lcs_length_udf(max_tokens: int = 256):
             if not la:
                 out.append(0)
                 continue
-            prev = [0] * (len(la) + 1)
-            for tok in lb:
-                cur = [0]
-                for j, t in enumerate(la, 1):
-                    cur.append(
-                        prev[j - 1] + 1 if t == tok else max(cur[-1], prev[j])
-                    )
-                prev = cur
-            out.append(prev[-1])
+            if len(la) * len(lb) >= _LCS_NUMPY_MIN_CELLS:
+                out.append(_lcs_rolling_np(la, lb))
+            else:
+                out.append(_lcs_rolling_py(la, lb))
         return pd.Series(out, dtype="int64")
 
     return lcs_len

@@ -102,6 +102,59 @@ def d_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d_paragraph_neardup: fuzzy (banded-MinHash) paragraph dedup (r8 verdict #8)
+# ---------------------------------------------------------------------------
+
+
+@register("d_paragraph_neardup")
+def d_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY paragraph dedup (operators/fuzzy_paragraphs.py): banded
+    MinHash at paragraph granularity catches near-identical boilerplate
+    VARIANTS that r8's exact paragraph dedup misses — here a planted
+    footer whose page counter varies per doc (byte-different in every
+    doc, ~0.78 pairwise Jaccard under 3-token shingles). Per source:
+    docs, paragraphs, variants removed, docs touched. Rows-only BY
+    DESIGN like d_incremental_minhash (banding-decides, no pairwise
+    verification; the banding algebra holds its oracle row via
+    d_minhash_lsh_pairs) — variant-footer removal, replay stability,
+    and the one-shot/incremental twin are pinned in
+    tests/test_fuzzy_paragraphs.py. All wide ops key on (band, bucket)
+    content or doc id; pid packing bounds: < 2^20 paragraphs/doc."""
+    from g_data_pipeline_spark.operators.fuzzy_paragraphs import (
+        neardup_paragraph_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    footer = F.concat(
+        F.lit(
+            "copyright example news network all rights reserved "
+            "reproduction without permission is strictly prohibited "
+            "contact the editorial desk for syndication page "
+        ),
+        (F.col("doc_id") % 97).cast("string"),
+    )
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), F.lit("\n\n"), footer).alias("text"),
+    )
+    cleaned = neardup_paragraph_dedup(planted, "doc_id", "text")
+    return (
+        planted.select(F.col("doc_id").alias("id"), "source")
+        .join(cleaned, "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_paragraphs").cast("long").alias("n_paragraphs"),
+            F.sum("n_removed").cast("long").alias("n_removed"),
+            F.sum((F.col("n_removed") > 0).cast("int"))
+            .cast("long")
+            .alias("n_docs_touched"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # t_stopword_profile: language-ROUTED stopword quality signal (r8 verdict #6)
 # ---------------------------------------------------------------------------
 

@@ -104,3 +104,41 @@ def test_kernel_matches_python_twin(spark):
     for (ia, ib), lcs in got.items():
         assert lcs == python_lcs(texts[ia].split(), texts[ib].split())
     assert got, "random same-vocab docs must produce candidates"
+
+
+@given(
+    st.lists(st.sampled_from("abcd"), max_size=60),
+    st.lists(st.sampled_from("abcd"), max_size=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_numpy_dp_bit_parity_with_python_twin(a, b):
+    """The r9 numpy row-vectorized DP is bit-identical to the pure
+    rolling loop on random sequences (the cummax reformulation's
+    exactness pin) — including forced runs below/above the size cutoff."""
+    from g_data_pipeline_spark.operators.grouped import (
+        _lcs_rolling_np,
+        _lcs_rolling_py,
+    )
+
+    la, lb = (a, b) if len(a) <= len(b) else (b, a)
+    if not la:
+        return
+    assert _lcs_rolling_np(la, lb) == _lcs_rolling_py(la, lb) == python_lcs(a, b)
+
+
+def test_numpy_dp_on_long_adversarial_pairs():
+    """Above-cutoff shapes: identical long texts, disjoint texts, and a
+    shared subsequence buried in noise."""
+    from g_data_pipeline_spark.operators.grouped import (
+        _LCS_NUMPY_MIN_CELLS,
+        _lcs_rolling_np,
+        _lcs_rolling_py,
+    )
+
+    same = ["tok%d" % (i % 7) for i in range(120)]
+    other = ["z%d" % i for i in range(120)]
+    woven = [x for pair in zip(same, other) for x in pair]
+    for la, lb in ((same, same), (same, other), (same, woven)):
+        la, lb = (la, lb) if len(la) <= len(lb) else (lb, la)
+        assert len(la) * len(lb) >= _LCS_NUMPY_MIN_CELLS
+        assert _lcs_rolling_np(la, lb) == _lcs_rolling_py(la, lb)

@@ -198,3 +198,147 @@ def test_vocab_coverage_curve_matches_python_exact(spark):
     sizes = [got[int(p * 1e6)][0] for p in pcts]
     assert sizes == sorted(sizes)
     assert sizes[1] < got[990000][2]
+
+
+def test_hf_tokenizer_json_roundtrip_bpe(spark, tmp_path):
+    """HF tokenizer.json interop (r8 verdict #5), mirroring the
+    merges.txt pins: save -> load is identity on the merge list, the
+    loaded model drives bpe_encode to byte-identical counts, and the
+    exported vocab follows the merge-rank id convention."""
+    from g_data_pipeline_spark.operators.hf_tokenizer import (
+        bpe_vocab_from_merges,
+        load_hf_bpe,
+        load_hf_model,
+        save_hf_bpe,
+    )
+    from g_data_pipeline_spark.operators.tokenizer import (
+        learn_bpe,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe(word_counts(docs, "text"), num_merges=20)
+    path = str(tmp_path / "tokenizer.json")
+    save_hf_bpe(merges, path)
+    assert load_hf_bpe(path) == merges
+    assert load_hf_model(path) == ("bpe", merges)
+
+    learned = sorted(
+        tuple(r) for r in bpe_encode(docs, "doc_id", "text", merges).collect()
+    )
+    loaded = sorted(
+        tuple(r)
+        for r in bpe_encode(docs, "doc_id", "text", load_hf_bpe(path)).collect()
+    )
+    assert learned == loaded
+
+    vocab = bpe_vocab_from_merges(merges)
+    # ids: unk=0, alphabet sorted, then merge products in rank order
+    assert vocab["<unk>"] == 0
+    n_alpha = len(vocab) - 1 - len(merges)
+    for i, (a, b) in enumerate(merges):
+        assert vocab[a + b] == 1 + n_alpha + i
+    # deterministic: a re-export is byte-identical
+    path2 = str(tmp_path / "tokenizer2.json")
+    save_hf_bpe(merges, path2)
+    assert open(path).read() == open(path2).read()
+
+
+def test_hf_tokenizer_json_external_file_and_pair_merges(spark, tmp_path):
+    """A hand-written external tokenizer.json (as another tool would
+    produce it — including the tokenizers>=0.20 pair-list merge form)
+    drives bpe_encode with no training pass, and a brought tokenizer
+    feeds pack_sequences through tokens_col (the
+    bring-your-own-tokenizer budget/packing loop)."""
+    import json
+
+    from g_data_pipeline_spark.operators.hf_tokenizer import load_hf_bpe
+    from g_data_pipeline_spark.operators.packing import pack_sequences
+
+    ext = str(tmp_path / "external.json")
+    with open(ext, "w") as f:
+        json.dump(
+            {
+                "version": "1.0",
+                "model": {
+                    "type": "BPE",
+                    "vocab": {},
+                    "merges": [["l", "o"], ["lo", "w"], ["low", "</w>"]],
+                },
+            },
+            f,
+        )
+    ext_merges = load_hf_bpe(ext)
+    assert ext_merges == [("l", "o"), ("lo", "w"), ("low", "</w>")]
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    counted = bpe_encode(docs, "doc_id", "text", ext_merges)
+    with_counts = docs.join(
+        counted.withColumnRenamed("id", "doc_id"), "doc_id"
+    ).withColumn("grp", F.lit("all"))
+    packed = pack_sequences(
+        with_counts,
+        "doc_id",
+        "text",
+        "grp",
+        capacity=8,
+        tokens_col="n_bpe_tokens",
+    )
+    rows = {r.doc_id: r for r in packed.collect()}
+    assert set(rows) == {1, 2}
+    # packing positions follow the BROUGHT tokenizer's counts exactly:
+    # doc 2 starts where doc 1's external-table token run ends.
+    counts = {r.id: r.n_bpe_tokens for r in counted.collect()}
+    assert (rows[1].bin_id, rows[1].bin_offset) == (0, 0)
+    assert rows[2].bin_id == counts[1] // 8
+    assert rows[2].bin_offset == counts[1] % 8
+
+
+def test_hf_tokenizer_json_roundtrip_unigram(tmp_path):
+    """Unigram model save -> load is identity (up to float repr) and
+    viterbi_segment under the loaded model matches the trained one."""
+    from g_data_pipeline_spark.operators.hf_tokenizer import (
+        load_hf_model,
+        load_hf_unigram,
+        save_hf_unigram,
+    )
+    from g_data_pipeline_spark.operators.unigram_lm import (
+        train_unigram,
+        viterbi_segment,
+    )
+
+    counts = [("lowest", 5), ("lower", 4), ("low", 6), ("newest", 3)]
+    model = train_unigram(counts, vocab_size=30)
+    path = str(tmp_path / "unigram.json")
+    save_hf_unigram(model, path)
+    loaded = load_hf_unigram(path)
+    assert loaded == model  # json round-trips python floats exactly
+    kind, via_dispatch = load_hf_model(path)
+    assert kind == "unigram" and via_dispatch == model
+    for w, _ in counts:
+        assert viterbi_segment(w, loaded) == viterbi_segment(w, model)
+
+
+def test_hf_tokenizer_json_rejects_wrong_type(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from g_data_pipeline_spark.operators.hf_tokenizer import (
+        load_hf_bpe,
+        load_hf_unigram,
+    )
+
+    path = str(tmp_path / "t.json")
+    with open(path, "w") as f:
+        json.dump({"model": {"type": "WordPiece", "vocab": {}}}, f)
+    with _pytest.raises(ValueError):
+        load_hf_bpe(path)
+    with _pytest.raises(ValueError):
+        load_hf_unigram(path)
