@@ -187,3 +187,54 @@ def dedup_lines_exploded(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def c4_gopher_line_rules(
+    docs: DataFrame, lines: Column, *, id_col: str = "doc_id",
+    text_col: str = "text", keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document C4/Gopher LINE-rule signals (round 9): the line-
+    granular keep rules C4 applies (Raffel '20 §2.2 — drop lines
+    mentioning javascript; page flags for 'lorem ipsum' and curly
+    braces) plus the Gopher format page-gates (Rae '21 table A1 — drop
+    pages where >90% of lines start with a bullet or >30% end with an
+    ellipsis). Returns one row per doc:
+
+        (id, [keep_cols...], n_lines, n_bullet_start, n_ellipsis_end,
+         n_javascript, has_lorem_ipsum, has_brace,
+         bullet_heavy, ellipsis_heavy)
+
+    with the heavy flags integer-cross-multiplied (no float ratio on a
+    gated path). ALL line work is array-local (size(filter(...)) over a
+    STAGED line array — one evaluation of the chunker per row, the
+    round-6 HOF-capture lesson) — zero explode, zero shuffle."""
+    staged = docs.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.lower(F.col(text_col)).alias("__lt"),
+        lines.alias("__lines"),
+    )
+    lns = F.col("__lines")
+    n_lines = F.size(lns)
+    n_bullet = F.size(F.filter(lns, lambda l: l.rlike(r"^[-*] ")))
+    n_ellipsis = F.size(F.filter(lns, lambda l: l.rlike(r"\.\.\.\z")))
+    n_js = F.size(
+        F.filter(lns, lambda l: F.lower(l).rlike("javascript"))
+    )
+    return staged.select(
+        id_col,
+        *keep_cols,
+        n_lines.cast("long").alias("n_lines"),
+        n_bullet.cast("long").alias("n_bullet_start"),
+        n_ellipsis.cast("long").alias("n_ellipsis_end"),
+        n_js.cast("long").alias("n_javascript"),
+        F.col("__lt").rlike("lorem ipsum").cast("int").alias(
+            "has_lorem_ipsum"
+        ),
+        F.col("__lt").rlike("[{]").cast("int").alias("has_brace"),
+        (n_bullet * F.lit(10) > n_lines * F.lit(9)).cast("int").alias(
+            "bullet_heavy"
+        ),
+        (n_ellipsis * F.lit(10) > n_lines * F.lit(3)).cast("int").alias(
+            "ellipsis_heavy"
+        ),
+    )

@@ -111,9 +111,23 @@ _DRIVER_WINDOW = (
     # Wave 2: t_stopword_profile — language-routed stopword quality
     # signal over the STOPWORDS_QUALITY superset (verdict #6; slot
     # paid by demoting t_lang_balance — r5 row, r10 queue).
+    # Wave 3: t_blocklist_gate — C4 word-blocklist page filter, the
+    # text-side twin of the URL-token filter (slot paid by demoting
+    # t_ngram_novelty — r5 row, r10 queue).
+    # Wave 4: t_line_rules — C4 line keeps (javascript/lorem/brace) +
+    # Gopher bullet/ellipsis format page-gates over the chunked line
+    # view (slot paid by demoting t_bigram_logprob — r5 row, r10
+    # queue).
+    # Wave 5: t_gopher_outliers — Gopher document-level length/shape
+    # gates (word-count band, mean word length, symbol ratio, alpha
+    # share; slot paid by demoting j_star_join_chain — r5 row, r10
+    # queue).
     "t_unicode_normalize",
     "d_boilerplate_removal",
     "t_stopword_profile",
+    "t_blocklist_gate",
+    "t_line_rules",
+    "t_gopher_outliers",
     # -- (2) SURVEY §2 core representatives (one per round, standing).
     "q1_pricing_summary",
     "p_numeric_stats",
@@ -166,9 +180,6 @@ _DRIVER_WINDOW = (
     "a_pareto_share",
     "a_rollup_time",
     "w_running_max_drawdown",
-    "j_star_join_chain",
-    "t_bigram_logprob",
-    "t_ngram_novelty",
 )
 
 # Queries promoted right after the pinned window (in this order);
@@ -181,6 +192,9 @@ _ANALYTICS_HEAD = (
     "v_topic_balance",
     "t_case_profile",
     "t_lang_balance",
+    "t_ngram_novelty",
+    "t_bigram_logprob",
+    "j_star_join_chain",
     # Demoted from the r8 window for the round-9 repack — every one
     # holds a fresh r8 green row (ROTATION.md): the nine r8 first-green
     # gates, the eight r3-cohort refreshes, and the 29-entry r4 cohort.

@@ -102,6 +102,289 @@ def d_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t_blocklist_gate: C4 "bad words" page filter
+# ---------------------------------------------------------------------------
+
+
+def _blocklist_oracle() -> str:
+    from g_data_pipeline_spark.functions.blocklist import blocklist_regex
+
+    rx = blocklist_regex()
+    return f"""
+    WITH planted AS (
+      SELECT source,
+             text || CASE CAST(doc_id % 11 AS INT)
+               WHEN 0 THEN ' this miracle cure works instantly'
+               WHEN 1 THEN ' claim your casino bonus and payday loan now'
+               WHEN 2 THEN ' enjoyable casino nights and payday advances'
+               ELSE '' END AS t
+      FROM documents
+    ), sig AS (
+      SELECT source,
+             len(regexp_extract_all(lower(t), '{rx}')) AS hits
+      FROM planted
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(SUM(hits) AS BIGINT) AS total_hits,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS blocked_micro
+    FROM sig GROUP BY source
+    """
+
+
+@register("t_blocklist_gate", oracle=_blocklist_oracle())
+def t_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 word-blocklist page gate (functions/blocklist.py; Raffel '20
+    §2.2 — ONE blocklisted term drops the page; the text-side twin of
+    the r7 URL-token filter). Planted tails: doc_id%11==0 hits one
+    term, ==1 hits two (counted separately in total_hits), ==2 plants
+    NEAR-MISSES ('casino nights', 'payday advances' — the phrase/word-
+    boundary exactness negatives, the synthetic-gate convention). Per
+    source: docs, blocked docs, total hits, blocked micro rate.
+    Zero-shuffle scan stage + one rollup; the word list is an ASCII
+    literal shared verbatim by both engines."""
+    from g_data_pipeline_spark.functions.blocklist import blocklist_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 11).cast("int")
+    tail = (
+        F.when(m == 0, F.lit(" this miracle cure works instantly"))
+        .when(m == 1, F.lit(" claim your casino bonus and payday loan now"))
+        .when(m == 2, F.lit(" enjoyable casino nights and payday advances"))
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "source", F.concat(F.col("text"), tail).alias("text")
+    )
+    return blocklist_report(planted, "text", ["source"])
+
+
+# ---------------------------------------------------------------------------
+# t_line_rules: C4 line keeps + Gopher format page-gates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_line_rules",
+    oracle=r"""
+    WITH planted AS (
+      SELECT source,
+             CASE WHEN CAST(doc_id % 8 AS INT) = 0 THEN '- ' ELSE '' END
+             || text
+             || CASE CAST(doc_id % 8 AS INT)
+               WHEN 1 THEN ' read the full story ...'
+               WHEN 2 THEN ' please enable javascript to view comments.'
+               WHEN 3 THEN ' lorem ipsum dolor sit amet'
+               WHEN 4 THEN ' window.onload = function() {'
+               ELSE '' END AS t
+      FROM documents
+    ), toks AS (
+      SELECT source, t, string_split_regex(trim(t), '\s+') AS tk
+      FROM planted
+    ), linesv AS (
+      SELECT source, lower(t) AS lt,
+             list_transform(
+               range(0, CAST(floor((len(tk) + 9) / 10.0) AS INT)),
+               i -> array_to_string(list_slice(tk, i * 10 + 1, i * 10 + 10),
+                                    ' ')) AS lines
+      FROM toks
+    ), sig AS (
+      SELECT source,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(l, '^[-*] ')))
+               AS n_bullet,
+             len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\z')))
+               AS n_ellipsis,
+             len(list_filter(lines,
+                             l -> regexp_matches(lower(l), 'javascript')))
+               AS n_js,
+             CASE WHEN regexp_matches(lt, 'lorem ipsum') THEN 1 ELSE 0 END
+               AS lorem,
+             CASE WHEN regexp_matches(lt, '[{]') THEN 1 ELSE 0 END AS brace,
+             CASE WHEN len(list_filter(lines,
+                    l -> regexp_matches(l, '^[-*] '))) * 10
+                    > len(lines) * 9 THEN 1 ELSE 0 END AS bullet_heavy,
+             CASE WHEN len(list_filter(lines,
+                    l -> regexp_matches(l, '\.\.\.\z'))) * 10
+                    > len(lines) * 3 THEN 1 ELSE 0 END AS ellipsis_heavy
+      FROM linesv
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(n_bullet) AS BIGINT) AS n_bullet_start,
+           CAST(SUM(n_ellipsis) AS BIGINT) AS n_ellipsis_end,
+           CAST(SUM(n_js) AS BIGINT) AS n_javascript,
+           CAST(SUM(lorem) AS BIGINT) AS n_lorem_docs,
+           CAST(SUM(brace) AS BIGINT) AS n_brace_docs,
+           CAST(SUM(bullet_heavy) AS BIGINT) AS n_bullet_heavy,
+           CAST(SUM(ellipsis_heavy) AS BIGINT) AS n_ellipsis_heavy
+    FROM sig GROUP BY source
+    """,
+)
+def t_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-rule + Gopher format-gate report
+    (operators/lines.c4_gopher_line_rules): bullet-start lines, lines
+    ending in an ellipsis, javascript-mentioning lines (C4 drops
+    these), 'lorem ipsum' and curly-brace page flags (C4 drops those
+    pages), and the Gopher bullet-heavy (>90% of lines) /
+    ellipsis-heavy (>30%) page gates — integer cross-multiplied.
+    Planted tails exercise every rule class on the re-chunked 10-token
+    line view (the t_line_quality convention; a real corpus passes
+    split(text, '\\n')). Array-local size(filter(...)) over a staged
+    line array — zero explode, zero shuffle before the rollup."""
+    from g_data_pipeline_spark.operators import lines as L
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 8).cast("int")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.when(m == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(m == 1, F.lit(" read the full story ..."))
+            .when(m == 2, F.lit(" please enable javascript to view comments."))
+            .when(m == 3, F.lit(" lorem ipsum dolor sit amet"))
+            .when(m == 4, F.lit(" window.onload = function() {"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    sig = L.c4_gopher_line_rules(
+        planted, L.chunked_lines(F.col("text")), keep_cols=("source",)
+    )
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum("n_bullet_start").cast("long").alias("n_bullet_start"),
+        F.sum("n_ellipsis_end").cast("long").alias("n_ellipsis_end"),
+        F.sum("n_javascript").cast("long").alias("n_javascript"),
+        F.sum("has_lorem_ipsum").cast("long").alias("n_lorem_docs"),
+        F.sum("has_brace").cast("long").alias("n_brace_docs"),
+        F.sum("bullet_heavy").cast("long").alias("n_bullet_heavy"),
+        F.sum("ellipsis_heavy").cast("long").alias("n_ellipsis_heavy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t_gopher_outliers: Gopher document-level length/shape gates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_gopher_outliers",
+    oracle=r"""
+    WITH planted AS (
+      SELECT source,
+             CASE CAST(doc_id % 9 AS INT)
+               WHEN 0 THEN 'a b c d e'
+               WHEN 1 THEN text || ' # # # # # # # # # # # #'
+               WHEN 2 THEN text || ' ' || array_to_string(
+                 list_transform(range(0, 30), i -> CAST(1000 + i AS VARCHAR)),
+                 ' ')
+               ELSE text END AS t
+      FROM documents
+    ), toks AS (
+      SELECT source, t, string_split_regex(trim(t), '\s+') AS tk
+      FROM planted
+    ), sig AS (
+      SELECT source,
+             len(tk) AS n,
+             list_sum(list_transform(tk, w -> len(w))) AS chars,
+             len(regexp_extract_all(t, '(#|\.\.\.)')) AS sym,
+             len(list_filter(tk, w -> regexp_matches(w, '[a-zA-Z]')))
+               AS alpha
+      FROM toks
+    ), flags AS (
+      SELECT source,
+             CASE WHEN n < 50 THEN 1 ELSE 0 END AS too_short,
+             CASE WHEN n > 90 THEN 1 ELSE 0 END AS too_long,
+             CASE WHEN chars < 3 * n OR chars > 10 * n THEN 1 ELSE 0 END
+               AS wordlen_out,
+             CASE WHEN sym * 10 > n THEN 1 ELSE 0 END AS symbol_heavy,
+             CASE WHEN alpha * 10 < n * 8 THEN 1 ELSE 0 END AS low_alpha
+      FROM sig
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(too_short) AS BIGINT) AS n_too_short,
+           CAST(SUM(too_long) AS BIGINT) AS n_too_long,
+           CAST(SUM(wordlen_out) AS BIGINT) AS n_wordlen_out,
+           CAST(SUM(symbol_heavy) AS BIGINT) AS n_symbol_heavy,
+           CAST(SUM(low_alpha) AS BIGINT) AS n_low_alpha,
+           CAST(SUM(CASE WHEN too_short + too_long + wordlen_out
+                         + symbol_heavy + low_alpha = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM flags GROUP BY source
+    """,
+)
+def t_gopher_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-LEVEL quality gates (Rae '21 table A1): word
+    count inside [min, max] (floor 50 = Gopher's real value — half the
+    synthetic corpus fails it naturally; ceiling scaled to the corpus,
+    real pipelines pass 100k), mean word length in [3, 10] (integer
+    cross-multiplied: 3n <= chars <= 10n), symbol-to-word ratio (# and
+    ... marks) <= 0.1, and >= 80% words containing an alphabetic char.
+    Planted tails: doc_id%9==0 replaced by a 5x1-char doc (too short +
+    word-length outlier), ==1 hash-spammed (symbol heavy), ==2 given 30
+    numeric tokens (low alpha share). Per source: docs, per-rule
+    failure counts, docs passing ALL rules. Token array staged once per
+    row (the HOF-capture lesson); zero shuffle before the rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 9).cast("int")
+    numeric_tail = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(0), F.lit(29)),
+                         lambda i: (F.lit(1000) + i).cast("string"))
+    )
+    t = (
+        F.when(m == 0, F.lit("a b c d e"))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" # # # # # # # # # # # #")))
+        .when(m == 2, F.concat(F.col("text"), F.lit(" "), numeric_tail))
+        .otherwise(F.col("text"))
+    )
+    staged = docs.select(
+        "source",
+        t.alias("t"),
+        F.split(F.trim(t), r"\s+").alias("tk"),
+    )
+    tk = F.col("tk")
+    n = F.size(tk)
+    chars = F.aggregate(
+        F.transform(tk, F.length), F.lit(0), lambda a, x: a + x
+    )
+    sym = F.regexp_count(F.col("t"), F.lit(r"(#|\.\.\.)"))
+    alpha = F.size(F.filter(tk, lambda w: w.rlike("[a-zA-Z]")))
+    flags = staged.select(
+        "source",
+        (n < 50).cast("int").alias("too_short"),
+        (n > 90).cast("int").alias("too_long"),
+        ((chars < 3 * n) | (chars > 10 * n)).cast("int").alias(
+            "wordlen_out"
+        ),
+        (sym * F.lit(10) > n).cast("int").alias("symbol_heavy"),
+        (alpha * F.lit(10) < n * F.lit(8)).cast("int").alias("low_alpha"),
+    )
+    fail_sum = (
+        F.col("too_short") + F.col("too_long") + F.col("wordlen_out")
+        + F.col("symbol_heavy") + F.col("low_alpha")
+    )
+    return flags.withColumn("__pass", (fail_sum == 0).cast("int")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("too_short").cast("long").alias("n_too_short"),
+        F.sum("too_long").cast("long").alias("n_too_long"),
+        F.sum("wordlen_out").cast("long").alias("n_wordlen_out"),
+        F.sum("symbol_heavy").cast("long").alias("n_symbol_heavy"),
+        F.sum("low_alpha").cast("long").alias("n_low_alpha"),
+        F.sum("__pass").cast("long").alias("n_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # d_paragraph_neardup: fuzzy (banded-MinHash) paragraph dedup (r8 verdict #8)
 # ---------------------------------------------------------------------------
 
