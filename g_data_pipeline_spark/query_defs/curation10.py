@@ -437,6 +437,49 @@ def d_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("d_incremental_boilerplate")
+def d_incremental_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental boilerplate-line removal vs a growing capped owner
+    directory (operators/incremental_boilerplate.py — the crawl-cadence
+    form of d_boilerplate_removal, completing verdict #4's
+    batch/incremental/streaming trio): even doc_ids play the archived
+    history (their delta builds the >=3-distinct-doc owner sets), odd
+    doc_ids are the new dump, cut against history+batch counts; the
+    planted footer recipe matches d_boilerplate_removal so real
+    cross-dump cuts occur. Rows-only BY DESIGN (the one-shot transform
+    is the oracle-gated twin; within-dump agreement with it, replay
+    stability incl. the cap-displacement edge, and the exactly-once
+    streaming twin are pinned in tests/test_incremental_boilerplate.py)."""
+    from g_data_pipeline_spark.operators.incremental_boilerplate import (
+        DIRECTORY_SCHEMA,
+        incremental_boilerplate_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                (F.col("doc_id") % 3).cast("int").isin(0, 1),
+                F.lit("\n" + _FOOTER),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    history = planted.filter(F.col("doc_id") % 2 == 0)
+    batch = planted.filter(F.col("doc_id") % 2 == 1)
+    empty = spark.createDataFrame([], DIRECTORY_SCHEMA)
+    _, directory = incremental_boilerplate_lines(
+        history, empty, "doc_id", "text"
+    )
+    cleaned, _ = incremental_boilerplate_lines(
+        batch, directory, "doc_id", "text"
+    )
+    return cleaned.select(
+        F.col("id").alias("doc_id"), "n_lines", "n_removed", "cleaned"
+    )
+
+
 # ---------------------------------------------------------------------------
 # t_stopword_profile: language-ROUTED stopword quality signal (r8 verdict #6)
 # ---------------------------------------------------------------------------
