@@ -72,18 +72,20 @@ def incremental_boilerplate_lines(
         "h", F.md5(F.col("line"))
     )
     batch_docs = units.select("h", "id").distinct()
-    # archive owners, batch's own ids excluded (self-ownership rule)
+    # Only the batch's hashes matter: semi-join the directory down to
+    # them BEFORE any aggregation — the archive is never globally
+    # re-aggregated per dump (with a bucketed-by-h directory table only
+    # the batch side shuffles). Then exclude the batch's own pairs
+    # (self-ownership rule) and count the remaining archive owners.
+    dir_batch = directory.join(batch_docs.select("h"), "h", "left_semi")
     arch = (
-        directory.join(
+        dir_batch.join(
             batch_docs.withColumnRenamed("id", "owner_id"),
             ["h", "owner_id"],
             "left_anti",
         )
         .groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("__arch_n"),
-            F.min("owner_id").alias("__arch_min"),
-        )
+        .agg(F.count(F.lit(1)).alias("__arch_n"))
     )
     batch_n = batch_docs.groupBy("h").agg(
         F.count(F.lit(1)).alias("__batch_n")
@@ -123,11 +125,12 @@ def incremental_boilerplate_lines(
 
     # Delta: per hash keep the smallest batch ids that fit under the cap
     # (cap - already-stored archive owners). rank by id within hash.
-    stored_n = directory.groupBy("h").agg(
+    # dir_batch again: stored counts only needed for batch hashes.
+    stored_n = dir_batch.groupBy("h").agg(
         F.count(F.lit(1)).alias("__stored_n")
     )
     new_pairs = batch_docs.join(
-        directory.withColumnRenamed("owner_id", "id"),
+        dir_batch.withColumnRenamed("owner_id", "id"),
         ["h", "id"],
         "left_anti",
     )
