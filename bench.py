@@ -236,6 +236,14 @@ HEADLINE = [
     "t_unicode_normalize",
     "d_incremental_paragraphs",
     "t_sentence_stats",
+    # round-9 additions (first recorded cost becomes their baseline).
+    "d_boilerplate_removal",
+    "d_incremental_boilerplate",
+    "d_paragraph_neardup",
+    "t_stopword_profile",
+    "t_blocklist_gate",
+    "t_line_rules",
+    "t_gopher_outliers",
 ]
 
 
