@@ -244,6 +244,7 @@ HEADLINE = [
     "t_blocklist_gate",
     "t_line_rules",
     "t_gopher_outliers",
+    "e_preference_cycles",
 ]
 
 

@@ -122,12 +122,17 @@ _DRIVER_WINDOW = (
     # gates (word-count band, mean word length, symbol ratio, alpha
     # share; slot paid by demoting j_star_join_chain — r5 row, r10
     # queue).
+    # Wave 6: e_preference_cycles — DPO transitivity audit (3-cycle
+    # label noise; the 2-cycle half is e_preference_audit's
+    # is_conflict; slot paid by demoting w_running_max_drawdown — r5
+    # row, r10 queue).
     "t_unicode_normalize",
     "d_boilerplate_removal",
     "t_stopword_profile",
     "t_blocklist_gate",
     "t_line_rules",
     "t_gopher_outliers",
+    "e_preference_cycles",
     # -- (2) SURVEY §2 core representatives (one per round, standing).
     "q1_pricing_summary",
     "p_numeric_stats",
@@ -179,7 +184,6 @@ _DRIVER_WINDOW = (
     "a_histogram_2d",
     "a_pareto_share",
     "a_rollup_time",
-    "w_running_max_drawdown",
 )
 
 # Queries promoted right after the pinned window (in this order);
@@ -195,6 +199,7 @@ _ANALYTICS_HEAD = (
     "t_ngram_novelty",
     "t_bigram_logprob",
     "j_star_join_chain",
+    "w_running_max_drawdown",
     # Demoted from the r8 window for the round-9 repack — every one
     # holds a fresh r8 green row (ROTATION.md): the nine r8 first-green
     # gates, the eight r3-cohort refreshes, and the 29-entry r4 cohort.

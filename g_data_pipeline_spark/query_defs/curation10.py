@@ -481,6 +481,112 @@ def d_incremental_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# e_preference_cycles: preference-pair TRANSITIVITY audit (3-cycles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e_preference_cycles",
+    oracle="""
+    WITH raw AS (
+      SELECT CAST(doc_id % 20 AS INT) AS pid,
+             CAST(doc_id % 3 AS INT) AS u
+      FROM documents
+    ), edges AS (
+      SELECT DISTINCT
+             'p' || CAST(pid AS VARCHAR) AS prompt,
+             'r' || CAST(CASE WHEN pid % 2 = 0 THEN u
+                              WHEN u = 2 THEN 1 ELSE 0 END AS VARCHAR)
+               AS chosen,
+             'r' || CAST(CASE WHEN pid % 2 = 0 THEN (u + 1) % 3
+                              WHEN u = 0 THEN 1 ELSE 2 END AS VARCHAR)
+               AS rejected
+      FROM raw
+    ), cycles AS (
+      SELECT e1.prompt
+      FROM edges e1
+      JOIN edges e2 ON e2.prompt = e1.prompt AND e2.chosen = e1.rejected
+      JOIN edges e3 ON e3.prompt = e1.prompt AND e3.chosen = e2.rejected
+                    AND e3.rejected = e1.chosen
+      WHERE e1.chosen < e2.chosen AND e1.chosen < e3.chosen
+    ), per_prompt AS (
+      SELECT prompt, COUNT(*) AS n_cycles FROM cycles GROUP BY prompt
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT prompt) FROM edges) AS BIGINT)
+             AS n_prompts,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(COALESCE((SELECT COUNT(*) FROM per_prompt), 0) AS BIGINT)
+             AS n_prompts_with_cycle,
+           CAST(COALESCE((SELECT SUM(n_cycles) FROM per_prompt), 0)
+                AS BIGINT) AS n_cycles
+    """,
+)
+def e_preference_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair TRANSITIVITY audit — the 3-cycle half of DPO
+    label-noise detection (e_preference_audit's is_conflict catches
+    2-cycles; a>b, b>c, c>a cycles are the next inconsistency class —
+    annotation noise that no pairwise dedup sees): distinct directed
+    (prompt, chosen, rejected) edges, then a triple content-keyed
+    self-join within prompt; each cycle counted ONCE by anchoring on
+    its lexicographically-least response. Planted recipe: even prompt
+    classes carry a perfect r0>r1>r2>r0 cycle, odd classes an acyclic
+    r0>r1>r2 chain — exactly half the prompts flag. Scale shape: edges
+    dedup to (prompt, pair) cardinality; every join keys on (prompt,
+    response) content — never all-pairs across prompts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pid = (F.col("doc_id") % 20).cast("int")
+    u = (F.col("doc_id") % 3).cast("int")
+    chosen_i = F.when(pid % 2 == 0, u).otherwise(
+        F.when(u == 2, F.lit(1)).otherwise(F.lit(0))
+    )
+    rejected_i = F.when(pid % 2 == 0, (u + 1) % 3).otherwise(
+        F.when(u == 0, F.lit(1)).otherwise(F.lit(2))
+    )
+    edges = docs.select(
+        F.concat(F.lit("p"), pid.cast("string")).alias("prompt"),
+        F.concat(F.lit("r"), chosen_i.cast("string")).alias("chosen"),
+        F.concat(F.lit("r"), rejected_i.cast("string")).alias("rejected"),
+    ).distinct()
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    cycles = (
+        e1.join(
+            e2,
+            (F.col("e2.prompt") == F.col("e1.prompt"))
+            & (F.col("e2.chosen") == F.col("e1.rejected")),
+        )
+        .join(
+            e3,
+            (F.col("e3.prompt") == F.col("e1.prompt"))
+            & (F.col("e3.chosen") == F.col("e2.rejected"))
+            & (F.col("e3.rejected") == F.col("e1.chosen")),
+        )
+        .filter(
+            (F.col("e1.chosen") < F.col("e2.chosen"))
+            & (F.col("e1.chosen") < F.col("e3.chosen"))
+        )
+        .select(F.col("e1.prompt").alias("prompt"))
+    )
+    per_prompt = cycles.groupBy("prompt").agg(
+        F.count(F.lit(1)).alias("n_cycles")
+    )
+    totals = edges.agg(
+        F.count_distinct("prompt").cast("long").alias("n_prompts"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    )
+    cyc = per_prompt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_prompts_with_cycle"),
+        F.coalesce(F.sum("n_cycles"), F.lit(0))
+        .cast("long")
+        .alias("n_cycles"),
+    )
+    # 1-row x 1-row combine: broadcast side -> BroadcastNestedLoopJoin
+    # (the sweep's sanctioned shape), never CartesianProduct
+    return totals.crossJoin(F.broadcast(cyc))
+
+
+# ---------------------------------------------------------------------------
 # t_stopword_profile: language-ROUTED stopword quality signal (r8 verdict #6)
 # ---------------------------------------------------------------------------
 
