@@ -181,3 +181,78 @@ def neardup_paragraph_dedup(
         token_mode=token_mode,
     )
     return cleaned
+
+
+def neardup_paragraph_stream(
+    stream: DataFrame,
+    directory_table: str,
+    out_table: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = PARA_SEP,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int | None = None,
+    threshold: float = 0.8,
+    timeout_s: int = 180,
+    sink_name: str | None = None,
+):
+    """Exactly-once streaming twin (the paragraph_dedup_stream shape):
+    each micro-batch cuts against the banded archive AS OF the version
+    preceding its own delta commit (run-marker as-of read), then
+    commits cleaned docs + the surviving paragraphs' band-bucket delta
+    through the txn manifest protocol — replays no-op on their run_ids
+    AND the operator labels replay-stably by construction (the shared
+    core's self-ownership exclusion). NOTE the per-archive-once banding
+    contract: (num_hashes, bands, threshold) are baked into the
+    directory — never change them mid-stream."""
+    import hashlib
+
+    from g_data_pipeline_spark.sources import txn
+
+    if sink_name is None:
+        sink_name = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta_rid = f"{sink_name}-dir-batch-{int(batch_id)}"
+        out_rid = f"{sink_name}-out-batch-{int(batch_id)}"
+        read_version = txn.version_before_run(
+            spark, directory_table, delta_rid
+        )
+        if read_version is None:
+            directory = spark.createDataFrame([], DIRECTORY_SCHEMA)
+        else:
+            directory = txn.read_committed(
+                spark, directory_table, version=read_version
+            )
+        cleaned, delta = incremental_neardup_paragraphs(
+            batch_df, directory, id_col, text_col,
+            sep=sep, n=n, num_hashes=num_hashes, bands=bands,
+            threshold=threshold,
+        )
+        cleaned = cleaned.localCheckpoint(eager=True)
+        delta = delta.localCheckpoint(eager=True)
+        txn.commit_write(
+            spark, delta, directory_table, run_id=delta_rid, mode="append"
+        )
+        txn.commit_write(
+            spark, cleaned, out_table, run_id=out_rid, mode="append"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"near-dup paragraph stream did not drain within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return apply_batch

@@ -480,6 +480,53 @@ def d_incremental_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("t_hf_tokenizer_roundtrip", eager=True)  # trains BPE at build
+def t_hf_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end HF tokenizer.json loop in the registry
+    (operators/hf_tokenizer.py, r8 verdict #5): train BPE on the
+    corpus, EXPORT to the public tokenizer.json schema, RELOAD, and
+    encode every document under the reloaded model — the
+    bring-your-own-production-tokenizer path a real budget/packing
+    pipeline runs. Per source: docs, words, tokens under the
+    round-tripped model, unmerged single-char tokens (the
+    out-of-domain signal). Rows-only BY DESIGN (the mapInPandas encode
+    has no SQL twin; byte-level round-trip identity and encode parity
+    vs the merges path are pinned in tests/test_tokenizer.py)."""
+    import os
+    import tempfile
+
+    from g_data_pipeline_spark.operators.hf_tokenizer import (
+        load_hf_bpe,
+        save_hf_bpe,
+    )
+    from g_data_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        learn_bpe,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    merges = learn_bpe(word_counts(docs, "text", top_words=2000), 100)
+    with tempfile.TemporaryDirectory(prefix="hf_tok_") as tmp:
+        path = os.path.join(tmp, "tokenizer.json")
+        save_hf_bpe(merges, path)
+        reloaded = load_hf_bpe(path)
+    counted = bpe_encode(docs, "doc_id", "text", reloaded)
+    return (
+        docs.select(F.col("doc_id").alias("id"), "source")
+        .join(counted, "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_unmerged").cast("long").alias("n_unmerged"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # e_preference_cycles: preference-pair TRANSITIVITY audit (3-cycles)
 # ---------------------------------------------------------------------------

@@ -120,3 +120,37 @@ def test_one_shot_equals_history_then_batch(spark):
             one_shot[i].n_removed,
             one_shot[i].cleaned,
         ) == (stepped[i].n_removed, stepped[i].cleaned)
+
+
+def test_streaming_twin_exactly_once(spark, tmp_path):
+    """Two dumps through neardup_paragraph_stream: variant footers in
+    the second dump are cut against the first dump's archive, output
+    rows land exactly once, and a re-run with no new files moves
+    nothing."""
+    from g_data_pipeline_spark.operators.fuzzy_paragraphs import (
+        neardup_paragraph_stream,
+    )
+    from g_data_pipeline_spark.sources import txn
+
+    src = str(tmp_path / "src")
+    dir_t = str(tmp_path / "dir")
+    out_t = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema("id long, text string").parquet(src)
+        neardup_paragraph_stream(stream, dir_t, out_t, ckpt, id_col="id")
+
+    _docs(spark, [1, 2]).write.mode("append").parquet(src)
+    run()
+    _docs(spark, [10, 11]).write.mode("append").parquet(src)
+    run()
+    got = {r.id: r for r in txn.read_committed(spark, out_t).collect()}
+    assert set(got) == {1, 2, 10, 11}
+    assert got[1].n_removed == 0  # first occurrence kept
+    for i in (2, 10, 11):
+        assert got[i].n_removed == 1, i
+    assert got[10].cleaned == _body(10)
+    v = txn.latest_version(spark, out_t)
+    run()  # no new files -> no new commits
+    assert txn.latest_version(spark, out_t) == v

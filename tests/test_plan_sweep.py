@@ -29,6 +29,9 @@ ARROW_ALLOWED = {
     "t_compression_signal",     # scalar pandas zlib kernel (operators/grouped.py)
     "d_rouge_dedup_pairs",      # scalar pandas LCS kernel (operators/grouped.py)
     "t_unicode_normalize",      # scalar pandas NFC kernel (operators/grouped.py)
+    "t_hf_tokenizer_roundtrip",  # broadcast-vocab Arrow encode via the
+    # reloaded tokenizer.json model (same bpe_encode path as
+    # t_bpe_tokenize)
 }
 # node classes themselves live in operators/planlint.py (the public
 # lint API this sweep delegates to)
