@@ -202,6 +202,44 @@ R5_QUEUE = (
 )
 
 
+# Round-9 block-(4) demotions + the two r5 roll-overs: the head of the
+# r10 freshness queue (ROTATION.md). Pinned eligible BEFORE the r10
+# repack, the R5_QUEUE discipline.
+R10_QUEUE = (
+    "d_url_dedup",
+    "v_topic_balance",
+    "t_case_profile",
+    "t_lang_balance",
+    "t_ngram_novelty",
+    "t_bigram_logprob",
+    "j_star_join_chain",
+    "w_running_max_drawdown",
+)
+
+
+def test_r10_queue_entries_window_eligible(spark):
+    """Every r10-queue entry satisfies both window rules (oracle present
+    + scalar-only output), so the round-10 repack stays a pure pin-list
+    edit with no failure risk."""
+    from tests.conftest import SF_DIR_SMOKE
+
+    problems = {}
+    for name in R10_QUEUE:
+        spec = REGISTRY.get(name)
+        if spec is None or spec.oracle is None:
+            problems[name] = "missing or rows-only"
+            continue
+        df = spec.fn(spark, SF_DIR_SMOKE)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad:
+            problems[name] = f"non-scalar columns: {bad}"
+    assert problems == {}
+
+
 def test_r5_queue_entries_window_eligible(spark):
     """Every r5-queue entry must already satisfy both window rules, so the
     round-5 repack is a pure pin-list edit with no failure risk."""
