@@ -245,6 +245,7 @@ HEADLINE = [
     "t_line_rules",
     "t_gopher_outliers",
     "e_preference_cycles",
+    "d_c4_clean",
 ]
 
 

@@ -238,3 +238,72 @@ def c4_gopher_line_rules(
             "ellipsis_heavy"
         ),
     )
+
+
+def c4_clean(
+    docs: DataFrame, lines: Column, *, id_col: str = "doc_id",
+    text_col: str = "text", keep_cols: tuple[str, ...] = (),
+    min_words: int = 5, min_sentences: int = 3,
+    blocklist_words: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """The COMPOSED C4 cleaning transform (Raffel '20 §2.2) — the
+    repo carried every report half (t_line_rules, t_sentence_stats,
+    t_blocklist_gate); this is the transform that actually produces
+    the cleaned corpus:
+
+    - LINE keeps: >= ``min_words`` words AND ends in terminal
+      punctuation AND does not mention javascript;
+    - PAGE drops (after line filtering): 'lorem ipsum', a curly brace,
+      any blocklisted term, or fewer than ``min_sentences`` sentences
+      retained (terminal-mark count over the CLEANED text — the
+      lookbehind-free proxy t_sentence_stats pins).
+
+    Returns one row per doc: ``(id, [keep_cols...], n_lines,
+    n_kept_lines, cleaned, page_keep, drop_reason)`` — ``cleaned`` is
+    the kept lines newline-joined (computed even for dropped pages so
+    the attrition ledger can audit), ``drop_reason`` the FIRST failed
+    page rule ('' when kept; fixed rule order, engine-mirrorable).
+    Array-local size/filter over a STAGED line array — zero explode,
+    zero shuffle; the whole transform runs at parquet-scan speed."""
+    from g_data_pipeline_spark.functions.blocklist import (
+        DEFAULT_BLOCKLIST,
+        blocklist_regex,
+    )
+
+    words = blocklist_words if blocklist_words is not None else DEFAULT_BLOCKLIST
+    staged = docs.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.lower(F.col(text_col)).alias("__lt"),
+        lines.alias("__lines"),
+    )
+    lns = F.col("__lines")
+
+    def line_keep(l: Column) -> Column:
+        return (
+            (F.size(F.split(l, r"\s+")) >= min_words)
+            & l.rlike(r"[.!?\"'] *\z")
+            & ~F.lower(l).rlike("javascript")
+        )
+
+    kept = F.filter(lns, line_keep)
+    staged2 = staged.select(
+        id_col, *keep_cols, "__lt",
+        F.size(lns).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )
+    n_sent = F.regexp_count(F.col("cleaned"), F.lit(r"[.!?]"))
+    reason = (
+        F.when(F.col("__lt").rlike("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(F.col("__lt").rlike("[{]"), F.lit("brace"))
+        .when(
+            F.col("__lt").rlike(blocklist_regex(words)), F.lit("blocklist")
+        )
+        .when(n_sent < min_sentences, F.lit("too_few_sentences"))
+        .otherwise(F.lit(""))
+    )
+    return staged2.select(
+        id_col, *keep_cols, "n_lines", "n_kept_lines", "cleaned",
+        (reason == "").alias("page_keep"),
+        reason.alias("drop_reason"),
+    )

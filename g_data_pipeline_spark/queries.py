@@ -131,8 +131,13 @@ _DRIVER_WINDOW = (
     "t_stopword_profile",
     "t_blocklist_gate",
     "t_line_rules",
+    # Wave 7: d_c4_clean — the COMPOSED C4 page-cleaning transform
+    # (line keeps + page drops + drop_reason ledger), cleaned text
+    # byte-for-byte (slot paid by demoting a_rollup_time — r5 row,
+    # r10 queue).
     "t_gopher_outliers",
     "e_preference_cycles",
+    "d_c4_clean",
     # -- (2) SURVEY §2 core representatives (one per round, standing).
     "q1_pricing_summary",
     "p_numeric_stats",
@@ -183,7 +188,6 @@ _DRIVER_WINDOW = (
     "a_corr_pairs_moments",
     "a_histogram_2d",
     "a_pareto_share",
-    "a_rollup_time",
 )
 
 # Queries promoted right after the pinned window (in this order);
@@ -200,6 +204,7 @@ _ANALYTICS_HEAD = (
     "t_bigram_logprob",
     "j_star_join_chain",
     "w_running_max_drawdown",
+    "a_rollup_time",
     # Demoted from the r8 window for the round-9 repack — every one
     # holds a fresh r8 green row (ROTATION.md): the nine r8 first-green
     # gates, the eight r3-cohort refreshes, and the 29-entry r4 cohort.

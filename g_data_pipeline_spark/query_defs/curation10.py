@@ -528,6 +528,121 @@ def t_hf_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d_c4_clean: the COMPOSED C4 page-cleaning transform
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d_c4_clean",
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 10 AS INT)
+               WHEN 0 THEN
+                 'alpha beta gamma delta epsilon zeta eta theta iota one.'
+                 || ' kappa lambda mu nu xi omicron pi rho sigma two.'
+                 || ' tau upsilon phi chi psi omega alef bet gimel three.'
+               WHEN 1 THEN text
+                 || ' please enable javascript to view this page today.'
+               WHEN 2 THEN text || ' lorem ipsum dolor sit amet'
+               WHEN 3 THEN text || ' config = { key: value }'
+               WHEN 4 THEN text
+                 || ' claim your casino bonus now friends tonight.'
+               ELSE text END AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, t, string_split_regex(trim(t), '\s+') AS tk
+      FROM planted
+    ), linesv AS (
+      SELECT doc_id, lower(t) AS lt,
+             list_transform(
+               range(0, CAST(floor((len(tk) + 9) / 10.0) AS INT)),
+               i -> array_to_string(list_slice(tk, i * 10 + 1, i * 10 + 10),
+                                    ' ')) AS lines
+      FROM toks
+    ), filtered AS (
+      SELECT doc_id, lt,
+             len(lines) AS n_lines,
+             list_filter(lines, l ->
+               len(string_split(l, ' ')) >= 5
+               AND regexp_matches(l, '[.!?"''] *\z')
+               AND NOT regexp_matches(lower(l), 'javascript')) AS kept
+      FROM linesv
+    ), built AS (
+      SELECT doc_id, lt, n_lines,
+             len(kept) AS n_kept_lines,
+             COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
+      FROM filtered
+    ), reasons AS (
+      SELECT doc_id, n_lines, n_kept_lines, cleaned,
+             CASE
+               WHEN regexp_matches(lt, 'lorem ipsum') THEN 'lorem_ipsum'
+               WHEN regexp_matches(lt, '[{]') THEN 'brace'
+               WHEN regexp_matches(lt,
+                 '\b(viagra|casino bonus|payday loan|crypto giveaway|work from home scam|miracle cure)\b')
+                 THEN 'blocklist'
+               WHEN len(regexp_extract_all(cleaned, '[.!?]')) < 3
+                 THEN 'too_few_sentences'
+               ELSE '' END AS drop_reason
+      FROM built
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+           cleaned,
+           drop_reason = '' AS page_keep,
+           drop_reason
+    FROM reasons
+    """,
+)
+def d_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED C4 page-cleaning TRANSFORM
+    (operators/lines.c4_clean; Raffel '20 §2.2 end-to-end): line keeps
+    (>=5 words, terminal punctuation, no javascript) then page drops
+    (lorem ipsum, curly brace, blocklisted term, <3 retained
+    sentences) with a first-failed-rule drop_reason ledger — the
+    transform whose report halves are t_line_rules, t_sentence_stats,
+    and t_blocklist_gate. Gated BYTE-FOR-BYTE on the cleaned text of
+    every doc (the d_paragraph_dedup convention) over planted
+    keep/javascript/lorem/brace/blocklist classes; the punctuation-free
+    base corpus cleans to '' and drops on the sentence floor. Zero
+    explode, zero shuffle — pure scan-stage array algebra on the
+    chunked line view (a real corpus passes split(text, '\\n'))."""
+    from g_data_pipeline_spark.operators import lines as L
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 10).cast("int")
+    keep_doc = (
+        "alpha beta gamma delta epsilon zeta eta theta iota one."
+        " kappa lambda mu nu xi omicron pi rho sigma two."
+        " tau upsilon phi chi psi omega alef bet gimel three."
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(m == 0, F.lit(keep_doc))
+        .when(
+            m == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" please enable javascript to view this page today."),
+            ),
+        )
+        .when(m == 2, F.concat(F.col("text"), F.lit(" lorem ipsum dolor sit amet")))
+        .when(m == 3, F.concat(F.col("text"), F.lit(" config = { key: value }")))
+        .when(
+            m == 4,
+            F.concat(
+                F.col("text"),
+                F.lit(" claim your casino bonus now friends tonight."),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return L.c4_clean(planted, L.chunked_lines(F.col("text")))
+
+
+# ---------------------------------------------------------------------------
 # e_preference_cycles: preference-pair TRANSITIVITY audit (3-cycles)
 # ---------------------------------------------------------------------------
 

@@ -214,6 +214,7 @@ R10_QUEUE = (
     "t_bigram_logprob",
     "j_star_join_chain",
     "w_running_max_drawdown",
+    "a_rollup_time",
 )
 
 
