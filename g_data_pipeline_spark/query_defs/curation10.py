@@ -532,9 +532,17 @@ def t_hf_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "d_c4_clean",
-    oracle=r"""
+def _c4_clean_oracle() -> str:
+    from g_data_pipeline_spark.functions.blocklist import blocklist_regex
+
+    # the SAME alternation the operator compiles (shared-table rule:
+    # a list edit can never silently diverge the oracle)
+    return _C4_CLEAN_ORACLE_TEMPLATE.replace(
+        "__BLOCKLIST_RE__", blocklist_regex()
+    )
+
+
+_C4_CLEAN_ORACLE_TEMPLATE = r"""
     WITH planted AS (
       SELECT doc_id,
              CASE CAST(doc_id % 10 AS INT)
@@ -578,8 +586,7 @@ def t_hf_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE
                WHEN regexp_matches(lt, 'lorem ipsum') THEN 'lorem_ipsum'
                WHEN regexp_matches(lt, '[{]') THEN 'brace'
-               WHEN regexp_matches(lt,
-                 '\b(viagra|casino bonus|payday loan|crypto giveaway|work from home scam|miracle cure)\b')
+               WHEN regexp_matches(lt, '__BLOCKLIST_RE__')
                  THEN 'blocklist'
                WHEN len(regexp_extract_all(cleaned, '[.!?]')) < 3
                  THEN 'too_few_sentences'
@@ -593,8 +600,10 @@ def t_hf_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            drop_reason = '' AS page_keep,
            drop_reason
     FROM reasons
-    """,
-)
+    """
+
+
+@register("d_c4_clean", oracle=_c4_clean_oracle())
 def d_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED C4 page-cleaning TRANSFORM
     (operators/lines.c4_clean; Raffel '20 §2.2 end-to-end): line keeps
