@@ -87,6 +87,39 @@ from g_data_pipeline_spark import query_defs  # noqa: E402,F401
 # registered and graded locally by tests/driver_sim.py (and by the judge's
 # re-run of it).
 _DRIVER_WINDOW = (
+    # -- Round-10 rotation (see ROTATION.md "Round-10 rotation queue").
+    # The r10 repack executes the queue pinned at the r9 close
+    # (tests/test_registry_oracle.py::R10_QUEUE): the twice-red
+    # t_unicode_normalize slot is settled by DEMOTION (its hardened
+    # rows-match/pytest coverage continues out-of-window; the rebuilt
+    # byte-length oracle re-promotes only after surviving a DuckDB
+    # version matrix — verdict r9 #1), and the 9 queue entries
+    # (7 round-9 block-(4) demotions + 2 r5 roll-overs) promote in
+    # queue order. Slots paid: t_unicode_normalize + the 8 BOTTOM
+    # entries of block (4) (a_pareto_share, a_histogram_2d,
+    # a_corr_pairs_moments, a_percent_of_total, a_decile_stats,
+    # a_mad_outliers, e_first_touch_share, e_daily_active_ratio — all
+    # r9-green, ROTATION.md ledger).
+    "d_url_dedup",
+    "v_topic_balance",
+    "t_case_profile",
+    "t_lang_balance",
+    "t_ngram_novelty",
+    "t_bigram_logprob",
+    "j_star_join_chain",
+    "w_running_max_drawdown",
+    "a_rollup_time",
+    # New round-10 oracle operators register here the wave they land
+    # (ROTATION.md rule 3), each paid by demoting the BOTTOM entry of
+    # block (4).
+    # Wave 1: t_quality_auc — exact ROC/AUC calibration for the
+    # quality-classifier gate (verdict r9 #5; slot paid by demoting
+    # e_interarrival_stats — r9 row, r11 queue).
+    "t_quality_auc",
+    # Wave 2: t_bestfit_packing — length-bucketed first-fit-decreasing
+    # sequence packing (verdict r9 #7; slot paid by demoting
+    # e_power_users — r9 row, r11 queue).
+    "t_bestfit_packing",
     # -- Round-9 rotation (see ROTATION.md "Round-9 rotation queue").
     # Rule: window entries MUST have an oracle (rows-only entries can
     # never turn green — 8 slots were wasted on them in round 2) and
@@ -98,12 +131,9 @@ _DRIVER_WINDOW = (
     # — never a bundled Unicode/ICU-style library; the r8
     # t_unicode_normalize red cell was exactly that failure mode).
     #
-    # (1) t_unicode_normalize re-gates after the round-9 hardening (the
-    # r8 driver red): its oracle no longer calls nfc_normalize — the
-    # ASCII-sanitized base + pinned precomposed literals make the
-    # expected output engine-independent. New round-9 oracle operators
-    # register here the wave they land (ROTATION.md rule 3), each
-    # paid by demoting the BOTTOM entry of block (4).
+    # New round-9 oracle operators registered here the wave they
+    # landed (ROTATION.md rule 3), each paid by demoting the BOTTOM
+    # entry of block (4).
     # Wave 1: d_boilerplate_removal — CCNet >=3-doc line removal
     # transform, byte-for-byte reassembly gate (verdict #4; slot paid
     # by demoting t_case_profile — it keeps its r5 green row and heads
@@ -126,7 +156,6 @@ _DRIVER_WINDOW = (
     # label noise; the 2-cycle half is e_preference_audit's
     # is_conflict; slot paid by demoting w_running_max_drawdown — r5
     # row, r10 queue).
-    "t_unicode_normalize",
     "d_boilerplate_removal",
     "t_stopword_profile",
     "t_blocklist_gate",
@@ -178,6 +207,20 @@ _DRIVER_WINDOW = (
     "d_incremental_bloom",
     "a_activity_streaks",
     "e_churn_risk",
+)
+
+# Queries promoted right after the pinned window (in this order);
+# bench.py and driver_sim still grade them every run.
+_ANALYTICS_HEAD = (
+    # r11 freshness-queue head: the round-10 demotions, freshest green
+    # rows first. t_unicode_normalize leads — its slot was settled by
+    # demotion after two driver-red rounds (verdict r9 #1); the rebuilt
+    # byte-length oracle (no char-count len(), no '0x' hex cast, no
+    # Python-library output in the hashed columns) keeps it
+    # locally-graded here until it earns re-promotion via a DuckDB
+    # version matrix.
+    "t_unicode_normalize",
+    # Round-10 block-(4) demotions (r9-green rows, ROTATION.md):
     "e_power_users",
     "e_interarrival_stats",
     "e_daily_active_ratio",
@@ -188,23 +231,6 @@ _DRIVER_WINDOW = (
     "a_corr_pairs_moments",
     "a_histogram_2d",
     "a_pareto_share",
-)
-
-# Queries promoted right after the pinned window (in this order);
-# bench.py and driver_sim still grade them every run.
-_ANALYTICS_HEAD = (
-    # r10 freshness-queue head: the two r5-green entries that did not
-    # fit the r9 window (plus round-9 block-(4) demotions, appended
-    # as waves land).
-    "d_url_dedup",
-    "v_topic_balance",
-    "t_case_profile",
-    "t_lang_balance",
-    "t_ngram_novelty",
-    "t_bigram_logprob",
-    "j_star_join_chain",
-    "w_running_max_drawdown",
-    "a_rollup_time",
     # Demoted from the r8 window for the round-9 repack — every one
     # holds a fresh r8 green row (ROTATION.md): the nine r8 first-green
     # gates, the eight r3-cohort refreshes, and the 29-entry r4 cohort.

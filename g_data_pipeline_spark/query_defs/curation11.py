@@ -1,0 +1,218 @@
+"""Curation-audit queries, wave 11 (round 10): the label-aware
+quality-classifier calibration (exact ROC/AUC — verdict r9 #5) and
+length-grouped first-fit-decreasing sequence packing (verdict r9 #7).
+
+No equivalent in the reference (its surface stops at profiling —
+SURVEY.md §2); both are standard LLM-pipeline components. Determinism
+policy as queries.py: integer counts and micro-scores everywhere, each
+division a single double op rounded once, mirrored operation-for-
+operation in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g_data_pipeline_spark.catalog import load_table
+from g_data_pipeline_spark.operators.quality import (
+    DEFAULT_BUCKETS,
+    classifier_calibration,
+    naive_bayes_hashed_weights,
+    quality_scores,
+    sql_hashed_token_bucket,
+)
+from g_data_pipeline_spark.operators.sampling import (
+    hash_bucket_expr,
+    sql_hash_bucket,
+)
+from g_data_pipeline_spark.queries import register
+
+_SQL_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+# The ROC threshold grid: per-token micro-logit cuts (length-invariant,
+# so the grid means the same thing at any corpus scale). Shared between
+# the Spark operator default and the oracle literal.
+_THR_GRID = (
+    -400_000, -300_000, -200_000, -100_000, 0,
+    100_000, 200_000, 300_000, 400_000,
+)
+
+
+@register(
+    "t_quality_auc",
+    oracle=rf"""
+    WITH occ AS (
+      SELECT doc_id, n_chars,
+             {sql_hash_bucket(['doc_id'], seed='quality-sample')} AS sbucket,
+             unnest({_SQL_TOKS}) AS token
+      FROM documents
+    ), occ2 AS (
+      SELECT doc_id,
+             CASE WHEN sbucket < 200000 THEN 1 ELSE 0 END AS in_train,
+             CASE WHEN sbucket >= 200000 AND sbucket < 400000
+                  THEN 1 ELSE 0 END AS in_eval,
+             CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS label,
+             {sql_hashed_token_bucket('token')} AS b
+      FROM occ WHERE token <> ''
+    ), tot AS (
+      SELECT CAST(SUM(label) AS BIGINT) AS pos_tot,
+             CAST(SUM(1 - label) AS BIGINT) AS neg_tot
+      FROM occ2 WHERE in_train = 1
+    ), w AS (
+      SELECT b,
+             CAST(ROUND(ln(
+               ((SUM(label) + 1.0) * (tot.neg_tot + {DEFAULT_BUCKETS}.0))
+               / ((SUM(1 - label) + 1.0) * (tot.pos_tot + {DEFAULT_BUCKETS}.0))
+             ) * 1e6) AS BIGINT) AS w_micro
+      FROM occ2 CROSS JOIN tot WHERE in_train = 1
+      GROUP BY b, tot.neg_tot, tot.pos_tot
+    ), scored AS (
+      SELECT o.doc_id, MAX(o.label) AS y,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w.w_micro) AS BIGINT) AS s
+      FROM occ2 o JOIN w ON o.b = w.b
+      WHERE o.in_eval = 1
+      GROUP BY o.doc_id
+    ), per_score AS (
+      SELECT s, CAST(SUM(y) AS BIGINT) AS pos_at,
+             CAST(SUM(1 - y) AS BIGINT) AS neg_at
+      FROM scored GROUP BY s
+    ), auc AS (
+      SELECT CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+             CAST(SUM(neg_at) AS BIGINT) AS n_neg,
+             CAST(SUM(pos_at * (2 * (cum_neg - neg_at) + neg_at))
+                  AS BIGINT) AS auc_num_x2
+      FROM (SELECT pos_at, neg_at,
+                   SUM(neg_at) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_neg
+            FROM per_score)
+    ), grid AS (
+      SELECT unnest({list(_THR_GRID)}::BIGINT[]) AS thr_avg_micro
+    ), conf AS (
+      SELECT g.thr_avg_micro,
+             COUNT(*) FILTER (WHERE s > g.thr_avg_micro * n_tokens
+                                AND y = 1) AS tp,
+             COUNT(*) FILTER (WHERE s > g.thr_avg_micro * n_tokens
+                                AND y = 0) AS fp,
+             COUNT(*) FILTER (WHERE NOT s > g.thr_avg_micro * n_tokens
+                                AND y = 1) AS fn,
+             COUNT(*) FILTER (WHERE NOT s > g.thr_avg_micro * n_tokens
+                                AND y = 0) AS tn
+      FROM scored CROSS JOIN grid g GROUP BY 1
+    )
+    SELECT c.thr_avg_micro, a.n_pos, a.n_neg, c.tp, c.fp, c.fn, c.tn,
+           CAST(ROUND(1e6 * CAST(c.tp AS DOUBLE) / a.n_pos) AS BIGINT)
+             AS tpr_micro,
+           CAST(ROUND(1e6 * CAST(c.fp AS DOUBLE) / a.n_neg) AS BIGINT)
+             AS fpr_micro,
+           CAST(ROUND((1e6 * CAST(a.auc_num_x2 AS DOUBLE))
+                / (2.0 * CAST(a.n_pos AS DOUBLE)
+                   * CAST(a.n_neg AS DOUBLE))) AS BIGINT) AS auc_micro
+    FROM conf c CROSS JOIN auc a
+    """,
+)
+def t_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier calibration: exact ROC points + AUC on a
+    held-out labeled split — the label-aware half of
+    t_quality_threshold_sweep's keep-rate curve, the number that
+    justifies a chosen quality threshold. Train the fasttext-shaped
+    naive-Bayes gate on the deterministic 20% md5 sample
+    (t_quality_classifier's recipe), score the DISJOINT next-20%
+    eval split, and report per-token-threshold confusion counts plus
+    the exact tie-corrected Mann-Whitney AUC from integer rank sums —
+    no per-row ranking, the distinct-score prefix sum runs through the
+    bucketed kernel (operators/quality.py::classifier_calibration).
+    Every count is an exact integer on both engines; the three final
+    micro-ratios are single mirrored double divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket_expr(["doc_id"], seed="quality-sample")
+    label = (F.col("n_chars") >= 250).cast("long").alias("label")
+    train = docs.filter(bucket < 200_000).withColumn("label", label)
+    weights = naive_bayes_hashed_weights(train, "text", "label")
+    evald = docs.filter((bucket >= 200_000) & (bucket < 400_000))
+    scored = quality_scores(evald, weights, "doc_id", "text")
+    labeled = scored.join(evald.select("doc_id", label), "doc_id")
+    return classifier_calibration(
+        labeled, "sum_w_micro", "n_tokens", "label", _THR_GRID
+    )
+
+
+@register(
+    "t_bestfit_packing",
+    oracle=r"""
+    WITH counted AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE CAST(len(string_split_regex(trim(lower(text)),
+                       '\s+')) AS BIGINT) END AS n_tokens
+      FROM documents
+    ), classed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(CASE WHEN n_tokens > 512 THEN 0
+                  WHEN n_tokens = 0 THEN 8
+                  ELSE LEAST(8, CAST(floor(CAST(512 AS DOUBLE) / n_tokens)
+                                     AS BIGINT))
+             END AS BIGINT) AS class_k
+      FROM counted
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source, class_k
+               ORDER BY n_tokens DESC, doc_id) - 1 AS r
+      FROM classed
+    ), placed AS (
+      SELECT doc_id, source, n_tokens, class_k,
+             CASE WHEN class_k = 0 THEN r
+                  ELSE CAST(floor(CAST(r AS DOUBLE) / class_k) AS BIGINT)
+             END AS bic,
+             CAST(CASE WHEN class_k = 0 THEN 0 ELSE r % class_k END
+                  AS BIGINT) AS slot
+      FROM ranked
+    ), counts AS (
+      SELECT source, class_k,
+             CASE WHEN class_k = 0 THEN COUNT(*)
+                  ELSE CAST(ceil(CAST(COUNT(*) AS DOUBLE) / class_k)
+                            AS BIGINT)
+             END AS n_bins
+      FROM classed GROUP BY source, class_k
+    ), offs AS (
+      SELECT source, class_k,
+             COALESCE(SUM(n_bins) OVER (ORDER BY source, class_k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM counts
+    ), binned AS (
+      SELECT p.doc_id, p.source, p.n_tokens, p.class_k,
+             CAST(o.off + p.bic AS BIGINT) AS bin_id, p.slot, p.bic
+      FROM placed p
+      JOIN offs o ON p.source = o.source AND p.class_k = o.class_k
+    )
+    SELECT doc_id, source, n_tokens, class_k, bin_id, slot,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS bin_fill,
+           CAST((CASE WHEN class_k = 0
+                      THEN greatest(1, CAST(ceil(n_tokens / 512.0)
+                                            AS BIGINT))
+                      ELSE 1 END) * 512
+                - SUM(n_tokens) OVER w AS BIGINT) AS bin_waste,
+           n_tokens > 512 AS spans_bins
+    FROM binned
+    WINDOW w AS (PARTITION BY source, class_k, bic)
+    """,
+)
+def t_bestfit_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped first-fit-decreasing packing per source stream
+    (512-token bins, harmonic length classes): the no-split alternative
+    to t_pack_sequences — documents keep their boundaries and the
+    padding waste is provably bounded by capacity/(k+1) per full class-k
+    bin. Per-doc placement map (class, dense global bin id, slot) plus
+    the bin's fill and waste; pure integer math over the (stream, class,
+    length DESC, id) total order — bit-deterministic. See
+    operators/packing.py::bestfit_pack for the 100 TB sharding story;
+    the waste-reduction parity vs t_context_fit_report's padding numbers
+    is pinned in tests/test_packing.py."""
+    from g_data_pipeline_spark.operators.packing import bestfit_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bestfit_pack(
+        docs, "doc_id", "text", "source", capacity=512, k_max=8
+    )

@@ -56,6 +56,11 @@ GLOBAL_WINDOW_ALLOWED = {
     "t_oov_rate": "row_number<=50 over the token rollup — WindowGroupLimit",
     "v_hybrid_rrf": "both rank legs keep rn<=50 — TakeOrderedAndProject "
     "is pushed below the windows (verified r5)",
+    "v_hybrid_rrf_pq": "the lexical leg keeps rn<=50 (same shape as "
+    "v_hybrid_rrf); the dense leg's windows partition by q_id",
+    "t_bestfit_packing": "the bin-id offset window runs over the "
+    "(streams x length-classes) rollup — bounded at sources*(k_max+2) "
+    "rows by construction (operators/packing.py::bestfit_pack)",
     # w_ntile_rank_dense left this list in round 7: its windows now
     # PARTITION by region over the nations-per-region rollup (the parity
     # point survives; the kernel twin for data-sized inputs is
