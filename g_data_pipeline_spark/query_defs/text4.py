@@ -600,3 +600,67 @@ def v_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rrf_micro"),
     ).orderBy(F.desc("rrf_micro"), "id").limit(20)
+
+
+def rrf_fuse(dense_ranked: DataFrame, lex_ranked: DataFrame, top: int = 20) -> DataFrame:
+    """Source-agnostic reciprocal-rank fusion (k=60) of two ranked legs
+    ``(id, dense_rank)`` / ``(id, lex_rank)`` — the algebra v_hybrid_rrf
+    holds its oracle with, shared so the dense leg is swappable (exact
+    cosine vs the IVF-PQ index path) without touching the fusion."""
+    fused = dense_ranked.join(lex_ranked, "id", "full_outer")
+    leg = lambda rank: F.coalesce(  # noqa: E731
+        F.round(F.lit(1e6) / (F.lit(60) + rank)).cast("long"), F.lit(0)
+    )
+    return fused.select(
+        "id",
+        "dense_rank",
+        "lex_rank",
+        (leg(F.col("dense_rank")) + leg(F.col("lex_rank")))
+        .cast("long")
+        .alias("rrf_micro"),
+    ).orderBy(F.desc("rrf_micro"), "id").limit(top)
+
+
+def _bm25_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wl = Window.orderBy(F.desc("bm25_micro"), F.col("doc_id"))
+    return (
+        _bm25_scores(spark, sf_dir)
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= 50)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+        )
+    )
+
+
+@register("v_hybrid_rrf_pq", oracle=None, eager=True)  # codebook training collects at build
+def v_hybrid_rrf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with the dense leg served by the IVF-PQ index
+    path (verdict r9 #4 — the at-scale composition: v_hybrid_rrf's exact
+    brute-force cosine leg is the scorecard anchor; at 100x the two-tower
+    merge takes its dense top-50 from the compressed index that already
+    powers v_ivfpq_topk). Same query (vec_id 0), same BM25 lexical leg,
+    same RRF algebra (rrf_fuse — which holds its oracle via
+    v_hybrid_rrf), only the dense ranking swaps to IVF cells + ADC
+    shortlist + exact re-rank. Rows-only (codebook training has no SQL
+    twin); fusion-recall vs the exact-leg fusion and parity with the
+    PERSISTED search_ivfpq_index leg are pinned in tests/test_pq.py.
+    Scale: the dense leg reads 8 code bytes per candidate in probed
+    cells only — at a 100 TB corpus that is the difference between
+    scanning the full embedding matrix per query and reading a few
+    cell partitions."""
+    from g_data_pipeline_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dense = ivfpq_topk(
+        emb, queries, k=50, dim=64, n_centroids=16, n_probe=4,
+        m_subspaces=8, n_codes=16, refine=4,
+    ).select(
+        F.col("vec_id").alias("id"),
+        F.col("rank").cast("long").alias("dense_rank"),
+    )
+    return rrf_fuse(dense, _bm25_leg(spark, sf_dir))

@@ -334,3 +334,64 @@ def test_filtered_search_exact_vs_bruteforce_and_never_leaks(
         allowed_ids=allowed,
     ).collect()
     assert all(r.vec_id % 2 == 0 for r in narrow)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ-backed hybrid retrieval (verdict r9 #4): the registry entry
+# v_hybrid_rrf_pq swaps v_hybrid_rrf's exact dense leg for the compressed
+# index path; fusion algebra unchanged (rrf_fuse).
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_rrf_pq_recall_and_lex_parity(spark):
+    """The PQ-leg fusion must (a) leave the lexical contributions
+    untouched and (b) retrieve most of what the exact-leg fusion
+    retrieves — the recall-vs-exact-fusion pin."""
+    from g_data_pipeline_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = REGISTRY["v_hybrid_rrf"].fn(spark, sf).collect()
+    pq = REGISTRY["v_hybrid_rrf_pq"].fn(spark, sf).collect()
+    assert len(exact) == len(pq) == 20
+    lex_exact = {r.id: r.lex_rank for r in exact if r.lex_rank is not None}
+    lex_pq = {r.id: r.lex_rank for r in pq if r.lex_rank is not None}
+    # every lex-ranked id surviving into both top-20s carries the same rank
+    for i in set(lex_exact) & set(lex_pq):
+        assert lex_exact[i] == lex_pq[i]
+    overlap = len({r.id for r in exact} & {r.id for r in pq})
+    assert overlap >= 15, f"fusion recall too low: {overlap}/20"
+
+
+def test_hybrid_rrf_pq_matches_persisted_index_leg(spark, tmp_path):
+    """Composing the SAME fusion from the PERSISTED index
+    (write_ivfpq_index + search_ivfpq_index, identical training params)
+    reproduces the registry entry exactly — the production shape where
+    the index is built once and queried per request."""
+    from g_data_pipeline_spark.operators.pq import (
+        search_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from g_data_pipeline_spark.queries import REGISTRY
+    from g_data_pipeline_spark.query_defs.text4 import _bm25_leg, rrf_fuse
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    path = str(tmp_path / "hybrid_ivfpq")
+    write_ivfpq_index(
+        emb, path, dim=64, n_centroids=16, m_subspaces=8, n_codes=16
+    )
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dense = search_ivfpq_index(
+        spark, path, queries, k=50, n_probe=4, refine=4
+    ).select(
+        F.col("vec_id").alias("id"),
+        F.col("rank").cast("long").alias("dense_rank"),
+    )
+    composed = rrf_fuse(dense, _bm25_leg(spark, sf)).collect()
+    entry = REGISTRY["v_hybrid_rrf_pq"].fn(spark, sf).collect()
+    as_set = lambda rows: {  # noqa: E731
+        (r.id, r.dense_rank, r.lex_rank, r.rrf_micro) for r in rows
+    }
+    assert as_set(composed) == as_set(entry)
