@@ -27,7 +27,6 @@ import time
 import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
-from enum import Enum
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,26 +48,17 @@ from g_data_pipeline_spark.storage import LocalObjectStore, ObjectStore, TTLCach
 MAX_RESULT_ROWS = 1000
 
 
-class JobStatus(str, Enum):
-    QUEUED = "queued"
-    PROCESSING = "processing"
-    COMPLETED = "completed"
-    FAILED = "failed"
-
-
-@dataclass
-class Job:
-    id: str
-    file_path: str
-    status: JobStatus = JobStatus.QUEUED
-    error: str | None = None
-    created_at: float = field(default_factory=time.time)
-    updated_at: float = field(default_factory=time.time)
-
-    def transition(self, status: JobStatus, error: str | None = None) -> None:
-        self.status = status
-        self.error = error
-        self.updated_at = time.time()
+# Job/JobStatus (and the store seam) live in jobstore.py — re-exported
+# here so existing imports keep working. The reference persists these in
+# Postgres (database.rs); the default here is the in-memory fake, with
+# SqliteJobStore as the durable drop-in (restart survival tested in
+# tests/test_jobstore.py).
+from g_data_pipeline_spark.jobstore import (  # noqa: E402
+    InMemoryJobStore,
+    Job,
+    JobStatus,
+    JobStore,
+)
 
 
 @dataclass
@@ -96,13 +86,19 @@ class DataPipelineService:
         llm: LLMClient | None = None,
         insights_ttl_s: float = 24 * 3600.0,
         clock: Callable[[], float] = time.time,
+        job_store: JobStore | None = None,
+        insights_cache=None,
     ):
         self.spark = spark
         self.store = store or LocalObjectStore(workdir)
         self.llm = llm
-        self.jobs: dict[str, Job] = {}
-        # job_id -> insights JSON, expiring per the reference's 24 h TTL
-        self.insights_cache = TTLCache(ttl_s=insights_ttl_s, clock=clock)
+        # durable twin: pass SqliteJobStore(path) (reference database.rs)
+        self.jobs: JobStore = job_store or InMemoryJobStore()
+        # job_id -> insights JSON, expiring per the reference's 24 h TTL;
+        # wire twin: pass kvstore.RespKVCache (reference redis.rs)
+        self.insights_cache = insights_cache or TTLCache(
+            ttl_s=insights_ttl_s, clock=clock
+        )
         self.conversations: dict[str, ConversationContext] = {}
         self._datasets: dict[str, DataFrame] = {}
 
@@ -115,15 +111,16 @@ class DataPipelineService:
             raise ValueError("only .csv files are accepted")
         job_id = str(uuid.uuid4())
         uri = self.store.put_bytes(f"uploads/{job_id}.csv", data)
-        self.jobs[job_id] = Job(id=job_id, file_path=uri)
+        self.jobs.put(Job(id=job_id, file_path=uri))
         return job_id
 
     def _dataset_uri(self, job_id: str) -> str:
         return self.store.uri(f"datasets/{job_id}")
 
     def process_job(self, job_id: str) -> dict[str, Any]:
-        job = self.jobs[job_id]
-        job.transition(JobStatus.PROCESSING)
+        # transitions go THROUGH the store so a durable backend persists
+        # every state change (database.rs update-status parity)
+        job = self.jobs.transition(job_id, JobStatus.PROCESSING)
         try:
             csv_path = self.store.resolve(job.file_path)
             parquet_dir = self.store.resolve(self._dataset_uri(job_id))
@@ -131,10 +128,10 @@ class DataPipelineService:
             self._datasets[job_id] = df
             insights = profile(df)
             self.insights_cache.put(job_id, json.dumps(format_insights(insights)))
-            job.transition(JobStatus.COMPLETED)
+            self.jobs.transition(job_id, JobStatus.COMPLETED)
             return insights
         except Exception as exc:  # noqa: BLE001 — job must record failure
-            job.transition(JobStatus.FAILED, error=str(exc))
+            self.jobs.transition(job_id, JobStatus.FAILED, error=str(exc))
             raise
 
     # ---- §3.2 insights with recompute-on-miss ----------------------------
