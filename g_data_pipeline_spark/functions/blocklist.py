@@ -30,9 +30,29 @@ DEFAULT_BLOCKLIST: tuple[str, ...] = (
 )
 
 
+import re as _re
+
+#: the round-9 portability contract for oracle-shared alternations:
+#: lowercase ASCII word chars, single internal spaces. Regex
+#: metacharacters would silently change matching semantics in both the
+#: Spark gate and any oracle sharing the alternation; non-ASCII words
+#: diverge java.util.regex vs RE2 \b classes (CLAUDE.md round-9 gotcha).
+_WORD_CONTRACT = _re.compile(r"^[a-z0-9]+(?: [a-z0-9]+)*$")
+
+
 def blocklist_regex(words: tuple[str, ...] = DEFAULT_BLOCKLIST) -> str:
     r"""``\b(w1|w2|...)\b`` over the lowercased text. Multi-word entries
-    match as literal phrases (single internal spaces)."""
+    match as literal phrases (single internal spaces). Entries are
+    VALIDATED against the ASCII word/space contract (raising like
+    save_hf_bpe does for spaces in symbols) — a custom list containing
+    metacharacters (``.``, ``+``, ``(``, ``?``) or space runs would
+    otherwise silently change semantics on both engines."""
+    bad = [w for w in words if not _WORD_CONTRACT.fullmatch(w)]
+    if bad:
+        raise ValueError(
+            "blocklist entries must be lowercase ASCII words separated by "
+            f"single spaces (regex-metacharacter-free): {bad!r}"
+        )
     return r"\b(" + "|".join(words) + r")\b"
 
 

@@ -112,9 +112,34 @@ def incremental_neardup_paragraphs(
         from g_data_pipeline_spark.operators.banding import recommend_banding
 
         bands = recommend_banding(num_hashes, threshold).bands
+    # pid packing bounds are ENFORCED, not just documented (r9 ADVICE): a
+    # doc with >= 2^POS_BITS paragraphs (or an out-of-range id) would
+    # silently alias pids into the next doc's range, corrupting
+    # first-occurrence survivorship and the archive owner ids. The guard
+    # is a row-local CASE — free on the good path, loud on violation.
+    _id = F.col("id").cast("long")
+    _oob = (
+        (F.col("pos") >= F.lit(1 << POS_BITS))
+        | (_id < 0)
+        | (_id >= F.lit(1 << (63 - POS_BITS)))
+    )
     paras = _explode_units(batch, id_col, text_col, sep, "para").withColumn(
         "pid",
-        F.col("id").cast("long") * F.lit(1 << POS_BITS) + F.col("pos"),
+        F.when(
+            _oob,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "fuzzy_paragraphs pid packing out of bounds "
+                        f"(pos < 2^{POS_BITS}, 0 <= doc id < 2^{63 - POS_BITS}): "
+                        "doc id "
+                    ),
+                    _id.cast("string"),
+                    F.lit(" pos "),
+                    F.col("pos").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(_id * F.lit(1 << POS_BITS) + F.col("pos")),
     )
     rows = _paragraph_band_rows(
         paras, n, num_hashes, bands, hash_family, token_mode

@@ -78,13 +78,32 @@ def _merge_vocab(
     return out
 
 
+def _initial_symbols(word: str, eow_mode: str) -> list[str]:
+    """A word's initial BPE symbol sequence under the given end-of-word
+    convention. ``standalone`` (subword-nmt, the repo default): chars +
+    a separate ``</w>`` symbol. ``suffix`` (huggingface/tokenizers
+    ``end_of_word_suffix``): the LAST char carries the suffix — no
+    standalone symbol ever exists, so models trained in this mode export
+    to a tokenizer.json a real HF consumer reproduces exactly (the two
+    conventions learn genuinely different merge lists; a merge list is
+    NOT translatable between them — see hf_tokenizer.py)."""
+    if eow_mode == "standalone":
+        return list(word) + [EOW]
+    if eow_mode == "suffix":
+        return list(word[:-1]) + [word[-1] + EOW]
+    raise ValueError(f"unknown eow_mode {eow_mode!r}")
+
+
 def learn_bpe(
-    counts: list[tuple[str, int]], num_merges: int = 200
+    counts: list[tuple[str, int]],
+    num_merges: int = 200,
+    eow_mode: str = "standalone",
 ) -> list[tuple[str, str]]:
     """Classic BPE merge learning over a (word, count) table. Returns the
     ordered merge list. Deterministic: best pair by (count desc, pair asc).
-    Stops early when no pair occurs twice."""
-    vocab = {tuple(w) + (EOW,): c for w, c in counts}
+    Stops early when no pair occurs twice. ``eow_mode="suffix"`` trains
+    under the HF end_of_word_suffix convention (see _initial_symbols)."""
+    vocab = {tuple(_initial_symbols(w, eow_mode)): c for w, c in counts}
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         stats = _pair_stats(vocab)
@@ -98,10 +117,15 @@ def learn_bpe(
     return merges
 
 
-def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+def segment_word(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    eow_mode: str = "standalone",
+) -> list[str]:
     """Apply learned merges to one word (greedy lowest-rank-first — the
-    standard BPE inference loop)."""
-    syms = list(word) + [EOW]
+    standard BPE inference loop). ``eow_mode`` must match the mode the
+    merges were LEARNED under."""
+    syms = _initial_symbols(word, eow_mode)
     while len(syms) > 1:
         best_rank = None
         best_i = -1
@@ -120,6 +144,7 @@ def bpe_encode(
     id_col: str,
     text_col: str,
     merges: list[tuple[str, str]],
+    eow_mode: str = "standalone",
 ) -> DataFrame:
     """Encode documents -> (id, n_words, n_bpe_tokens, n_unmerged):
     per-document BPE token counts (the token-budget numbers that drive
@@ -127,6 +152,8 @@ def bpe_encode(
     high share means the merge table does not cover the document's script
     (the out-of-domain signal). Broadcast model; Arrow-batched; per-batch
     word cache."""
+    if eow_mode not in ("standalone", "suffix"):
+        raise ValueError(f"unknown eow_mode {eow_mode!r}")
     ranks = {pair: i for i, pair in enumerate(merges)}
     schema = T.StructType(
         [
@@ -156,10 +183,22 @@ def bpe_encode(
                 for w in words:
                     seg = cache.get(w)
                     if seg is None:
-                        seg = segment_word(w, ranks)
+                        seg = segment_word(w, ranks, eow_mode)
                         cache[w] = seg
                     n_tok += len(seg)
-                    n_unm += sum(1 for s in seg if len(s) == 1)
+                    # "unmerged" = still an initial single-char symbol;
+                    # in suffix mode the word-final initial symbol is
+                    # char + EOW (len 1 + len(EOW))
+                    n_unm += sum(
+                        1
+                        for s in seg
+                        if len(s) == 1
+                        or (
+                            eow_mode == "suffix"
+                            and s.endswith(EOW)
+                            and len(s) == 1 + len(EOW)
+                        )
+                    )
                 rows.append((int(did), len(words), n_tok, n_unm))
             yield pd.DataFrame(
                 rows, columns=["id", "n_words", "n_bpe_tokens", "n_unmerged"]

@@ -86,3 +86,29 @@ def test_custom_floors_and_blocklist(spark):
     }[1]
     assert got.n_kept_lines == 2
     assert got.drop_reason == "blocklist"  # custom list fires
+
+
+def test_blocklist_regex_rejects_contract_violations():
+    """r9 ADVICE: entries with regex metacharacters or space runs would
+    silently change matching semantics in both the Spark gate and any
+    oracle sharing the alternation — the builder must raise instead."""
+    import pytest
+
+    from g_data_pipeline_spark.functions.blocklist import (
+        DEFAULT_BLOCKLIST,
+        blocklist_regex,
+    )
+
+    # the bundled placeholder list satisfies the contract
+    assert blocklist_regex(DEFAULT_BLOCKLIST).startswith(r"\b(")
+    for bad in (
+        ("a.b",),            # metacharacter
+        ("win (now)",),      # parens
+        ("cash+",),          # quantifier
+        ("double  space",),  # space run
+        ("Trés",),      # non-ASCII (word-boundary divergence)
+        ("Upper",),          # uppercase (gate lowercases its input)
+        ("",),               # empty alternation branch matches anything
+    ):
+        with pytest.raises(ValueError, match="blocklist entries"):
+            blocklist_regex(bad)

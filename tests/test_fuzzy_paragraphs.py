@@ -154,3 +154,31 @@ def test_streaming_twin_exactly_once(spark, tmp_path):
     v = txn.latest_version(spark, out_t)
     run()  # no new files -> no new commits
     assert txn.latest_version(spark, out_t) == v
+
+
+def test_pid_packing_bounds_fail_loudly(spark):
+    """r9 ADVICE: an out-of-bound corpus must raise, not silently alias
+    pids into the next doc's range."""
+    import pytest
+
+    from g_data_pipeline_spark.operators import fuzzy_paragraphs as fp
+
+    # doc id beyond 2^43 would collide after the 2^20 shift
+    df = spark.createDataFrame(
+        [(1 << 44, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception, match="out of bounds"):
+        fp.neardup_paragraph_dedup(df, "doc_id", "text").collect()
+
+    # paragraph-position overflow (POS_BITS shrunk to make it reachable)
+    old = fp.POS_BITS
+    fp.POS_BITS = 1
+    try:
+        many = spark.createDataFrame(
+            [(7, "\n\n".join(f"unique tokens row {i} alpha beta gamma" for i in range(4)))],
+            ["doc_id", "text"],
+        )
+        with pytest.raises(Exception, match="out of bounds"):
+            fp.neardup_paragraph_dedup(many, "doc_id", "text").collect()
+    finally:
+        fp.POS_BITS = old

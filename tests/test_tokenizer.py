@@ -342,3 +342,118 @@ def test_hf_tokenizer_json_rejects_wrong_type(tmp_path):
         load_hf_bpe(path)
     with _pytest.raises(ValueError):
         load_hf_unigram(path)
+
+
+# ---------------------------------------------------------------------------
+# End-of-word conventions (r9 ADVICE): suffix-mode training/export is the
+# genuinely HF-consumable path; loads validate conventions instead of
+# silently miscounting.
+# ---------------------------------------------------------------------------
+
+
+def test_suffix_mode_roundtrip_and_declared_suffix(spark, tmp_path):
+    import json
+
+    from g_data_pipeline_spark.operators.hf_tokenizer import (
+        load_hf_bpe,
+        load_hf_model,
+        save_hf_bpe,
+    )
+    from g_data_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        learn_bpe,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the lowest lower low " * 3) for i in range(4)]
+        + [(10 + i, "newer news new knows " * 3) for i in range(4)],
+        ["doc_id", "text"],
+    )
+    merges = learn_bpe(word_counts(docs, "text"), 20, eow_mode="suffix")
+    # suffix convention: no merge part is a bare standalone </w>
+    assert all(a != "</w>" and b != "</w>" for a, b in merges)
+    path = str(tmp_path / "suffix.json")
+    save_hf_bpe(merges, path, eow_mode="suffix")
+    doc = json.load(open(path))
+    assert doc["model"]["end_of_word_suffix"] == "</w>"
+    # suffixed single chars are initial symbols, present in the vocab
+    assert any(k.endswith("</w>") and len(k) == 5 for k in doc["model"]["vocab"])
+    reloaded = load_hf_bpe(path, eow_mode="suffix")
+    assert reloaded == merges
+    assert load_hf_model(path) == ("bpe-suffix", merges)
+    direct = {
+        tuple(r)
+        for r in bpe_encode(docs, "doc_id", "text", merges, "suffix").collect()
+    }
+    via_file = {
+        tuple(r)
+        for r in bpe_encode(docs, "doc_id", "text", reloaded, "suffix").collect()
+    }
+    assert direct == via_file
+
+
+def test_convention_mismatch_loads_raise(tmp_path):
+    import json
+
+    import pytest
+
+    from g_data_pipeline_spark.operators.hf_tokenizer import (
+        load_hf_bpe,
+        save_hf_bpe,
+    )
+
+    std = str(tmp_path / "std.json")
+    save_hf_bpe([("l", "o"), ("lo", "w"), ("low", "</w>")], std)
+    with pytest.raises(ValueError, match="end_of_word_suffix"):
+        load_hf_bpe(std, eow_mode="suffix")
+
+    sfx = str(tmp_path / "sfx.json")
+    save_hf_bpe([("o", "w</w>"), ("l", "ow</w>")], sfx, eow_mode="suffix")
+    with pytest.raises(ValueError, match="end_of_word_suffix"):
+        load_hf_bpe(sfx)  # plain load would silently miscount
+
+    # a brought production model with a continuing_subword_prefix must
+    # be rejected, whatever the eow declaration
+    doc = json.load(open(std))
+    doc["model"]["continuing_subword_prefix"] = "##"
+    wp = str(tmp_path / "wordpiece-ish.json")
+    json.dump(doc, open(wp, "w"))
+    with pytest.raises(ValueError, match="continuing_subword_prefix"):
+        load_hf_bpe(wp)
+
+
+def test_suffix_export_rejects_standalone_merges(tmp_path):
+    import pytest
+
+    from g_data_pipeline_spark.operators.hf_tokenizer import save_hf_bpe
+
+    with pytest.raises(ValueError, match="suffix convention"):
+        save_hf_bpe(
+            [("low", "</w>")], str(tmp_path / "x.json"), eow_mode="suffix"
+        )
+
+
+def test_conventions_learn_different_merges(spark):
+    """The two conventions genuinely differ (why no translation exists):
+    same corpus, different merge lists and token counts."""
+    from g_data_pipeline_spark.operators.tokenizer import (
+        learn_bpe,
+        segment_word,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "abc abd abe " * 4) for i in range(3)], ["doc_id", "text"]
+    )
+    counts = word_counts(docs, "text")
+    std = learn_bpe(counts, 10)
+    sfx = learn_bpe(counts, 10, eow_mode="suffix")
+    assert std != sfx
+    # each mode segments consistently under its own merges
+    r_std = {p: i for i, p in enumerate(std)}
+    r_sfx = {p: i for i, p in enumerate(sfx)}
+    assert segment_word("abc", r_std)[-1].endswith("</w>") or (
+        segment_word("abc", r_std)[-1] == "</w>"
+    )
+    assert segment_word("abc", r_sfx, "suffix")[-1].endswith("</w>")
