@@ -218,6 +218,48 @@ R10_QUEUE = (
 )
 
 
+# Round-10 block-(4) demotions (all r9-green): the head of the r11
+# freshness queue (ROTATION.md). Pinned eligible BEFORE the r11 repack,
+# the R5_QUEUE discipline. t_unicode_normalize is deliberately NOT
+# queued — its re-promotion requires surviving a DuckDB version matrix
+# (verdict r9 #1), not mere eligibility.
+R11_QUEUE = (
+    "e_power_users",
+    "e_interarrival_stats",
+    "e_daily_active_ratio",
+    "e_first_touch_share",
+    "a_mad_outliers",
+    "a_decile_stats",
+    "a_percent_of_total",
+    "a_corr_pairs_moments",
+    "a_histogram_2d",
+    "a_pareto_share",
+)
+
+
+def test_r11_queue_entries_window_eligible(spark):
+    """Every r11-queue entry satisfies both window rules (oracle present
+    + scalar-only output), so the round-11 repack stays a pure pin-list
+    edit with no failure risk."""
+    from tests.conftest import SF_DIR_SMOKE
+
+    problems = {}
+    for name in R11_QUEUE:
+        spec = REGISTRY.get(name)
+        if spec is None or spec.oracle is None:
+            problems[name] = "missing or rows-only"
+            continue
+        df = spec.fn(spark, SF_DIR_SMOKE)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad:
+            problems[name] = f"non-scalar columns: {bad}"
+    assert problems == {}
+
+
 def test_r10_queue_entries_window_eligible(spark):
     """Every r10-queue entry satisfies both window rules (oracle present
     + scalar-only output), so the round-10 repack stays a pure pin-list
