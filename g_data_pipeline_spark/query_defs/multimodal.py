@@ -132,3 +132,29 @@ def m_phash_caption_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_caption_clusters(pairs.unionByName(copies)).orderBy(
         "phash"
     )
+
+
+@register("m_phash_neardup", oracle=None)
+def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-dup labels (round 10): Hamming-banded pHash
+    through the shared banded decision core — the image modality of the
+    incremental-dedup family (pigeonhole chunk candidates, bucket-min
+    survivorship). Corpus: structured synthetic images (md5-mask cells,
+    distinct aHash per doc — ramps would collapse, the r7 gotcha) PLUS a
+    one-cell-flipped variant of every 5th image (media_id + 1e7, exactly
+    one Hamming bit) — every variant must label is_dup against its
+    original. Rows-only (codec op; the banding algebra holds its oracle
+    via d_simhash_pairs); pair/incremental/replay/streaming pins live in
+    tests/test_phash_neardup.py."""
+    from g_data_pipeline_spark.multimodal.phash_neardup import (
+        neardup_phash_dedup,
+        structured_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    images = structured_images(docs, "doc_id")
+    variants = structured_images(
+        docs.filter(F.col("doc_id") % 5 == 0), "doc_id", flip_cell=0
+    ).withColumn("media_id", F.col("media_id") + 10_000_000)
+    corpus = images.unionByName(variants)
+    return neardup_phash_dedup(corpus).orderBy("id")

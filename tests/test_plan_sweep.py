@@ -24,6 +24,8 @@ ARROW_ALLOWED = {
     "m_image_phash_dedup",
     "m_image_text_filter",      # dims decode + fake-CLIP seam (imagetext.py)
     "m_phash_caption_clusters",  # aHash clusters x caption stats
+    "m_phash_neardup",          # structured-image fabrication + aHash
+    # decode (phash_neardup.py — banded labels after are relational)
     "t_bpe_tokenize",           # broadcast-vocab Arrow encode
     "t_unigram_tokenize",       # broadcast unigram-LM Viterbi encode
     "t_compression_signal",     # scalar pandas zlib kernel (operators/grouped.py)
