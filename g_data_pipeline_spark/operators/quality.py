@@ -186,13 +186,21 @@ def classifier_calibration(
     — every term an exact integer; the one double division happens once
     at the end (micro-rounded identically on both engines).
 
-    Scale: the distinct-score rollup is a content-keyed groupBy (bounded
-    by the eval-set size, usually far smaller); its prefix sum runs
-    through :func:`~g_data_pipeline_spark.operators.windows.
+    Scale AND plan shape: everything funnels through ONE content-keyed
+    rollup to distinct ``(score, n_tokens)`` pairs (bounded by the
+    eval-set size, usually far smaller). Every downstream branch — the
+    distinct-score frame, its prefix sum's two derivations, the ROC
+    grid — consumes that SAME aggregate subtree, byte-identical in each
+    branch (every branch needs all four of its columns), so
+    ReuseExchange collapses them and the scoring pipeline (token
+    explode, weight join, per-doc aggregation) executes ONCE however
+    many branches read it. The first draft branched on the per-DOC
+    frame instead and planned 18 scans of the corpus; this shape plans
+    5 (the scoring subtree once). The prefix sum runs through
+    :func:`~g_data_pipeline_spark.operators.windows.
     bucketed_running_sum` (value-derived buckets — never a
-    single-partition global window); the ROC grid is a row-local literal
-    explode aggregated map-side to ``len(thr_avg_micros)`` rows. Two real
-    shuffles total.
+    single-partition global window); the ROC grid is a row-local
+    literal explode over the tiny rollup.
     """
     from g_data_pipeline_spark.operators.windows import bucketed_running_sum
 
@@ -202,9 +210,14 @@ def classifier_calibration(
         F.col(weight_col).cast("long").alias("__n"),
         y.alias("__y"),
     )
-    per_score = base.groupBy("__s").agg(
+    # THE shared rollup: distinct (score, length) pairs with class mass.
+    per_sn = base.groupBy("__s", "__n").agg(
         F.sum("__y").alias("__pos_at"),
         F.sum(F.lit(1) - F.col("__y")).alias("__neg_at"),
+    )
+    per_score = per_sn.groupBy("__s").agg(
+        F.sum("__pos_at").alias("__pos_at"),
+        F.sum("__neg_at").alias("__neg_at"),
     )
     cum = bucketed_running_sum(
         per_score, "__s", "__neg_at", "__cum_neg", score_bucket_width
@@ -225,13 +238,21 @@ def classifier_calibration(
     thr = F.explode(
         F.array(*[F.lit(int(t)).cast("long") for t in thr_avg_micros])
     ).alias("thr_avg_micro")
-    fan = base.select("__s", "__n", "__y", thr)
+    fan = per_sn.select("__s", "__n", "__pos_at", "__neg_at", thr)
     pred = F.col("__s") > F.col("thr_avg_micro") * F.col("__n")
     conf = fan.groupBy("thr_avg_micro").agg(
-        F.count_if(pred & (F.col("__y") == 1)).alias("tp"),
-        F.count_if(pred & (F.col("__y") == 0)).alias("fp"),
-        F.count_if(~pred & (F.col("__y") == 1)).alias("fn"),
-        F.count_if(~pred & (F.col("__y") == 0)).alias("tn"),
+        F.sum(F.when(pred, F.col("__pos_at")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(pred, F.col("__neg_at")).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~pred, F.col("__pos_at")).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~pred, F.col("__neg_at")).otherwise(0))
+        .cast("long")
+        .alias("tn"),
     )
     return conf.crossJoin(F.broadcast(auc)).select(
         "thr_avg_micro",
