@@ -246,6 +246,13 @@ HEADLINE = [
     "t_gopher_outliers",
     "e_preference_cycles",
     "d_c4_clean",
+    # round-10 additions (first recorded cost becomes their baseline).
+    # v_hybrid_rrf_pq is EAGER (codebook training at build) — timed as
+    # fresh builds like p_distributed_percentiles.
+    "t_quality_auc",
+    "t_bestfit_packing",
+    "v_hybrid_rrf_pq",
+    "m_phash_neardup",
 ]
 
 
