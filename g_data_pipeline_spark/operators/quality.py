@@ -281,6 +281,60 @@ def classifier_calibration(
     )
 
 
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str,
+    weight_col: str,
+    label_col: str,
+    band_micro: int = 25_000,
+    band_clamp: int = 50,
+) -> DataFrame:
+    """Reliability-diagram companion to :func:`classifier_calibration`
+    (ROC/AUC answers "can the scorer rank?"; this answers "do its scores
+    MEAN what they say?"): documents band by per-token micro-logit —
+    ``band = clamp(floor(score / (band_micro * n_tokens)), ±band_clamp)``
+    (defaults: 25k-micro bands clamped to ±50 — ±1.25 logit/token)
+    — and each band reports its empirical positive rate. A calibrated
+    scorer's rate rises monotonically through the bands; a flat profile
+    says the magnitude carries no information beyond the sign.
+
+    All-integer gate math: the floor-division runs on one mirrored
+    double op whose operands keep it exact (|s/d - m| >= 1/d >> ulp for
+    these magnitudes), and the clamp is LEAST/GREATEST. One shuffle (the
+    band rollup; map-side combinable).
+    """
+    y = F.col(label_col).cast("long")
+    s = F.col(score_col).cast("long")
+    n = F.col(weight_col).cast("long")
+    band = F.greatest(
+        F.lit(-int(band_clamp)),
+        F.least(
+            F.lit(int(band_clamp)),
+            F.floor(
+                s.cast("double") / (F.lit(float(band_micro)) * n)
+            ).cast("long"),
+        ),
+    )
+    base = scored.select(band.alias("band"), y.alias("__y"))
+    return (
+        base.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__y").cast("long").alias("n_pos"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            "n_pos",
+            F.round(
+                F.lit(1e6) * F.col("n_pos").cast("double") / F.col("n_docs")
+            )
+            .cast("long")
+            .alias("pos_rate_micro"),
+        )
+    )
+
+
 def _require_fasttext():
     """Plug point for scoring with a real fasttext model (`model.predict`
     over mapInPandas batches — same plumbing as quality_scores but weights

@@ -74,3 +74,34 @@ def test_roc_monotone_in_threshold(spark):
     assert (out[100_000].tp, out[100_000].fp) == (1, 0)
     # auc identical on every row
     assert len({r.auc_micro for r in out.values()}) == 1
+
+
+def test_calibration_bins_monotone_when_calibrated(spark):
+    from g_data_pipeline_spark.operators.quality import calibration_bins
+
+    # calibrated scorer: higher per-token logit -> higher positive rate
+    rows = []
+    for band, rate in ((-2, 0.1), (0, 0.5), (2, 0.9)):
+        for i in range(20):
+            s = (band * 25_000 + 1_000) * 4  # 4 tokens, inside the band
+            rows.append((s, 4, 1 if i < rate * 20 else 0))
+    df = spark.createDataFrame(rows, ["s", "n", "y"])
+    out = {r.band: r for r in calibration_bins(df, "s", "n", "y").collect()}
+    assert sorted(out) == [-2, 0, 2]
+    assert [out[b].pos_rate_micro for b in (-2, 0, 2)] == [
+        100_000, 500_000, 900_000,
+    ]
+    assert all(out[b].n_docs == 20 for b in out)
+
+
+def test_calibration_bins_clamp_and_negative_floor(spark):
+    from g_data_pipeline_spark.operators.quality import calibration_bins
+
+    rows = [
+        (10_000_000, 1, 1),   # way above the top band -> clamp +50
+        (-10_000_000, 1, 0),  # below -> clamp -50
+        (-30_000, 2, 0),      # avg -15k/token -> band -1 (FLOOR, not trunc)
+    ]
+    df = spark.createDataFrame(rows, ["s", "n", "y"])
+    out = {r.band: r for r in calibration_bins(df, "s", "n", "y").collect()}
+    assert set(out) == {50, -50, -1}
