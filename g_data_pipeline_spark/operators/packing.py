@@ -132,7 +132,12 @@ def bestfit_pack(
         else token_count(text_col, token_mode).cast("long")
     )
     cap = F.lit(int(capacity))
-    base = df.select(
+    # Explicit null-group filter: the bin-id join drops null groups
+    # anyway (inner on group_col), but filtering HERE keeps the ranked
+    # and counts branches' exchange subtrees byte-identical (the join
+    # would otherwise push isnotnull into only one branch's scan and
+    # defeat AQE exchange reuse — the plan would tokenize twice).
+    base = df.filter(F.col(group_col).isNotNull()).select(
         F.col(id_col), F.col(group_col), n_tok.alias("n_tokens")
     ).withColumn(
         "class_k",
@@ -163,8 +168,15 @@ def bestfit_pack(
         .cast("long"),
     )
     # Tiny per-(stream, class) rollup -> dense global bin-id offsets.
-    counts = base.groupBy(group_col, "class_k").agg(
-        F.count(F.lit(1)).alias("__cnt")
+    # Derived from RANKED via max(__r)+1 (== the group count): the
+    # rollup keys equal the rank window's partition keys (no new
+    # shuffle), and referencing __r keeps the Window node alive in this
+    # branch, so both branches share a byte-identical exchange subtree
+    # that AQE reuse collapses — the corpus is scanned and tokenized
+    # ONCE. (A count(*) rollup lets the optimizer eliminate the Window
+    # and the branches' subtrees diverge into a second scan.)
+    counts = ranked.groupBy(group_col, "class_k").agg(
+        (F.max("__r") + 1).alias("__cnt")
     )
     n_bins = F.when(F.col("class_k") == 0, F.col("__cnt")).otherwise(
         F.ceil(F.col("__cnt").cast("double") / F.col("class_k"))
