@@ -265,3 +265,53 @@ def t_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g_data_pipeline_spark.operators.quality import calibration_bins
 
     return calibration_bins(labeled, "sum_w_micro", "n_tokens", "label")
+
+
+@register("d_dedup_scorecard")  # rows-only: cross-modality evaluation harness
+def d_dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-modality scorecard (the dedup twin of
+    v_ann_quality_scorecard): plant ground-truth duplicate pairs over
+    the corpus — a byte-identical COPY of every 20th document
+    (id + 2e7) and a trailing-token-dropped NEAR VARIANT of every other
+    10th (id + 1e7) — then run each pair modality's real path
+    (normalized-fingerprint identity, exact n-gram Jaccard, banded
+    MinHash, SimHash pigeonhole+verify) and report exact per-method
+    confusion counts and micro precision/recall/F1. The report that
+    turns banding/threshold knobs into measured numbers. Rows-only
+    (the modalities' own oracles live in d_minhash_lsh_pairs /
+    d_simhash_pairs / d_ngram_jaccard_pairs; this is their composed
+    evaluation); behavior pins in tests/test_dedup_scorecard.py."""
+    from g_data_pipeline_spark.operators.dedup_scorecard import (
+        dedup_scorecard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    variants = docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 20 != 0)
+    ).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1))), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(copies).unionByName(variants)
+    truth = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 20_000_000).alias("id_b"),
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 20 != 0)
+            ).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 10_000_000).alias("id_b"),
+            )
+        )
+    )
+    return dedup_scorecard(corpus, truth, "doc_id", "text").orderBy("method")
