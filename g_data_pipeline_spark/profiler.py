@@ -71,6 +71,11 @@ NUMERIC_STATS = ("min", "max", "mean", "median", "std_dev", "percentile_25", "pe
 #: multi-job order-statistics bill in "distributed" mode) at 100 TB.
 AUTO_PERCENTILE_MAX_BYTES = 4 * 1024**3
 
+#: Concurrent profile jobs in flight (guide §2.6). Enough to overlap the
+#: independent aggregation passes and per-column top-k jobs; small enough
+#: that they back-fill rather than fight for executors.
+PROFILE_JOB_POOL = 8
+
 
 @dataclass
 class ColumnClasses:
@@ -235,16 +240,41 @@ def sql_corr(c1: str, c2: str) -> str:
 # The profiler.
 # --------------------------------------------------------------------------
 
-def top_values(df: DataFrame, col: str, k: int = 10) -> dict[str, int]:
-    """P10: top-k frequent values for one categorical column (count-desc,
-    value-asc tiebreak; nulls excluded from the value map)."""
-    plan = (
+def _top_values_plan(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Build (and cache on ``df``) the P10 top-k plan for one column.
+
+    Caching matters for the recompute-on-miss service pattern: rebuilding
+    the plan per call mints fresh expression IDs, defeating Spark's codegen
+    cache — measured 0.17 s/call vs 0.03 s for a cached plan at sf0.1
+    (analysis + janino, not execution). Same rationale as the
+    ``_gdp_profile_plans`` cache below; plans only, never results."""
+    cache = getattr(df, "_gdp_topk_plans", None)
+    if cache is None:
+        cache = {}
+        try:
+            df._gdp_topk_plans = cache
+        except AttributeError:
+            return _build_top_values_plan(df, col, k)
+    key = (col, k)
+    if key not in cache:
+        cache[key] = _build_top_values_plan(df, col, k)
+    return cache[key]
+
+
+def _build_top_values_plan(df: DataFrame, col: str, k: int) -> DataFrame:
+    return (
         df.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col(col).asc())
         .limit(k)
     )
+
+
+def top_values(df: DataFrame, col: str, k: int = 10) -> dict[str, int]:
+    """P10: top-k frequent values for one categorical column (count-desc,
+    value-asc tiebreak; nulls excluded from the value map)."""
+    plan = _top_values_plan(df, col, k)
     rows = plan.collect()
     _tap_action(plan)
     return {str(r[col]): r["cnt"] for r in rows}
@@ -317,12 +347,34 @@ def profile(
             if corr_exprs:
                 plans["corr"] = df.agg(*corr_exprs)
         if classes.numeric and percentile_method != "distributed":
-            plans["pcts"] = df.agg(
-                *[
-                    percentile_expr(c, percentile_method).alias(f"__pct_{c}")
-                    for c in classes.numeric
-                ]
-            )
+            pct_exprs = [
+                percentile_expr(c, percentile_method).alias(f"__pct_{c}")
+                for c in classes.numeric
+            ]
+            if (
+                percentile_method == "exact"
+                and len(classes.numeric) > 1
+                and resolve_auto_percentile_method(
+                    df, auto_percentile_max_bytes
+                )
+                == "exact"
+            ):
+                # Small input (same size guard as "auto"): one single-row
+                # aggregate per column instead of one wide imperative agg.
+                # The exact Percentile's per-partition value map is built
+                # serially per aggregate buffer, so a wide percentile agg
+                # over a low-split input (one parquet row group = one scan
+                # task) is a single-core column-by-column crawl; split into
+                # independent jobs the columns run CONCURRENTLY (guide
+                # §2.6 via the pool below) and the pass costs ~the most
+                # expensive column. Above the guard the single-pass plan
+                # wins (N scans of a 100 TB table is the wrong trade) —
+                # the guard derives from the optimizer's size estimate, so
+                # the choice is scale-adaptive, not a local[32] constant.
+                for c, e in zip(classes.numeric, pct_exprs):
+                    plans[f"pcts:{c}"] = df.agg(e)
+            else:
+                plans["pcts"] = df.agg(*pct_exprs)
         plan_cache = {"key": cache_key, "plans": plans}
         try:
             df._gdp_profile_plans = plan_cache
@@ -330,15 +382,42 @@ def profile(
             pass
     plans = plan_cache["plans"]
 
-    row = {}
-    for part in ("all", "counts", "stats", "corr"):
-        if part in plans:
-            row.update(plans[part].collect()[0].asDict())
-            _tap_action(plans[part])
+    # Run the independent profile jobs CONCURRENTLY (guide §2.6: actions
+    # are only sequential because the driver calls them sequentially; a
+    # small pool lets the next job's tasks back-fill the tail of the
+    # current one — on a cluster, stragglers; locally, the single-task
+    # scan stages of a one-row-group parquet input). Results are merged
+    # in a FIXED order below, so completion order never affects output;
+    # metric harvesting (_tap_action appends to a module-global list) runs
+    # after the pool, on this thread.
+    jobs: list[tuple[str, DataFrame]] = list(plans.items())
+    tv_rows: dict[str, list] = {}
+    if include_top_values:
+        for c in classes.categorical:
+            jobs.append((f"top:{c}", _top_values_plan(df, c, top_k)))
+    if len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
 
-    # Second pass: exact percentiles (imperative aggregates — kept out of the
-    # codegen'd pass above; see percentile_expr docstring). Three modes:
-    # "exact" (single-buffer, reference semantics), "approx" (GK sketch),
+        with ThreadPoolExecutor(
+            max_workers=min(PROFILE_JOB_POOL, len(jobs))
+        ) as pool:
+            futs = [(name, pool.submit(plan.collect)) for name, plan in jobs]
+            collected = {name: f.result() for name, f in futs}
+    else:
+        collected = {name: plan.collect() for name, plan in jobs}
+    for name, plan in jobs:
+        _tap_action(plan)
+
+    row = {}
+    for name, _plan in jobs:
+        if name.startswith("top:"):
+            tv_rows[name[4:]] = collected[name]
+        else:
+            row.update(collected[name][0].asDict())
+
+    # Exact percentiles (imperative aggregates — kept out of the codegen'd
+    # stats pass; see percentile_expr docstring). Three modes: "exact"
+    # (single-buffer, reference semantics), "approx" (GK sketch),
     # "distributed" (range-partitioned order statistics — the 100 TB path
     # that is still bit-exact; operators.percentiles).
     if classes.numeric and percentile_method == "distributed":
@@ -352,10 +431,8 @@ def profile(
             row[f"median_{c}"] = got[0.5]
             row[f"percentile_75_{c}"] = got[0.75]
     elif classes.numeric:
-        prow = plans["pcts"].collect()[0].asDict()
-        _tap_action(plans["pcts"])
         for c in classes.numeric:
-            p25, med, p75 = prow[f"__pct_{c}"] or (None, None, None)
+            p25, med, p75 = row[f"__pct_{c}"] or (None, None, None)
             row[f"percentile_25_{c}"] = p25
             row[f"median_{c}"] = med
             row[f"percentile_75_{c}"] = p75
@@ -373,7 +450,9 @@ def profile(
             for stat in NUMERIC_STATS:
                 stats[stat] = row[f"{stat}_{c}"]
         if include_top_values and c in set(classes.categorical):
-            stats["top_values"] = top_values(df, c, top_k)
+            stats["top_values"] = {
+                str(r[c]): r["cnt"] for r in tv_rows[c]
+            }
         column_statistics.append(stats)
 
     result: dict[str, Any] = {
