@@ -33,16 +33,31 @@ def conversation_turns(
     than ``gap_us`` starts a new conversation; within one, turns order by
     (ts, tiebreak). Returns one row per turn: ``(user, conv_idx, us,
     tiebreak, role, content)``. Both windows and everything downstream
-    partition by ``user_col`` — one shuffle, exchange reused."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    us = F.unix_micros(F.col(ts_col))
-    seq = events.select(
+    partition by ``user_col`` — one shuffle, exchange reused.
+
+    The gap lag and the running sum run over the SAME aliased attributes
+    (``user``/``us``/``tiebreak``, aliased BEFORE the first window):
+    partitioning the first window by ``user_col`` inside the aliasing
+    select makes the second window's ``user`` a different attribute id,
+    and the planner inserts a second full shuffle of every column,
+    content included (optimization r10: 2 Exchanges -> 1; the shared
+    (us, tiebreak) sort order also drops the second Sort — ordering by
+    ``us`` == ordering by ``ts_col``, unix_micros is monotone)."""
+    base = events.select(
         F.col(user_col).alias("user"),
         F.col(tiebreak_col).alias("tiebreak"),
-        us.alias("us"),
-        (us - F.lag(us).over(w)).alias("__gap_us"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
         F.col(role_col).alias("role"),
         F.col(content_col).alias("content"),
+    )
+    w = Window.partitionBy("user").orderBy("us", "tiebreak")
+    seq = base.select(
+        "user",
+        "tiebreak",
+        "us",
+        (F.col("us") - F.lag("us").over(w)).alias("__gap_us"),
+        "role",
+        "content",
     )
     wrun = (
         Window.partitionBy("user")

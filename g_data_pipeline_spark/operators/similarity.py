@@ -141,51 +141,36 @@ def lsh_topk(
         for t in range(n_tables)
     ]
 
-    def bucketed(df: DataFrame, id_col: str, vec_col: str, probe: bool) -> DataFrame:
-        sigs = df.select(
-            id_col,
-            vec_col,
-            *[
-                signature_expr(vec_col, tables[t]).alias(f"__sig{t}")
-                for t in range(n_tables)
-            ],
-        )
-        buckets = []
-        for t in range(n_tables):
-            base = F.col(f"__sig{t}")
-            probes = [base]
-            if probe:
-                probes += [
-                    base.bitwiseXOR(F.lit(1 << j)) for j in range(planes_per_table)
-                ]
-            buckets += [
-                F.struct(F.lit(t).alias("t"), p.alias("b")) for p in probes
-            ]
-        return (
-            sigs.select(
-                id_col, vec_col, F.explode(F.array(*buckets)).alias("tb")
-            )
-            .select(
-                id_col,
-                vec_col,
-                F.col("tb.t").alias("table"),
-                F.col("tb.b").alias("bucket"),
-            )
-            .dropDuplicates([id_col, "table", "bucket"])
-        )
-
-    corp_b = bucketed(
-        corpus.select(corpus_id, corpus_vec), corpus_id, corpus_vec, probe=False
+    # Candidate generation shuffles/broadcasts KEYS ONLY (id, table,
+    # bucket) — the vectors re-attach by equi-join after the candidate
+    # pairs are deduped (optimization r10, guide §8: decide on the
+    # lightweight proxy, move the heavy payload once). The per-(id,
+    # table) bucket list is distinct BY CONSTRUCTION (the base bucket
+    # plus Hamming-1 probes differ in exactly one bit), so no dedup of
+    # bucket entries is needed — the old dropDuplicates([id, table,
+    # bucket]) was a no-op that cost a full exchange carrying every
+    # vector.
+    corp_b = _lsh_buckets(
+        corpus.select(corpus_id, corpus_vec), corpus_id, corpus_vec,
+        tables, planes_per_table, probe=False,
     )
-    q_b = bucketed(queries, query_id, query_vec, probe=multiprobe)
-
-    cands = corp_b.join(
-        F.broadcast(q_b.drop(query_vec).join(F.broadcast(queries), query_id)),
-        ["table", "bucket"],
-    ).filter(F.col(corpus_id) != F.col(query_id))
-    scored = cands.select(
-        query_id, corpus_id, cosine_sim(corpus_vec, query_vec).alias("cos")
-    ).dropDuplicates([query_id, corpus_id])
+    q_b = _lsh_buckets(
+        queries, query_id, query_vec, tables, planes_per_table,
+        probe=multiprobe,
+    )
+    cand_ids = (
+        corp_b.join(F.broadcast(q_b), ["table", "bucket"])
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .select(query_id, corpus_id)
+        .dropDuplicates([query_id, corpus_id])
+    )
+    scored = (
+        cand_ids.join(corpus.select(corpus_id, corpus_vec), corpus_id)
+        .join(F.broadcast(queries), query_id)
+        .select(
+            query_id, corpus_id, cosine_sim(corpus_vec, query_vec).alias("cos")
+        )
+    )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos").desc(), F.col(corpus_id).asc()
     )
@@ -193,6 +178,51 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tables: list[list[list[float]]],
+    planes_per_table: int,
+    probe: bool,
+    probe_flag: bool = False,
+) -> DataFrame:
+    """Slim (id, table, bucket[, is_probe]) bucket entries for multi-table
+    sign-bit LSH — one signature computation, no vector column carried,
+    no dedup (entries are distinct by construction; see lsh_topk)."""
+    n_tables = len(tables)
+    sigs = df.select(
+        id_col,
+        *[
+            signature_expr(vec_col, tables[t]).alias(f"__sig{t}")
+            for t in range(n_tables)
+        ],
+    )
+    entries = []
+    for t in range(n_tables):
+        base = F.col(f"__sig{t}")
+        probes = [(base, False)]
+        if probe:
+            probes += [
+                (base.bitwiseXOR(F.lit(1 << j)), True)
+                for j in range(planes_per_table)
+            ]
+        fields = lambda p, is_p: (  # noqa: E731
+            [F.lit(t).alias("t"), p.alias("b")]
+            + ([F.lit(is_p).alias("p")] if probe_flag else [])
+        )
+        entries += [F.struct(*fields(p, is_p)) for p, is_p in probes]
+    out = sigs.select(id_col, F.explode(F.array(*entries)).alias("tb"))
+    cols = [
+        id_col,
+        F.col("tb.t").alias("table"),
+        F.col("tb.b").alias("bucket"),
+    ]
+    if probe_flag:
+        cols.append(F.col("tb.p").alias("is_probe"))
+    return out.select(*cols)
 
 
 # --------------------------------------------------------------------------
@@ -376,55 +406,57 @@ def lsh_near_dup_pairs(
     (at cos 0.35, r=6: 0.05 -> 0.26 per table; ~0.9 over 8 tables) while
     keeping full 2^r bucket granularity. The pair-join shuffles on
     (table, bucket) content — candidate volume scales with bucket
-    occupancy (r+1 probes per item per table), not n^2."""
+    occupancy (r+1 probes per item per table), not n^2.
+
+    Optimization r10 (guide §8): the corpus is hashed ONCE — base and
+    probe bucket entries come out of one exploded frame, shuffled once
+    on (table, bucket); the probe side of the self-join is the whole
+    frame and the base side is the ``is_probe = false`` filter of the
+    SAME exchange (byte-identical subtree -> ReuseExchange), where the
+    old shape ran the full signature scan twice, once per side. Bucket
+    entries and candidate pairs carry IDS ONLY (the old pipeline
+    shuffled both 64-float vectors through the bucket join and the pair
+    dedup); the vectors re-attach by equi-join after the (id_a, id_b)
+    dedup, so exact-cosine verification reads each vector once. The
+    per-(id, table) entries are distinct by construction (base and
+    Hamming-1 probes differ in exactly one bit), so the old per-side
+    dropDuplicates was a no-op costing a vector-carrying exchange.
+    Result set identical (same candidates, same exact verification)."""
     planes = _hyperplanes(dim, n_tables * planes_per_table, seed)
     tables = [
         planes[t * planes_per_table : (t + 1) * planes_per_table]
         for t in range(n_tables)
     ]
 
-    def bucketed(frame: DataFrame, probe: bool) -> DataFrame:
-        sigs = frame.select(
-            id_col,
-            vec_col,
-            *[
-                signature_expr(vec_col, tables[t]).alias(f"__sig{t}")
-                for t in range(n_tables)
-            ],
-        )
-        buckets = []
-        for t in range(n_tables):
-            base = F.col(f"__sig{t}")
-            probes = [base]
-            if probe:
-                probes += [
-                    base.bitwiseXOR(F.lit(1 << j)) for j in range(planes_per_table)
-                ]
-            buckets += [
-                F.struct(F.lit(t).alias("t"), p.alias("b")) for p in probes
-            ]
-        return (
-            sigs.select(id_col, vec_col, F.explode(F.array(*buckets)).alias("tb"))
-            .select(
-                id_col,
-                vec_col,
-                F.col("tb.t").alias("table"),
-                F.col("tb.b").alias("bucket"),
-            )
-            .dropDuplicates([id_col, "table", "bucket"])
-        )
-
-    a = bucketed(df, probe=multiprobe).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "table", "bucket"
+    entries = _lsh_buckets(
+        df, id_col, vec_col, tables, planes_per_table,
+        probe=multiprobe, probe_flag=True,
+    ).repartition("table", "bucket")
+    a = entries.select(
+        F.col(id_col).alias("id_a"),
+        F.col("table").alias("__ta"),
+        F.col("bucket").alias("__ba"),
     )
-    b = bucketed(df, probe=False).select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "table", "bucket"
+    b = entries.filter(~F.col("is_probe")).select(
+        F.col(id_col).alias("id_b"),
+        F.col("table").alias("__tb"),
+        F.col("bucket").alias("__bb"),
     )
-    return (
-        a.join(b, ["table", "bucket"])
+    pairs = (
+        a.join(
+            b,
+            (F.col("__ta") == F.col("__tb"))
+            & (F.col("__ba") == F.col("__bb")),
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cosine_sim("v_a", "v_b").alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
