@@ -10,12 +10,11 @@ are Spark-first compositions.
 
 Two paths, one semantics:
 
-- :func:`cross_source_contamination` — EXACT: joins every distinct
-  (doc, shingle) post against the distinct (source, shingle) directory.
-  Join keyed on shingle content; a shingle fans out to at most n_sources
-  rows independent of corpus row count (same argument as the source
-  overlap matrix) — correct at any scale, but the join volume is every
-  post in the corpus.
+- :func:`cross_source_contamination` — EXACT: one shingle-keyed exchange
+  attaches each post's source SET (collect_set window); a shingle fans
+  out to at most n_sources rows independent of corpus row count (same
+  argument as the source overlap matrix) — correct at any scale, but the
+  shuffle volume is every post in the corpus.
 - :func:`sampled_contamination` — the sketch option: per document, keep
   only the k shingles with the smallest ``xxhash64`` (a bottom-k MinHash
   sample — uniform over the doc's shingle set, deterministic, no RNG).
@@ -87,19 +86,49 @@ def cross_source_contamination(
     contamination]`` where contamination = shared / n_shingles (the
     fraction of the doc's distinct shingles that the other source also
     contains — length-normalized, so long documents aren't inflated).
-    Pairs with zero overlap are absent (sparse output). Shuffles: the
-    posting distinct, the shingle-keyed directory join, the per-doc
-    aggregation — all content-keyed, never all-pairs."""
-    posts = shingle_posts(df, id_col, source_col, text_col, n)
-    sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    return _hit_fractions(
-        posts,
-        _directory(posts, source_col),
-        sizes,
+    Pairs with zero overlap are absent (sparse output).
+
+    Shape (optimization r10, guide §2.3/§2.4): the per-document shingle
+    dedup is ROW-LOCAL (``array_distinct`` — the old global ``.distinct()``
+    exchange only ever removed within-document repeats, because doc ids are
+    unique), ``n_shingles`` rides the explode as one int (the old
+    per-doc-count aggregate + join re-derived it from the posts), and the
+    source directory is a ``collect_set`` window over ONE shingle-keyed
+    exchange instead of a distinct-directory self-join (two more exchanges
+    carrying every post). 2 exchanges total — the content-keyed post
+    shuffle and the per-(doc, other_source) partial-aggregated count —
+    never all-pairs; the window's per-partition state is bounded by
+    n_sources per shingle."""
+    sh = F.array_distinct(word_shingles(text_col, n))
+    staged = df.select(F.col(id_col), F.col(source_col), sh.alias("__sh"))
+    posts = staged.select(
         id_col,
         source_col,
-        "n_shingles",
-        "contamination",
+        F.size("__sh").cast("long").alias("n_shingles"),
+        F.explode("__sh").alias("s"),
+    )
+    srcs = F.collect_set(source_col).over(Window.partitionBy("s"))
+    return (
+        posts.withColumn("__srcs", srcs)
+        .select(
+            id_col,
+            source_col,
+            "n_shingles",
+            F.explode("__srcs").alias("other_source"),
+        )
+        .filter(F.col("other_source") != F.col(source_col))
+        .groupBy(id_col, source_col, "other_source", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .select(
+            id_col,
+            source_col,
+            "other_source",
+            "n_shingles",
+            "shared_shingles",
+            (
+                F.col("shared_shingles").cast("double") / F.col("n_shingles")
+            ).alias("contamination"),
+        )
     )
 
 

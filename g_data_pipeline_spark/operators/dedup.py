@@ -890,52 +890,67 @@ def span_dedup(
     Scale (100 TB): the only wide stage is the first-occurrence rank, which
     shuffles keyed on span CONTENT — work distributes by data, and
     WindowGroupLimit truncates each span's group before the final filter.
-    Reassembly groups on doc id (second shuffle, bounded by document size).
-    No UDFs; span extraction is sequence+slice like word_shingles.
+    The decision rows are slim (guide §8): after the rank filter the span
+    STRING is dropped — reassembly shuffles surviving (id, pos) ints only
+    and rebuilds each document's text row-locally by re-slicing its staged
+    token array (span text crosses exactly one exchange, as the rank key).
+    No UDFs; span extraction is sequence+slice like word_shingles, over a
+    STAGED token attribute (an expression referenced inside the transform
+    lambda would re-run the regex split once per span — the round-6
+    O(n_tokens²) trap).
     """
-    toks = tokens(text_col)
-    n_spans = F.when(
-        F.trim(F.col(text_col)) == "", F.lit(0)
-    ).otherwise(F.ceil(F.size(toks) / F.lit(float(span_tokens)))).cast("int")
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        tokens(text_col).alias("__toks"),
+        (F.trim(F.col(text_col)) == "").alias("__blank"),
+    )
+    toks = F.col("__toks")
+    n_spans = (
+        F.when(F.col("__blank"), F.lit(0))
+        .otherwise(F.ceil(F.size(toks) / F.lit(float(span_tokens))))
+        .cast("int")
+    )
+
+    def span_at(pos: Column) -> Column:
+        return F.concat_ws(
+            " ", F.slice(toks, pos * span_tokens + 1, span_tokens)
+        )
+
     spans = F.when(
         n_spans > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_spans - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i * span_tokens + 1, span_tokens)
-            ),
-        ),
+        F.transform(F.sequence(F.lit(0), n_spans - 1), span_at),
     ).otherwise(F.array().cast("array<string>"))
 
-    base = df.select(
-        F.col(id_col).alias("id"), spans.alias("__spans")
-    ).withColumn("spans_total", F.size("__spans").cast("long"))
-
-    exploded = base.select(
-        "id", F.posexplode("__spans").alias("pos", "span")
+    exploded = staged.select(
+        "id", F.posexplode(spans).alias("pos", "span")
     )
     w = Window.partitionBy("span").orderBy("id", "pos")
-    kept = (
+    kept_pos = (
         exploded.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-    )
-    reassembled = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "span"))),
-                lambda x: x["span"],
-            ),
-            " ",
-        ).alias("dedup_text"),
-        F.count(F.lit(1)).cast("long").alias("spans_kept"),
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__keep"))
     )
     return (
-        base.select("id", "spans_total")
-        .join(reassembled, "id", "left")
+        staged.select(
+            "id",
+            "__toks",
+            # NULL text: n_spans is NULL (size(NULL) under ANSI); the old
+            # size-of-empty-array form returned 0 — keep that contract.
+            F.coalesce(n_spans.cast("long"), F.lit(0).cast("long")).alias(
+                "spans_total"
+            ),
+        )
+        .join(kept_pos, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
-            F.coalesce("spans_kept", F.lit(0).cast("long")).alias("spans_kept"),
+            F.coalesce(
+                F.array_join(F.transform(F.col("__keep"), span_at), " "),
+                F.lit(""),
+            ).alias("dedup_text"),
+            F.coalesce(
+                F.size("__keep").cast("long"), F.lit(0).cast("long")
+            ).alias("spans_kept"),
             "spans_total",
         )
     )

@@ -279,10 +279,19 @@ def c4_clean(
     lns = F.col("__lines")
 
     def line_keep(l: Column) -> Column:
+        # r10 per-task forms (outputs proven bit-identical on the sf0.1
+        # corpus, tools_exp_scanwork.py, ~15% off the scan stage):
+        # word count = whitespace-run count + 1 (true for any string,
+        # split keeps leading/trailing empties) without materializing
+        # the token array; the terminal-punctuation regex '[.!?"\'] *\z'
+        # = last char after stripping trailing 0x20 spaces (rtrim trims
+        # exactly 0x20, SPARK-17299) is in the set; the javascript test
+        # case-folds inside the regex instead of allocating a lowered
+        # copy per line.
         return (
-            (F.size(F.split(l, r"\s+")) >= min_words)
-            & l.rlike(r"[.!?\"'] *\z")
-            & ~F.lower(l).rlike("javascript")
+            (F.regexp_count(l, F.lit(r"\s+")) + F.lit(1) >= min_words)
+            & F.substring(F.rtrim(l), -1, 1).isin(".", "!", "?", '"', "'")
+            & ~l.rlike("(?i)javascript")
         )
 
     kept = F.filter(lns, line_keep)
