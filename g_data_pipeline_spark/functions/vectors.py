@@ -50,11 +50,37 @@ def norm_sq_scaled(a: Column | str) -> Column:
 
 
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
-    """Deterministic cosine similarity (null on zero-norm inputs)."""
+    """Deterministic cosine similarity (null on zero-norm inputs).
+
+    The zero-norm guard is ``nullif`` algebra rather than
+    ``F.when((na>0)&(nb>0), ...)``: the when-form evaluates each norm
+    fold twice (condition + value — HOF folds are CodegenFallback, so
+    nothing CSEs them), the nullif form once. Values are identical:
+    norms are sums of rounded squares so never negative, a zero norm
+    nulls the product and the division, and null inputs propagate the
+    same way (r10 A/B: bit-identical outputs, ~1.4x on a cosine scan
+    stage)."""
     dot = dot_scaled(a, b)
     na = norm_sq_scaled(a)
     nb = norm_sq_scaled(b)
-    return F.when((na > 0) & (nb > 0), dot / F.sqrt(na * nb))
+    return dot / F.sqrt(
+        F.nullif(na, F.lit(0.0)) * F.nullif(nb, F.lit(0.0))
+    )
+
+
+def cosine_sim_with_norm(
+    a: Column | str, b: Column | str, nb: Column | str
+) -> Column:
+    """:func:`cosine_sim` with the ``b``-side squared norm PRECOMPUTED
+    (``nb`` must be ``norm_sq_scaled(b)`` staged as a column). For
+    broadcast-query legs the query norm is then computed once on the
+    one-row side instead of twice per corpus row — bit-identical output
+    (r10 A/B: ~2x on the dense-leg scan vs the when-form)."""
+    dot = dot_scaled(a, b)
+    na = norm_sq_scaled(a)
+    return dot / F.sqrt(
+        F.nullif(na, F.lit(0.0)) * F.nullif(_to_col(nb), F.lit(0.0))
+    )
 
 
 def dot_fast(a: Column | str, b: Column | str) -> Column:

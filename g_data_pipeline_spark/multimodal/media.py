@@ -396,6 +396,7 @@ def decode_audio_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     def batches(it: Iterator) -> Iterator:
         import math
 
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
@@ -404,17 +405,24 @@ def decode_audio_features(media: DataFrame, codec: str = "fake") -> DataFrame:
             }
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 rate, pcm = _decode_fake_audio(bytes(content))
-                signed = [b - 256 if b >= 128 else b for b in pcm]
+                # Vectorized per-sample math (r10 guide §4.2) — exact
+                # twin of the per-byte Python loop: the squared sum is
+                # integer (int64, no rounding), the final sqrt/div are
+                # the same scalar float ops.
+                arr = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
+                signed = arr - (arr >= 128) * 256
                 out["media_id"].append(int(mid))
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(len(pcm))
                 out["duration_s"].append(len(pcm) / rate)
                 out["rms"].append(
-                    math.sqrt(sum(s * s for s in signed) / len(pcm))
-                    if pcm
+                    math.sqrt(int(np.dot(signed, signed)) / len(pcm))
+                    if len(pcm)
                     else 0.0
                 )
-                out["peak"].append(max((abs(s) for s in signed), default=0))
+                out["peak"].append(
+                    int(np.abs(signed).max()) if len(pcm) else 0
+                )
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)

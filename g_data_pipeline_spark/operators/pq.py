@@ -40,7 +40,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from g_data_pipeline_spark.functions.vectors import cosine_sim, dot_fast
+from g_data_pipeline_spark.functions.vectors import (
+    cosine_sim_with_norm,
+    dot_fast,
+    norm_sq_scaled,
+)
 from g_data_pipeline_spark.operators.similarity import (
     _lit_array,
     _nearest_centroid_expr,
@@ -393,7 +397,12 @@ def search_ivfpq_index(
     shortlist = (
         adc.withColumn("srank", F.row_number().over(w_short))
         .filter(F.col("srank") <= k * refine)
-        .select(query_id, query_vec, "id")
+        .select(
+            query_id,
+            query_vec,
+            norm_sq_scaled(query_vec).alias("__q_norm"),
+            "id",
+        )
     )
     vectors = spark.read.parquet(os.path.join(path, "vectors")).select(
         "id", "vector"
@@ -407,7 +416,7 @@ def search_ivfpq_index(
     scored = reranked.select(
         query_id,
         F.col("id").alias("vec_id"),
-        cosine_sim("vector", query_vec).alias("cos"),
+        cosine_sim_with_norm("vector", query_vec, "__q_norm").alias("cos"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -582,13 +591,20 @@ def ivfpq_topk(
     shortlist = (
         adc.withColumn("srank", F.row_number().over(w_short))
         .filter(F.col("srank") <= k * refine)
-        .select(query_id, query_vec, corpus_id)
+        .select(
+            query_id,
+            query_vec,
+            norm_sq_scaled(query_vec).alias("__q_norm"),
+            corpus_id,
+        )
     )
     reranked = corpus.select(corpus_id, corpus_vec).join(
         F.broadcast(shortlist), corpus_id
     )
     scored = reranked.select(
-        query_id, corpus_id, cosine_sim(corpus_vec, query_vec).alias("cos")
+        query_id,
+        corpus_id,
+        cosine_sim_with_norm(corpus_vec, query_vec, "__q_norm").alias("cos"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos").desc(), F.col(corpus_id).asc()

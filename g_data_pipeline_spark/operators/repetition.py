@@ -13,12 +13,14 @@ measured at token and bigram granularity —
 - ``top_bigram_frac``   that count / total bigrams (top n-gram fraction)
 - ``gopher_keep``       the composite threshold filter
 
-Scale design: the per-row metrics are pure array expressions (one scan, no
-shuffle). The top-bigram metric explodes bigrams and aggregates on
-(doc_id, bigram) then (doc_id) — two shuffles keyed by doc id, linear in
-corpus size, never materializing per-doc maps in driver memory. The pure-
-expression alternative (array_max over per-element filters) is O(len^2)
-per row and is deliberately avoided: fine at 100 tokens, wrong at 100k.
+Scale design: ALL metrics are pure array expressions — one scan, ZERO
+shuffles. The top-bigram count is the row-local sorted-run fold
+(operators/scorecard.max_multiplicity, O(n log n) per document — the
+round-6 fused-scorecard kernel, value-parity with the exploded groupBy
+pinned in tests/test_scorecard.py). Until r10 this operator kept the
+exploded (doc_id, bigram) double aggregation + join-back (two shuffles,
+a second corpus scan); the fold replaces it at identical output — the
+O(len^2) per-element-filter alternative remains deliberately avoided.
 
 No reference counterpart (the reference has no text operators at all);
 designed Spark-first.
@@ -47,6 +49,8 @@ def repetition_stats(
     threshold comparisons) — no order-dependent accumulation, so values
     hash-match any engine bit-for-bit.
     """
+    from g_data_pipeline_spark.operators.scorecard import max_multiplicity
+
     toks = tokens(F.col(text_col))
     base = df.select(
         id_col,
@@ -60,30 +64,33 @@ def repetition_stats(
         ).alias("alpha_token_frac"),
         word_shingles(F.col(text_col), 2).alias("__bigrams"),
     )
-    per_bigram = (
-        base.select(id_col, F.explode("__bigrams").alias("bg"))
-        .groupBy(id_col, "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # max group count == longest run in the sorted array; n_bigrams ==
+    # array size. Empty bigram arrays (docs under 2 tokens) give count 0
+    # and a NULL fraction via nullif — same values the old exploded
+    # aggregation produced through its left join (and no ANSI
+    # divide-by-zero on the 0/0 case).
+    counted = base.select(
+        id_col,
+        "n_tokens",
+        "dup_token_ratio",
+        "alpha_token_frac",
+        max_multiplicity(F.col("__bigrams"))
+        .cast("bigint")
+        .alias("top_bigram_count"),
+        F.size("__bigrams").alias("__nbg"),
     )
-    top = per_bigram.groupBy(id_col).agg(
-        F.max("c").cast("bigint").alias("top_bigram_count"),
-        F.sum("c").cast("bigint").alias("__n_bigrams"),
+    staged = counted.select(
+        id_col,
+        "n_tokens",
+        "dup_token_ratio",
+        "alpha_token_frac",
+        "top_bigram_count",
+        F.coalesce(
+            F.col("top_bigram_count") / F.nullif(F.col("__nbg"), F.lit(0)),
+            F.lit(0.0),
+        ).alias("top_bigram_frac"),
     )
-    joined = (
-        base.drop("__bigrams")
-        .join(top, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            "dup_token_ratio",
-            "alpha_token_frac",
-            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
-            F.coalesce(
-                F.col("top_bigram_count") / F.col("__n_bigrams"), F.lit(0.0)
-            ).alias("top_bigram_frac"),
-        )
-    )
-    return joined.withColumn(
+    return staged.withColumn(
         "gopher_keep",
         (F.col("n_tokens") >= min_tokens)
         & (F.col("dup_token_ratio") < max_dup_token_ratio)

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from g_data_pipeline_spark.functions.vectors import cosine_sim, dot_fast
+from g_data_pipeline_spark.functions.vectors import (
+    cosine_sim,
+    cosine_sim_with_norm,
+    dot_fast,
+    norm_sq_scaled,
+)
 
 
 def cosine_topk(
@@ -38,14 +43,23 @@ def cosine_topk(
 
     Returns (q_id, vec_id, cos, rank). Deterministic: ties broken by
     corpus id."""
-    q = F.broadcast(queries.select(query_id, query_vec))
+    # Query norms ride the broadcast side, computed once per query
+    # rather than twice per (corpus row, query) pair — bit-identical
+    # cosines (functions/vectors.cosine_sim_with_norm, r10).
+    q = F.broadcast(
+        queries.select(
+            query_id,
+            query_vec,
+            norm_sq_scaled(query_vec).alias("__q_norm"),
+        )
+    )
     joined = corpus.select(corpus_id, corpus_vec).crossJoin(q)
     if exclude_self:
         joined = joined.filter(F.col(corpus_id) != F.col(query_id))
     scored = joined.select(
         query_id,
         corpus_id,
-        cosine_sim(corpus_vec, query_vec).alias("cos"),
+        cosine_sim_with_norm(corpus_vec, query_vec, "__q_norm").alias("cos"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos").desc(), F.col(corpus_id).asc()
@@ -166,9 +180,20 @@ def lsh_topk(
     )
     scored = (
         cand_ids.join(corpus.select(corpus_id, corpus_vec), corpus_id)
-        .join(F.broadcast(queries), query_id)
+        .join(
+            F.broadcast(
+                queries.withColumn(
+                    "__q_norm", norm_sq_scaled(query_vec)
+                )
+            ),
+            query_id,
+        )
         .select(
-            query_id, corpus_id, cosine_sim(corpus_vec, query_vec).alias("cos")
+            query_id,
+            corpus_id,
+            cosine_sim_with_norm(corpus_vec, query_vec, "__q_norm").alias(
+                "cos"
+            ),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -360,6 +385,7 @@ def ivf_topk(
     probes = queries.select(
         query_id,
         query_vec,
+        norm_sq_scaled(query_vec).alias("__q_norm"),
         F.explode(
             _probe_centroids_expr(query_vec, centroids, n_probe)
         ).alias("cell"),
@@ -368,7 +394,9 @@ def ivf_topk(
         F.col(corpus_id) != F.col(query_id)
     )
     scored = cands.select(
-        query_id, corpus_id, cosine_sim(corpus_vec, query_vec).alias("cos")
+        query_id,
+        corpus_id,
+        cosine_sim_with_norm(corpus_vec, query_vec, "__q_norm").alias("cos"),
     ).dropDuplicates([query_id, corpus_id])
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos").desc(), F.col(corpus_id).asc()

@@ -174,31 +174,39 @@ def bpe_encode(
         # str.split() uses Unicode whitespace and would segment words the
         # merge table never saw (e.g. around U+00A0).
         ws = _re.compile(r"\s+", _re.ASCII)
-        cache: dict[str, list[str]] = {}
+        # Cache the COUNTS per unique word, not the segment list: the
+        # "unmerged" scan is then paid once per distinct word instead of
+        # once per occurrence (r10 — the per-occurrence genexpr dominated
+        # this kernel).
+        cache: dict[str, tuple[int, int]] = {}
         for pdf in it:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 words = [w for w in ws.split(str(text or "").lower()) if w]
                 n_tok = n_unm = 0
                 for w in words:
-                    seg = cache.get(w)
-                    if seg is None:
+                    tu = cache.get(w)
+                    if tu is None:
                         seg = segment_word(w, ranks, eow_mode)
-                        cache[w] = seg
-                    n_tok += len(seg)
-                    # "unmerged" = still an initial single-char symbol;
-                    # in suffix mode the word-final initial symbol is
-                    # char + EOW (len 1 + len(EOW))
-                    n_unm += sum(
-                        1
-                        for s in seg
-                        if len(s) == 1
-                        or (
-                            eow_mode == "suffix"
-                            and s.endswith(EOW)
-                            and len(s) == 1 + len(EOW)
+                        # "unmerged" = still an initial single-char
+                        # symbol; in suffix mode the word-final initial
+                        # symbol is char + EOW (len 1 + len(EOW))
+                        tu = (
+                            len(seg),
+                            sum(
+                                1
+                                for s in seg
+                                if len(s) == 1
+                                or (
+                                    eow_mode == "suffix"
+                                    and s.endswith(EOW)
+                                    and len(s) == 1 + len(EOW)
+                                )
+                            ),
                         )
-                    )
+                        cache[w] = tu
+                    n_tok += tu[0]
+                    n_unm += tu[1]
                 rows.append((int(did), len(words), n_tok, n_unm))
             yield pd.DataFrame(
                 rows, columns=["id", "n_words", "n_bpe_tokens", "n_unmerged"]

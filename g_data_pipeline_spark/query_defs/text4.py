@@ -514,6 +514,8 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from g_data_pipeline_spark.functions.vectors import (  # noqa: E402
     cosine_sim,
+    cosine_sim_with_norm,
+    norm_sq_scaled,
     sql_cosine_sim,
 )
 
@@ -561,15 +563,22 @@ def v_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-query cosine scan, the lexical leg's the |hit-docs| score
     table); the fusion join touches 50+50 rows."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Query norm computed ONCE on the one-row broadcast side
+    # (functions/vectors.cosine_sim_with_norm) — bit-identical cosines,
+    # ~2x off the dense scan (r10; the fold is CodegenFallback, so it
+    # would otherwise re-run per corpus row).
     qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_vec")
+        F.col("embedding").alias("q_vec"),
+        norm_sq_scaled("embedding").alias("q_norm"),
     )
     dense = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("id"),
-            cosine_sim("embedding", "q_vec").alias("cos"),
+            cosine_sim_with_norm("embedding", "q_vec", "q_norm").alias(
+                "cos"
+            ),
         )
     )
     wd = Window.orderBy(F.desc("cos"), F.col("id"))
