@@ -45,6 +45,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffle codec (guide §2.3): measured at sf0.1 — zstd is 15-20%
+        # SLOWER on repeat collects here and no better fresh (local
+        # shuffles land in page cache, so compression is pure CPU; the
+        # ratio win only pays when blocks cross a network). lz4 stays
+        # the local default; a network-bound cluster sets
+        # SPARK_GRAFT_IO_CODEC=zstd.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         # Python DataSource filter pushdown (sources/pydatasource.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         # managed-table warehouse out of the repo tree (bucketed tables)
