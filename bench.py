@@ -253,6 +253,10 @@ HEADLINE = [
     "t_bestfit_packing",
     "v_hybrid_rrf_pq",
     "m_phash_neardup",
+    # round-11 additions queued at the r10 close (ROTATION.md; first
+    # recorded cost becomes their baseline).
+    "t_reliability_bins",
+    "d_dedup_scorecard",
 ]
 
 
@@ -308,7 +312,10 @@ def check_runtime_regressions(
 
 
 def emit(
-    timings: dict[str, float], runtime: dict[str, dict], sf: float | None
+    timings: dict[str, float],
+    runtime: dict[str, dict],
+    sf: float | None,
+    fresh: dict[str, float] | None = None,
 ) -> str:
     """Write the full record to BENCH_DETAIL.json and return the ONE stdout
     line (top-20 costliest entries inline; size-pinned by
@@ -352,6 +359,13 @@ def emit(
         "sf": sf,
         "n_queries": len(timings),
         "queries": timings,
+        # Cold cost per entry: fn() build + FIRST action (janino/analysis
+        # included, shuffle map stages actually executed). The warm-repeat
+        # ``queries`` seconds reuse shuffle map outputs (round-6 note), so
+        # an exchange-removal optimization can IMPROVE fresh_sec while the
+        # repeat number worsens — r10 verdict #1: record both so the trade
+        # is measured, not asserted. Additions-only: stdout line unchanged.
+        "fresh_sec": fresh or {},
         "runtime_metrics": runtime,
         "runtime_regressions": {"violations": violations, "waived": waived},
     }
@@ -427,6 +441,7 @@ def run() -> None:
 
     timings: dict[str, float] = {}
     runtime: dict[str, dict] = {}
+    fresh: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
@@ -450,8 +465,10 @@ def run() -> None:
                 metrics_tap,
             )
 
+            t0 = time.perf_counter()
             with metrics_tap() as tap:
                 spec.fn(spark, sf_dir)
+            fresh[name] = round(time.perf_counter() - t0, 4)
             rs = _summarize(tap.metrics, collects=1)
             if rs is not None:
                 runtime[name] = rs
@@ -463,15 +480,30 @@ def run() -> None:
             timings[name] = round(best, 4)
             spark.sparkContext._jvm.System.gc()
             continue
+        # fresh_sec: the warm pass was always here — now timed (r11).
+        t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         _force(df)
+        fresh[name] = round(time.perf_counter() - t0, 4)
         best = float("inf")
-        for _ in range(3):
+        reps = 3
+        for _ in range(reps):
             t0 = time.perf_counter()
             _force(df)
             best = min(best, time.perf_counter() - t0)
+        # Ambient-drift hardening (r10 verdict #5): sub-second entries are
+        # the ones a transient stall inflates past the driver's 2x baseline
+        # bar — give them two extra repeats so the min sits on the steady
+        # state. collects changes 4 -> 6 for them, so runtime counters
+        # re-base once (the checker only compares equal collect counts).
+        if best < 1.0:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(df)
+                best = min(best, time.perf_counter() - t0)
+            reps = 5
         timings[name] = round(best, 4)
-        rs = _runtime_summary(df, collects=4)  # 1 warm + 3 timed
+        rs = _runtime_summary(df, collects=1 + reps)  # 1 warm + timed
         if rs is not None:
             runtime[name] = rs
         # The headline now spans 50+ entries in ONE JVM: dropped broadcast
@@ -493,8 +525,10 @@ def run() -> None:
     # (counts/stats/corr/pcts passes + top-k) harvest as single-run
     # counters — the plan cache reuses these DataFrames on the timed
     # repeats, whose accumulators then inflate, so harvest happens HERE.
+    t0 = time.perf_counter()
     with metrics_tap() as tap:
         profile(li)
+    fresh["profile_lineitem_full"] = round(time.perf_counter() - t0, 4)
     rs = _summarize(tap.metrics, collects=1)
     if rs is not None:
         runtime["profile_lineitem_full"] = rs
@@ -505,7 +539,7 @@ def run() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["profile_lineitem_full"] = round(best, 4)
 
-    print(emit(timings, runtime, sf))
+    print(emit(timings, runtime, sf, fresh))
 
 
 if __name__ == "__main__":
