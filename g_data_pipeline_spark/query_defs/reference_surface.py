@@ -201,7 +201,6 @@ def _profile_stats_query(table: str, cols: list[str]) -> tuple[SparkQuery, str]:
     from g_data_pipeline_spark.profiler import (
         numeric_stat_exprs,
         percentile_expr,
-        resolve_auto_percentile_method,
         sql_numeric_stats,
     )
 
@@ -214,26 +213,14 @@ def _profile_stats_query(table: str, cols: list[str]) -> tuple[SparkQuery, str]:
         fast = df.agg(*exprs)
         # percentiles: separate (imperative-agg) pass, cross-joined — both
         # sides are single-row aggregates (see percentile_expr docstring).
-        # Small inputs (the same size guard "auto" mode uses) split the
-        # pass per column: the exact Percentile's value map builds
-        # serially inside one aggregate buffer, and a one-row-group
-        # parquet input scans as a single task, so a wide percentile agg
-        # is a single-core crawl — as independent single-row aggregates
-        # AQE materializes the subtree stages concurrently and the pass
-        # costs ~the most expensive column (r10: 1.33 s -> 1.13 s at
-        # sf0.1). Above the guard one pass (one scan) wins; identical
-        # values either way, same exprs.
-        if len(cols) > 1 and resolve_auto_percentile_method(df) == "exact":
-            pcts_base: DataFrame | None = None
-            for c in cols:
-                part = df.agg(percentile_expr(c).alias(f"__pct_{c}"))
-                pcts_base = (
-                    part if pcts_base is None else pcts_base.crossJoin(part)
-                )
-        else:
-            pcts_base = df.agg(
-                *[percentile_expr(c).alias(f"__pct_{c}") for c in cols]
-            )
+        # r10 split this per column below a size guard; the r11 interleaved
+        # re-measure (verdict #4) shows the split is a repeat-wall WASH
+        # (1.56-1.99 vs 1.53-2.42 s) and LOSES fresh (3.3-3.5 vs 2.5-3.1 s,
+        # more plans to compile) while doubling rows_scanned — reverted to
+        # the one-pass form (identical values either way, same exprs).
+        pcts_base = df.agg(
+            *[percentile_expr(c).alias(f"__pct_{c}") for c in cols]
+        )
         pcts = pcts_base.select(
             *[
                 F.col(f"__pct_{c}")[i].alias(f"{stat}_{c}")
