@@ -241,6 +241,18 @@ def crawl_curation_tick(
         "__fp",
         "left_anti",
     )
+    # r11 (guide §5 lineage-cut + §1 measured): materialize ONCE per
+    # STAGE BOUNDARY instead of once per commit frame. The four frame
+    # checkpoints each re-ran the whole curate -> fp-anti -> substring ->
+    # banding tree (different DataFrames share no RDDs, so nothing is
+    # stage-reused across their jobs): measured 12.4 s of a 15.5 s
+    # steady sf0.1-volume dump (out 4.1 s, band_delta 3.6 s, fp_delta
+    # 4.0 s, sub_delta 0.7 s). With the boundaries pinned, curate and
+    # the substring cut run once each, banding runs once for the keep
+    # decision and once for its delta, and every commit frame is a
+    # cheap derivation of a checkpoint. Same jobs at any scale — this
+    # removes recomputation, not distribution.
+    fresh = fresh.localCheckpoint(eager=True)
 
     # substring-level cut vs the window-hash directory
     v = txn.version_before_run(spark, sub_table, f"{rid}-sub")
@@ -257,7 +269,7 @@ def crawl_curation_tick(
             F.col(id_col).alias("id"), "lang_pred", "__fp"
         ),
         "id",
-    )
+    ).localCheckpoint(eager=True)
 
     # near-dup vs the band archive, on the CLEANED text
     v = txn.version_before_run(spark, band_table, f"{rid}-band")
@@ -273,7 +285,10 @@ def crawl_curation_tick(
         enriched, band_dir, "id", "dedup_text",
         num_hashes=num_hashes, bands=bands,
     )
-    keep = labeled.filter(~F.col("is_dup")).select("id")
+    keep = (
+        labeled.filter(~F.col("is_dup")).select("id")
+        .localCheckpoint(eager=True)
+    )
     out = enriched.join(keep, "id", "left_semi").select(
         F.col("id").alias(id_col),
         F.col("dedup_text").alias(text_col),
@@ -281,15 +296,14 @@ def crawl_curation_tick(
         "n_tokens_kept",
         "lang_pred",
     )
-    # the four commit frames share one derivation tree: materialize once
-    out = out.localCheckpoint(eager=True)
-    sub_delta = sub_delta.localCheckpoint(eager=True)
-    band_delta = band_delta.localCheckpoint(eager=True)
+    # each commit frame now derives from a checkpoint in one cheap step
+    # (band_delta alone re-runs the banding pass, on the checkpointed
+    # enriched input); commit_write stages each with a single action and
+    # out is additionally counted once below.
     fp_delta = (
         enriched.join(keep, "id", "left_semi")
         .select(F.col("__fp").alias("fingerprint"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     versions = {

@@ -57,12 +57,32 @@ def main() -> None:
 
     def heavy(df):
         # Scan-stage expression work representative of the text/profile
-        # entries: per-row regex + string + arithmetic, aggregated so the
-        # result is one row (no driver-transfer component).
+        # entries: per-row regex + string + hash, aggregated so the
+        # result is one row (no driver-transfer component). Uses the
+        # document text when present (the scan-bound regime), else a
+        # synthesized string column.
+        if "text" in df.columns:
+            s = F.col("text")
+        else:
+            s = F.repeat(
+                F.concat_ws(
+                    " ",
+                    *[F.col(c).cast("string") for c in df.columns[:6]],
+                ),
+                8,
+            )
         return df.select(
-            F.sum(F.length(F.regexp_replace("l_comment", "[aeiou]", ""))),
-            F.sum(F.xxhash64("l_comment", "l_shipdate")),
-            F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            F.sum(F.length(F.regexp_replace(s, "[aeiou0-9]", ""))),
+            # per-row array sort+distinct: the repetition/scorecard-class
+            # per-task work (heavier than the regex pass)
+            F.sum(
+                F.size(
+                    F.array_distinct(F.array_sort(F.split(F.lower(s), r"\s+")))
+                )
+            ),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI (house rule, CLAUDE.md)
+            F.sum(F.xxhash64(s).cast("decimal(38,0)")),
         )
 
     def run(df) -> float:
